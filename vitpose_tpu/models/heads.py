@@ -1,0 +1,70 @@
+"""Heatmap heads (flax.linen), NHWC.
+
+Re-designs of the reference torch heads:
+  * HeatmapHead — N x [ConvTranspose(k4, s2) + BN + ReLU] then 1x1 conv
+    ("classic decoder"; reference
+    mmpose/models/heads/topdown_heatmap_simple_head.py:17,306).
+  * SimpleHead — ReLU -> bilinear x`upsample` -> 3x3 conv ("simple decoder";
+    reference topdown_heatmap_simple_head.py:269-287 `_transform_inputs`
+    with upsample=4 + final conv).
+
+ConvTranspose uses `transpose_kernel=True` + 'SAME' so converted torch
+ConvTranspose2d(k=4, s=2, p=1) weights are bit-compatible (verified in
+tests/test_models.py). BatchNorm runs per-replica (no cross-device sync),
+matching the reference's `broadcast_buffers=False` DDP semantics
+(reference apis/train.py:131).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class HeatmapHead(nn.Module):
+    """Classic decoder: deconv stack + 1x1 prediction conv."""
+    out_channels: int
+    deconv_filters: Sequence[int] = (256, 256)
+    deconv_kernels: Sequence[int] = (4, 4)
+    final_kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, (f, k) in enumerate(zip(self.deconv_filters,
+                                       self.deconv_kernels)):
+            x = nn.ConvTranspose(f, (k, k), strides=(2, 2), padding='SAME',
+                                 use_bias=False, transpose_kernel=True,
+                                 dtype=self.dtype, name=f'deconv_{i}')(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f'bn_{i}')(x)
+            x = nn.relu(x)
+        pad = (self.final_kernel - 1) // 2
+        x = nn.Conv(self.out_channels, (self.final_kernel, self.final_kernel),
+                    padding=((pad, pad), (pad, pad)), dtype=self.dtype,
+                    name='final')(x)
+        return x
+
+
+class SimpleHead(nn.Module):
+    """Simple decoder: ReLU -> bilinear upsample -> 3x3 conv."""
+    out_channels: int
+    upsample: int = 4
+    final_kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        x = nn.relu(x)
+        # torch F.interpolate(..., align_corners=False) == jax 'bilinear'
+        x = jax.image.resize(x, (n, h * self.upsample, w * self.upsample, c),
+                             method='bilinear')
+        pad = (self.final_kernel - 1) // 2
+        x = nn.Conv(self.out_channels, (self.final_kernel, self.final_kernel),
+                    padding=((pad, pad), (pad, pad)), dtype=self.dtype,
+                    name='final')(x)
+        return x

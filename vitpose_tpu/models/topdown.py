@@ -1,0 +1,161 @@
+"""Top-down pose estimator: backbone + head as one functional pipeline.
+
+Re-design of the reference `TopDown` detector
+(mmpose/models/detectors/top_down.py:24) and `TopDownMoE`
+(top_down_moe.py:27). Instead of a stateful nn.Module with
+`forward(return_loss=...)` dispatch, the estimator exposes pure functions:
+
+  * ``forward(variables, imgs, ...) -> heatmaps``              (train or eval)
+  * ``infer(variables, imgs, flip_index, ...) -> heatmaps``    flip-test
+    composed INSIDE the jit: second forward on jnp.flip'ed images, channel
+    un-permutation, averaging — no device->host sync (the reference moves
+    heatmaps to numpy between the two passes, top_down.py:163-188).
+  * ``loss(...)`` masked MSE dict like `TopDown.forward_train`.
+
+Heatmaps are returned NCHW ([N, K, H, W]) at the API boundary to match the
+reference's numpy conventions; internally everything is NHWC.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .vit import ViT, ViTConfig, VIT_VARIANTS
+from .heads import HeatmapHead, SimpleHead
+from .losses import joints_mse_loss, combined_target_mse_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TopDownConfig:
+    backbone: ViTConfig = ViTConfig()
+    head_type: str = 'heatmap'            # 'heatmap' | 'simple'
+    out_channels: int = 17
+    deconv_filters: tuple = (256, 256)
+    deconv_kernels: tuple = (4, 4)
+    final_kernel: int = 1
+    upsample: int = 4
+    # test-time behavior (reference test_cfg)
+    flip_test: bool = True
+    shift_heatmap: bool = False
+    post_process: str = 'default'
+    modulate_kernel: int = 11
+    use_udp: bool = True
+    target_type: str = 'GaussianHeatmap'
+    # ViTPose+ multi-head (associate heads for extra datasets)
+    num_extra_heads: int = 0
+    extra_head_channels: tuple = ()
+
+
+def make_config(variant='b', img_size=(256, 192), head='heatmap',
+                out_channels=17, num_experts=0, part_dim=0,
+                dtype='float32', remat=False, **test_cfg):
+    v = VIT_VARIANTS[variant]
+    bb = ViTConfig(img_size=img_size, num_experts=num_experts,
+                   part_dim=part_dim, dtype=dtype, remat_blocks=remat, **v)
+    return TopDownConfig(backbone=bb, head_type=head,
+                         out_channels=out_channels, **test_cfg)
+
+
+class TopDownModel(nn.Module):
+    """flax composition of backbone + head(s)."""
+    cfg: TopDownConfig
+
+    def setup(self):
+        self.backbone = ViT(self.cfg.backbone, name='backbone')
+        if self.cfg.head_type == 'heatmap':
+            self.head = HeatmapHead(
+                self.cfg.out_channels, self.cfg.deconv_filters,
+                self.cfg.deconv_kernels, self.cfg.final_kernel,
+                dtype=jnp.dtype(self.cfg.backbone.dtype), name='head')
+        elif self.cfg.head_type == 'simple':
+            self.head = SimpleHead(
+                self.cfg.out_channels, self.cfg.upsample,
+                dtype=jnp.dtype(self.cfg.backbone.dtype), name='head')
+        else:
+            raise ValueError(self.cfg.head_type)
+        extra = []
+        for i in range(self.cfg.num_extra_heads):
+            ch = self.cfg.extra_head_channels[i]
+            extra.append(HeatmapHead(
+                ch, self.cfg.deconv_filters, self.cfg.deconv_kernels,
+                self.cfg.final_kernel,
+                dtype=jnp.dtype(self.cfg.backbone.dtype),
+                name=f'extra_head_{i}'))
+        self.extra_heads = extra
+
+    def __call__(self, imgs, train: bool = False, expert_idx=None,
+                 head_idx: Optional[int] = None, all_heads: bool = False):
+        """imgs [N, H, W, 3] -> heatmaps [N, K, Hh, Wh] (NCHW outside).
+
+        all_heads=True returns a list over [main, *extra] heads — used for
+        ViTPose+ multi-dataset training where every head runs on the full
+        batch and losses are masked by dataset id (reference
+        top_down_moe.py:166-203).
+        """
+        feat = self.backbone(imgs, deterministic=not train,
+                             expert_idx=expert_idx)
+        if all_heads:
+            outs = [self.head(feat, train=train)]
+            for h in self.extra_heads:
+                outs.append(h(feat, train=train))
+            return [o.transpose(0, 3, 1, 2).astype(jnp.float32) for o in outs]
+        if head_idx is None or head_idx == 0:
+            out = self.head(feat, train=train)
+        else:
+            out = self.extra_heads[head_idx - 1](feat, train=train)
+        return out.transpose(0, 3, 1, 2).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pure-function API
+# ---------------------------------------------------------------------------
+
+def forward(model: TopDownModel, variables, imgs, train=False,
+            expert_idx=None, rngs=None, mutable=False, **kw):
+    if train:
+        return model.apply(variables, imgs, train=True,
+                           expert_idx=expert_idx, rngs=rngs,
+                           mutable=['batch_stats'] if mutable else False, **kw)
+    return model.apply(variables, imgs, train=False, expert_idx=expert_idx,
+                       **kw)
+
+
+def infer(model: TopDownModel, variables, imgs, flip_index=None,
+          expert_idx=None, head_idx=None):
+    """Eval forward with optional flip-test, fully on device.
+
+    Parity with reference TopDown.forward_test (top_down.py:163-188): the
+    averaged heatmap is (hm + flip_back(hm_flipped)) / 2, with the optional
+    1px `shift_heatmap` right-shift of the flipped map.
+    """
+    cfg = model.cfg
+    hm = model.apply(variables, imgs, train=False, expert_idx=expert_idx,
+                     head_idx=head_idx)
+    if flip_index is None or not cfg.flip_test:
+        return hm
+    hm_f = model.apply(variables, imgs[:, :, ::-1, :], train=False,
+                       expert_idx=expert_idx, head_idx=head_idx)
+    # flip back: channel permutation + horizontal reverse
+    if cfg.target_type.lower() == 'combinedtarget':
+        n, c3, h, w = hm_f.shape
+        t = hm_f.reshape(n, c3 // 3, 3, h, w)
+        t = t.at[:, :, 1].multiply(-1.0)
+        t = t[:, jnp.asarray(flip_index)]
+        hm_f = t.reshape(n, c3, h, w)[..., ::-1]
+    else:
+        hm_f = hm_f[:, jnp.asarray(flip_index)][..., ::-1]
+    if cfg.shift_heatmap:
+        hm_f = hm_f.at[..., 1:].set(hm_f[..., :-1])
+    return (hm + hm_f) * 0.5
+
+
+def loss_fn(heatmaps, target, target_weight, target_type='GaussianHeatmap'):
+    """Keypoint loss dict (reference TopdownHeatmapSimpleHead.get_loss)."""
+    if target_type.lower() == 'combinedtarget':
+        return {'heatmap_loss': combined_target_mse_loss(
+            heatmaps, target, target_weight)}
+    return {'heatmap_loss': joints_mse_loss(heatmaps, target, target_weight)}

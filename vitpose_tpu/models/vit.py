@@ -1,0 +1,242 @@
+"""Plain ViT and ViT-MoE backbones for top-down pose, in flax.linen.
+
+TPU-first re-design of the reference torch backbones
+(reference: mmpose/models/backbones/vit.py:201 `ViT`,
+ mmpose/models/backbones/vit_moe.py:242 `ViTMoE`):
+
+  * NHWC activations; patch embedding as a strided conv feeding the MXU.
+  * Full O(T^2) attention — crops are 256x192 -> 16x12 = 192 tokens, so
+    attention is tiny; matmuls run in bf16 on the MXU with f32 accumulation.
+  * Per-block rematerialization (`remat_blocks`) replaces torch gradient
+    checkpointing (reference vit.py:323).
+  * MoE experts live in ONE stacked [E, hidden, part] parameter contracted
+    with a one-hot routing matrix — no Python loop over experts (reference
+    vit_moe.py:108-111 computes every expert and masks); the stacked axis is
+    shardable over an `expert` mesh axis for true expert parallelism.
+  * Positional embedding keeps the pretraining cls token slot: the forward
+    adds `pos_embed[:, 1:]` AND the broadcast `pos_embed[:, :1]` exactly like
+    the reference (vit.py:320) so converted checkpoints are bit-compatible.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dot_dtype(dtype):
+    # MXU-friendly: bf16 inputs, f32 accumulate.
+    return jnp.float32
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference vit.py:48)."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng('droppath')
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name='fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name='fc2')(x)
+        return x
+
+
+class MoEMlp(nn.Module):
+    """FFN whose second projection is split shared/expert (ViTPose+).
+
+    Output features = out_dim; the last `part_dim` channels come from one of
+    `num_experts` expert matrices selected by a per-sample integer index.
+    Routing is a one-hot einsum over a stacked [E, hidden, part] parameter —
+    identical gradients to the reference dense-masked loop, but a single
+    MXU-shaped contraction that shards over an `expert` mesh axis.
+    (reference: vit_moe.py:78 `MoEMlp`.)
+    """
+    hidden_dim: int
+    out_dim: int
+    num_experts: int
+    part_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, expert_idx):
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name='fc1')(x)
+        h = nn.gelu(h, approximate=False)
+        shared = nn.Dense(self.out_dim - self.part_dim, dtype=self.dtype,
+                          name='fc2')(h)
+        e_kernel = self.param(
+            'expert_kernel',
+            nn.initializers.lecun_normal(),
+            (self.num_experts, self.hidden_dim, self.part_dim))
+        e_bias = self.param('expert_bias', nn.initializers.zeros,
+                            (self.num_experts, self.part_dim))
+        onehot = jax.nn.one_hot(expert_idx, self.num_experts,
+                                dtype=self.dtype)          # [N, E]
+        # Select each sample's expert weights, then batched matmul.
+        w = jnp.einsum('ne,ehp->nhp', onehot,
+                       e_kernel.astype(self.dtype))        # [N, hidden, part]
+        b = jnp.einsum('ne,ep->np', onehot,
+                       e_bias.astype(self.dtype))          # [N, part]
+        part = jnp.einsum('nth,nhp->ntp', h, w,
+                          preferred_element_type=_dot_dtype(self.dtype))
+        part = (part + b[:, None, :]).astype(self.dtype)
+        return jnp.concatenate([shared, part], axis=-1)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference vit.py:78).
+
+    Single fused qkv projection; softmax in f32. For 192-token crops the
+    whole attention fits VMEM; XLA fuses scale+softmax into the matmul chain.
+    """
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, t, d = x.shape
+        head_dim = d // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name='qkv')(x)
+        qkv = qkv.reshape(n, t, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [N, T, H, hd]
+        attn = jnp.einsum('nqhd,nkhd->nhqk', q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum('nhqk,nkhd->nqhd', attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(n, t, d).astype(self.dtype)
+        return nn.Dense(d, dtype=self.dtype, name='proj')(out)
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    num_experts: int = 0          # 0 => plain Mlp
+    part_dim: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, expert_idx=None):
+        d = x.shape[-1]
+        hidden = int(d * self.mlp_ratio)
+        dp = DropPath(self.drop_path)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
+        y = Attention(self.num_heads, self.qkv_bias, dtype=self.dtype,
+                      name='attn')(y)
+        x = x + dp(y, deterministic)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
+        if self.num_experts > 0:
+            y = MoEMlp(hidden, d, self.num_experts, self.part_dim,
+                       dtype=self.dtype, name='mlp')(y, expert_idx)
+        else:
+            y = Mlp(hidden, d, dtype=self.dtype, name='mlp')(y)
+        return x + dp(y, deterministic)
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    img_size: tuple = (256, 192)        # (H, W)
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    num_experts: int = 0                # >0 enables MoE FFN
+    part_dim: int = 0
+    remat_blocks: bool = False
+    dtype: str = 'float32'
+
+    @property
+    def grid(self):
+        # conv pad 2 both sides, stride = patch (reference vit.py:157:
+        # padding = 4 + 2*(ratio//2 - 1) = 2 for ratio=1)
+        h = (self.img_size[0] + 4 - self.patch_size) // self.patch_size + 1
+        w = (self.img_size[1] + 4 - self.patch_size) // self.patch_size + 1
+        return h, w
+
+    @property
+    def num_patches(self):
+        h, w = self.grid
+        return h * w
+
+
+# Model-zoo variants (reference configs: ViTPose_{small,base,large,huge}).
+VIT_VARIANTS = {
+    's': dict(embed_dim=384, depth=12, num_heads=12, drop_path_rate=0.1),
+    'b': dict(embed_dim=768, depth=12, num_heads=12, drop_path_rate=0.3),
+    'l': dict(embed_dim=1024, depth=24, num_heads=16, drop_path_rate=0.5),
+    'h': dict(embed_dim=1280, depth=32, num_heads=16, drop_path_rate=0.55),
+}
+
+
+class ViT(nn.Module):
+    """Window-free plain ViT backbone -> NHWC feature map.
+
+    Input  [N, H, W, 3] -> output [N, Hp, Wp, D].
+    """
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, expert_idx=None):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        p = cfg.patch_size
+        x = x.astype(dtype)
+        x = nn.Conv(cfg.embed_dim, (p, p), strides=(p, p),
+                    padding=((2, 2), (2, 2)), dtype=dtype,
+                    name='patch_embed')(x)
+        n, hp, wp, d = x.shape
+        x = x.reshape(n, hp * wp, d)
+
+        pos = self.param('pos_embed',
+                         nn.initializers.truncated_normal(0.02),
+                         (1, cfg.num_patches + 1, cfg.embed_dim))
+        pos = pos.astype(dtype)
+        # keep the cls-token slot additive, as the pretraining weights expect
+        x = x + pos[:, 1:] + pos[:, :1]
+
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        block_cls = Block
+        if cfg.remat_blocks:
+            # deterministic (arg 1 after x) must stay static under remat
+            block_cls = nn.remat(Block, static_argnums=(1,))
+        for i in range(cfg.depth):
+            x = block_cls(
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop_path=float(dpr[i]),
+                num_experts=cfg.num_experts,
+                part_dim=cfg.part_dim,
+                dtype=dtype,
+                name=f'blocks_{i}',
+            )(x, deterministic, expert_idx)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, name='last_norm')(x)
+        return x.reshape(n, hp, wp, d)
