@@ -1,0 +1,3 @@
+from .dataset_info import DatasetInfo, available_datasets
+from .coco_index import CocoIndex
+from .topdown import TopDownDataset

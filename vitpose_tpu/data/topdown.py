@@ -1,0 +1,241 @@
+"""Top-down COCO-style keypoint dataset: record db + evaluation.
+
+Replaces the reference's `TopDownCocoDataset`
+(mmpose/datasets/datasets/top_down/topdown_coco_dataset.py:169) and its base
+(datasets/base/kpt_2d_sview_rgb_img_top_down_dataset.py:17) with a lean
+record-producing class. The heavy per-pixel work (crop/normalize/target-gen)
+does NOT happen here — records carry bbox geometry + joints, and the batched
+device-side pipeline (vitpose_tpu.data.pipeline) does the rest.
+
+Record fields mirror the reference db entries (image_file, center, scale,
+bbox, rotation, joints_3d, joints_3d_visible, bbox_score, bbox_id,
+dataset_idx).
+"""
+from __future__ import annotations
+
+import copy
+import json
+import os
+from collections import OrderedDict, defaultdict
+from typing import List, Optional
+
+import numpy as np
+
+from .coco_index import CocoIndex
+from .dataset_info import DatasetInfo
+from ..ops.nms import oks_nms, soft_oks_nms
+from ..eval.cocoeval import CocoKeypointEval
+
+
+class TopDownDataset:
+    """COCO-format top-down dataset.
+
+    Args:
+      ann_file: COCO json path.
+      img_prefix: image directory.
+      dataset_info: DatasetInfo or metadata name (e.g. 'coco').
+      image_size: (w, h) network input.
+      heatmap_size: (w, h) heatmap.
+      use_gt_bbox: use GT boxes (else `bbox_file` detections).
+      bbox_file: detection json (list of {image_id, bbox xywh, score,
+        category_id}).
+      det_bbox_thr: score threshold for detection boxes.
+      test_mode: disables train-only filtering.
+      dataset_idx: expert id for ViTPose+ multi-dataset training.
+    """
+
+    def __init__(self, ann_file, img_prefix, dataset_info='coco',
+                 image_size=(192, 256), heatmap_size=(48, 64),
+                 use_gt_bbox=True, bbox_file=None, det_bbox_thr=0.0,
+                 test_mode=False, dataset_idx=0, max_num_joints=None,
+                 soft_nms=False, nms_thr=1.0, oks_thr=0.9, vis_thr=0.2,
+                 use_nms=True):
+        self.info = (dataset_info if isinstance(dataset_info, DatasetInfo)
+                     else DatasetInfo.load(dataset_info))
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.image_size = np.array(image_size)
+        self.heatmap_size = np.array(heatmap_size)
+        self.use_gt_bbox = use_gt_bbox
+        self.bbox_file = bbox_file
+        self.det_bbox_thr = det_bbox_thr
+        self.test_mode = test_mode
+        self.dataset_idx = dataset_idx
+        self.max_num_joints = max_num_joints
+        self.soft_nms = soft_nms
+        self.nms_thr = nms_thr
+        self.oks_thr = oks_thr
+        self.vis_thr = vis_thr
+        self.use_nms = use_nms
+
+        self.coco = CocoIndex(ann_file)
+        self.id2name = {i: im['file_name'] for i, im in self.coco.imgs.items()}
+        self.name2id = {v: k for k, v in self.id2name.items()}
+        self.db = self._load_db()
+
+    # ------------------------------------------------------------------
+    @property
+    def num_joints(self):
+        return self.info.num_joints
+
+    @property
+    def sigmas(self):
+        s = self.info.sigmas
+        return s if len(s) else None
+
+    def __len__(self):
+        return len(self.db)
+
+    def __getitem__(self, idx):
+        return copy.deepcopy(self.db[idx])
+
+    # ------------------------------------------------------------------
+    def _load_db(self):
+        if (not self.test_mode) or self.use_gt_bbox:
+            return self._load_gt_db()
+        return self._load_det_db()
+
+    def _load_gt_db(self):
+        k = self.num_joints
+        db = []
+        for img_id in self.coco.getImgIds():
+            img = self.coco.imgs[img_id]
+            width, height = img['width'], img['height']
+            bbox_id = 0
+            for ann in self.coco.loadAnns(
+                    self.coco.getAnnIds(imgIds=img_id, iscrowd=False)):
+                if 'bbox' not in ann or 'keypoints' not in ann:
+                    continue
+                # clip box to the image, drop degenerate/empty ones
+                x, y, w, h = ann['bbox']
+                x1, y1 = max(0, x), max(0, y)
+                x2 = min(width - 1, x1 + max(0, w))
+                y2 = min(height - 1, y1 + max(0, h))
+                if ann.get('area', 1) <= 0 or x2 <= x1 or y2 <= y1:
+                    continue
+                if max(ann['keypoints']) == 0:
+                    continue
+                if ann.get('num_keypoints', 1) == 0:
+                    continue
+                kp = np.asarray(ann['keypoints'], np.float32).reshape(-1, 3)
+                joints = np.zeros((k, 3), np.float32)
+                visible = np.zeros((k, 3), np.float32)
+                joints[:, :2] = kp[:, :2]
+                visible[:, :2] = np.minimum(1, kp[:, 2:3])
+                db.append(dict(
+                    image_file=os.path.join(self.img_prefix,
+                                            self.id2name[img_id]),
+                    bbox=np.array([x1, y1, x2 - x1, y2 - y1], np.float32),
+                    rotation=0.0,
+                    joints_3d=joints,
+                    joints_3d_visible=visible,
+                    dataset=self.info.dataset_name,
+                    dataset_idx=self.dataset_idx,
+                    bbox_score=1.0,
+                    bbox_id=bbox_id,
+                ))
+                bbox_id += 1
+        return db
+
+    def _load_det_db(self):
+        with open(self.bbox_file) as f:
+            boxes = json.load(f)
+        if isinstance(boxes, dict):
+            boxes = boxes['annotations']
+        k = self.num_joints
+        db = []
+        bbox_id = 0
+        for det in boxes:
+            if det.get('category_id', 1) != 1:
+                continue
+            score = det.get('score', 1.0)
+            if score < self.det_bbox_thr:
+                continue
+            db.append(dict(
+                image_file=os.path.join(self.img_prefix,
+                                        self.id2name[det['image_id']]),
+                bbox=np.asarray(det['bbox'][:4], np.float32),
+                rotation=0.0,
+                joints_3d=np.zeros((k, 3), np.float32),
+                joints_3d_visible=np.ones((k, 3), np.float32),
+                dataset=self.info.dataset_name,
+                dataset_idx=self.dataset_idx,
+                bbox_score=float(score),
+                bbox_id=bbox_id,
+            ))
+            bbox_id += 1
+        return db
+
+    # ------------------------------------------------------------------
+    # evaluation (reference: topdown_coco_dataset.py:406 `evaluate`)
+    # ------------------------------------------------------------------
+    def evaluate(self, results, res_folder=None, metric='mAP'):
+        """results: list of dicts with
+          preds [N, K, 3], boxes [N, 6] (c0, c1, s0, s1, area, score),
+          image_paths (list[str]), bbox_ids (list[int]).
+        Returns OrderedDict of COCO keypoint stats.
+        """
+        kpts = defaultdict(list)
+        for result in results:
+            preds = np.asarray(result['preds'])
+            boxes = np.asarray(result['boxes'])
+            paths = result['image_paths']
+            bbox_ids = result['bbox_ids']
+            for i in range(len(paths)):
+                rel = paths[i][len(self.img_prefix):].lstrip('/')
+                image_id = self.name2id[os.path.basename(rel)] \
+                    if os.path.basename(rel) in self.name2id \
+                    else self.name2id[rel]
+                kpts[image_id].append(dict(
+                    keypoints=preds[i],
+                    center=boxes[i][0:2], scale=boxes[i][2:4],
+                    area=boxes[i][4], score=boxes[i][5],
+                    image_id=image_id, bbox_id=bbox_ids[i]))
+        # de-dup by bbox_id, sort
+        for image_id, items in kpts.items():
+            items.sort(key=lambda x: x['bbox_id'])
+            seen, uniq = set(), []
+            for it in items:
+                if it['bbox_id'] not in seen:
+                    seen.add(it['bbox_id'])
+                    uniq.append(it)
+            kpts[image_id] = uniq
+
+        # keypoint-confidence rescoring + oks nms
+        valid = []
+        for image_id, items in kpts.items():
+            for p in items:
+                conf = p['keypoints'][:, 2]
+                sel = conf > self.vis_thr
+                kpt_score = conf[sel].mean() if sel.any() else 0.0
+                p['score'] = float(kpt_score * p['score'])
+            if self.use_nms:
+                nms = soft_oks_nms if self.soft_nms else oks_nms
+                keep = nms(items, self.oks_thr, sigmas=self.sigmas)
+                valid.append([items[i] for i in keep])
+            else:
+                valid.append(items)
+
+        detections = []
+        for items in valid:
+            for p in items:
+                kp = np.asarray(p['keypoints'], np.float64)
+                detections.append(dict(
+                    image_id=int(p['image_id']),
+                    category_id=1,
+                    keypoints=kp.flatten().tolist(),
+                    score=float(p['score']),
+                    center=np.asarray(p['center']).tolist(),
+                    scale=np.asarray(p['scale']).tolist(),
+                ))
+        if res_folder is not None:
+            with open(os.path.join(res_folder,
+                                   'result_keypoints.json'), 'w') as f:
+                json.dump(detections, f)
+
+        if 'annotations' not in self.coco.dataset:
+            return OrderedDict()
+        coco_dt = self.coco.loadRes(detections)
+        evaluator = CocoKeypointEval(self.coco, sigmas=self.sigmas)
+        stats = evaluator.evaluate(coco_dt)
+        return OrderedDict(stats)
