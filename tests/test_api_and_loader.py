@@ -1,0 +1,118 @@
+"""API + data loader integration tests on the reference COCO fixture."""
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests/data/coco"
+
+
+@pytest.fixture(scope="module")
+def tiny_pose_model():
+    from vitpose_tpu.api import init_pose_model
+    from vitpose_tpu.models import make_config
+    from vitpose_tpu.models.vit import ViTConfig
+    cfg = make_config('s', img_size=(256, 192), out_channels=17)
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           'backbone': ViTConfig(img_size=(256, 192),
+                                                 embed_dim=32, depth=2,
+                                                 num_heads=4),
+                           'deconv_filters': (16, 16)})
+    return init_pose_model(cfg)
+
+
+def test_inference_top_down_api(tiny_pose_model):
+    from vitpose_tpu.api import inference_top_down_pose_model
+    person_results = [{'bbox': [280.8, 44.7, 218.7, 346.7, 0.99]},
+                      {'bbox': [10.0, 10.0, 100.0, 200.0, 0.9]}]
+    pose_results, _ = inference_top_down_pose_model(
+        tiny_pose_model, f"{REF}/000000000785.jpg", person_results)
+    assert len(pose_results) == 2
+    kp = pose_results[0]['keypoints']
+    assert kp.shape == (17, 3)
+    assert np.isfinite(kp).all()
+    # keypoints land inside (padded) box of the first person
+    assert kp[:, 0].min() > 280.8 - 100 and kp[:, 0].max() < 499.5 + 100
+
+
+def test_inference_bbox_thr_and_xyxy(tiny_pose_model):
+    from vitpose_tpu.api import inference_top_down_pose_model
+    person_results = [{'bbox': [280, 44, 499, 391, 0.99]},
+                      {'bbox': [10, 10, 110, 210, 0.1]}]
+    pose_results, _ = inference_top_down_pose_model(
+        tiny_pose_model, f"{REF}/000000000785.jpg", person_results,
+        bbox_thr=0.5, format='xyxy')
+    assert len(pose_results) == 1
+
+
+def test_vis_pose_result(tiny_pose_model, tmp_path):
+    from vitpose_tpu.api import (inference_top_down_pose_model,
+                                 vis_pose_result)
+    pose_results, _ = inference_top_down_pose_model(
+        tiny_pose_model, f"{REF}/000000000785.jpg",
+        [{'bbox': [280.8, 44.7, 218.7, 346.7]}])
+    out = str(tmp_path / "vis.jpg")
+    img = vis_pose_result(tiny_pose_model, f"{REF}/000000000785.jpg",
+                          pose_results, kpt_score_thr=0.0, out_file=out)
+    assert img is not None and img.ndim == 3
+    import os
+    assert os.path.exists(out)
+
+
+def test_loader_train_batches():
+    from vitpose_tpu.data import TopDownDataset
+    from vitpose_tpu.data.loader import TopDownLoader
+    ds = TopDownDataset(f"{REF}/test_coco.json", REF + "/",
+                        dataset_info='coco')
+    loader = TopDownLoader(ds, batch_size=4, is_train=True, canvas_size=640,
+                           num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b['imgs'].shape == (4, 640, 640, 3) and b['imgs'].dtype == np.uint8
+    assert b['center'].shape == (4, 2)
+    assert b['joints'].shape == (4, 17, 2)
+    # determinism: same seed+epoch -> identical batches
+    loader2 = TopDownLoader(ds, batch_size=4, is_train=True, canvas_size=640,
+                            num_workers=2, seed=0)
+    b2 = next(iter(loader2))
+    np.testing.assert_array_equal(b['imgs'], b2['imgs'])
+    np.testing.assert_allclose(b['center'], b2['center'])
+
+
+def test_loader_device_pipeline_end_to_end():
+    from vitpose_tpu.data import TopDownDataset
+    from vitpose_tpu.data.loader import TopDownLoader
+    from vitpose_tpu.data.pipeline import make_preprocess_fn
+    ds = TopDownDataset(f"{REF}/test_coco.json", REF + "/",
+                        dataset_info='coco')
+    loader = TopDownLoader(ds, batch_size=4, is_train=True, num_workers=2)
+    pre = make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
+                             use_udp=True, sigma=2.0)
+    b = next(iter(loader))
+    out = pre(b['imgs'], b['center'], b['scale'], b['rot'], b['joints'],
+              b['vis'])
+    assert out['imgs'].shape == (4, 256, 192, 3)
+    assert out['target'].shape == (4, 17, 64, 48)
+    assert out['target_weight'].shape == (4, 17)
+    t = np.asarray(out['target'])
+    w = np.asarray(out['target_weight'])
+    # visible joints produce peaked gaussians
+    assert t[w > 0.5].max() > 0.9
+    # eval-mode loader: no augmentation, rot == 0
+    val_loader = TopDownLoader(ds, batch_size=4, is_train=False,
+                               num_workers=2)
+    vb = next(iter(val_loader))
+    assert np.all(vb['rot'] == 0)
+
+
+def test_loader_process_sharding():
+    from vitpose_tpu.data import TopDownDataset
+    from vitpose_tpu.data.loader import TopDownLoader
+    ds = TopDownDataset(f"{REF}/test_coco.json", REF + "/",
+                        dataset_info='coco')
+    l0 = TopDownLoader(ds, batch_size=2, is_train=False, process_index=0,
+                       process_count=2, num_workers=1)
+    l1 = TopDownLoader(ds, batch_size=2, is_train=False, process_index=1,
+                       process_count=2, num_workers=1)
+    ids0 = [i for b in l0 for i in b['bbox_id'][b['valid']]]
+    ids1 = [i for b in l1 for i in b['bbox_id'][b['valid']]]
+    assert len(ids0) + len(ids1) >= len(ds) - 1

@@ -1,0 +1,157 @@
+"""Training stack tests: optimizer rules, overfit smoke, sharded step."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitpose_tpu.models import TopDownModel, make_config
+from vitpose_tpu.models.vit import ViTConfig
+from vitpose_tpu.train import (OptimConfig, layer_decay_adamw,
+                               make_lr_schedule, create_train_state,
+                               make_train_step, make_moe_train_step)
+from vitpose_tpu.train.optim import layer_id_for_path, _lr_scale_tree
+from vitpose_tpu.parallel import make_mesh, shard_train_step
+
+
+def tiny_model(moe=False):
+    # 4 experts: divisible by the 2-device expert mesh axis in the
+    # sharding test (ViTPose+ uses 6)
+    cfg = make_config('s', img_size=(64, 48), out_channels=5,
+                      num_experts=4 if moe else 0, part_dim=8 if moe else 0)
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           'backbone': ViTConfig(
+                               img_size=(64, 48), embed_dim=32, depth=2,
+                               num_heads=4,
+                               num_experts=4 if moe else 0,
+                               part_dim=8 if moe else 0),
+                           'deconv_filters': (16, 16),
+                           'num_extra_heads': 2 if moe else 0,
+                           'extra_head_channels': (5, 5) if moe else ()})
+    return TopDownModel(cfg)
+
+
+def make_batch(n=4, k=5, hm=(16, 12)):
+    rng = np.random.RandomState(0)
+    target = np.zeros((n, k, hm[0], hm[1]), np.float32)
+    for i in range(n):
+        for j in range(k):
+            y, x = rng.randint(2, hm[0] - 2), rng.randint(2, hm[1] - 2)
+            target[i, j, y, x] = 1.0
+    return {
+        'imgs': jnp.asarray(rng.randn(n, 64, 48, 3).astype(np.float32)),
+        'target': jnp.asarray(target),
+        'target_weight': jnp.ones((n, k), jnp.float32),
+    }
+
+
+def test_layer_id_rules():
+    depth = 12
+    assert layer_id_for_path(('backbone', 'pos_embed'), depth) == 0
+    assert layer_id_for_path(('backbone', 'patch_embed', 'kernel'),
+                             depth) == 0
+    assert layer_id_for_path(('backbone', 'blocks_0', 'attn', 'qkv',
+                              'kernel'), depth) == 1
+    assert layer_id_for_path(('backbone', 'blocks_11', 'mlp', 'fc2',
+                              'kernel'), depth) == 12
+    assert layer_id_for_path(('backbone', 'last_norm', 'scale'), depth) == 13
+    assert layer_id_for_path(('head', 'final', 'kernel'), depth) == 13
+
+
+def test_lr_scales_match_reference_rule():
+    params = {'backbone': {'pos_embed': jnp.zeros((1, 4, 8)),
+                           'blocks_0': {'attn': {'qkv': {
+                               'kernel': jnp.zeros((8, 24))}}}},
+              'head': {'final': {'kernel': jnp.zeros((1, 1, 8, 5))}}}
+    scales = _lr_scale_tree(params, depth=12, rate=0.75)
+    # num_layers = 14; scale = 0.75^(13 - layer_id)
+    assert np.isclose(scales['backbone']['pos_embed'], 0.75 ** 13)
+    assert np.isclose(
+        scales['backbone']['blocks_0']['attn']['qkv']['kernel'], 0.75 ** 12)
+    assert np.isclose(scales['head']['final']['kernel'], 1.0)
+
+
+def test_lr_schedule():
+    cfg = OptimConfig(base_lr=5e-4, warmup_iters=500,
+                      decay_epochs=(170, 200))
+    sched = make_lr_schedule(cfg, steps_per_epoch=100)
+    assert np.isclose(float(sched(0)), 5e-4 * 1e-3, rtol=1e-3)
+    assert np.isclose(float(sched(500)), 5e-4)
+    assert np.isclose(float(sched(17000 - 1)), 5e-4)
+    assert np.isclose(float(sched(17001)), 5e-5)
+    assert np.isclose(float(sched(20001)), 5e-6)
+
+
+def test_overfit_smoke():
+    model = tiny_model()
+    batch = make_batch()
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2,
+                      grad_clip_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    variables_rng, step_rng = jax.random.split(rng)
+    tx = layer_decay_adamw(
+        model.init(variables_rng, batch['imgs'], train=False)['params'],
+        cfg, steps_per_epoch=10 ** 6)
+    state = create_train_state(model, variables_rng, batch['imgs'], tx)
+    step = jax.jit(make_train_step(model))
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.fold_in(step_rng, i))
+        losses.append(float(metrics['heatmap_loss']))
+    assert losses[-1] < losses[0] * 0.5, losses[::5]
+    assert np.isfinite(losses).all()
+
+
+def test_moe_train_step():
+    model = tiny_model(moe=True)
+    batch = make_batch()
+    batch['dataset_idx'] = jnp.array([0, 1, 2, 0])
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2)
+    rng = jax.random.PRNGKey(0)
+    tx = layer_decay_adamw(
+        model.init(rng, batch['imgs'], train=False, all_heads=True,
+                   expert_idx=jnp.zeros(4, jnp.int32))['params'],
+        cfg, steps_per_epoch=10 ** 6)
+    state = create_train_state(model, rng, batch['imgs'], tx,
+                               expert_idx=jnp.zeros(4, jnp.int32))
+    step = jax.jit(make_moe_train_step(model, num_datasets=3))
+    state, metrics = step(state, batch, rng)
+    assert np.isfinite(float(metrics['heatmap_loss']))
+    assert 'loss_0' in metrics and 'loss_2' in metrics
+
+
+def test_sharded_train_step_8_devices():
+    assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
+    model = tiny_model(moe=True)
+    batch = make_batch(n=8)
+    batch['dataset_idx'] = jnp.arange(8, dtype=jnp.int32) % 3
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2)
+    rng = jax.random.PRNGKey(0)
+    init_expert = jnp.zeros(8, jnp.int32)
+    tx = layer_decay_adamw(
+        model.init(rng, batch['imgs'], train=False, all_heads=True,
+                   expert_idx=init_expert)['params'],
+        cfg, steps_per_epoch=10 ** 6)
+    state = create_train_state(model, rng, batch['imgs'], tx,
+                               expert_idx=init_expert)
+
+    # single-device result FIRST (the sharded step donates its state, which
+    # can alias these buffers)
+    step1 = jax.jit(make_moe_train_step(model, num_datasets=3))
+    _, metrics1 = step1(state, batch, rng)
+    ref_loss = float(metrics1['heatmap_loss'])
+
+    mesh = make_mesh(n_data=4, n_expert=2)
+    step = make_moe_train_step(model, num_datasets=3)
+    jitted, sharded_state, place_batch = shard_train_step(
+        step, mesh, state, batch)
+    sharded_state, metrics = jitted(sharded_state, place_batch(batch), rng)
+    assert np.isfinite(float(metrics['heatmap_loss']))
+
+    # expert kernels actually sharded over the expert axis
+    ek = sharded_state.params['backbone']['blocks_0']['mlp']['expert_kernel']
+    assert len(ek.sharding.spec) >= 1 and ek.sharding.spec[0] == 'expert'
+
+    # sharded result equals single-device result
+    np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
+                               rtol=1e-5)

@@ -1,0 +1,242 @@
+"""User-facing inference API, signature-compatible with the reference
+(mmpose/apis/inference.py:21 `init_pose_model`, :295
+`inference_top_down_pose_model`, `vis_pose_result`).
+
+TPU-first differences under the hood:
+  * person boxes are cropped in ONE batched on-device warp (the reference
+    runs a cv2 pipeline per box on host, inference.py:115-292);
+  * box batches are padded to bucket sizes so jit compiles a handful of
+    shapes instead of one per person count;
+  * flip test + decode run inside the same jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..data.dataset_info import DatasetInfo
+from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+from ..models import TopDownModel, make_config, infer
+from ..models.vit import VIT_VARIANTS
+from ..ops.geometry import bbox_xywh2cs, bbox_xyxy2xywh, udp_warp_matrix, \
+    affine_matrix
+from ..ops.warp import warp_affine_batch
+from ..ops.decode import keypoints_from_heatmaps
+from ..utils.torch_ckpt import convert_topdown_checkpoint
+
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def _bucket(n):
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 127) // 128) * 128
+
+
+@dataclasses.dataclass
+class PoseModel:
+    """Bundle returned by init_pose_model (stands in for the torch module)."""
+    model: TopDownModel
+    variables: dict
+    cfg: object                      # TopDownConfig
+    dataset_info: DatasetInfo
+    image_size: tuple                # (w, h)
+    heatmap_size: tuple
+    padding: float = 1.25
+    _jitted: dict = dataclasses.field(default_factory=dict)
+
+    def infer_fn(self, n):
+        import jax
+        import jax.numpy as jnp
+        key = n
+        if key not in self._jitted:
+            flip_index = self.dataset_info.flip_index
+            model, cfg = self.model, self.cfg
+            iw, ih = self.image_size
+
+            @jax.jit
+            def fn(variables, imgs, center, scale):
+                x = imgs.astype(jnp.float32) / 255.0
+                if cfg.use_udp:
+                    mat = udp_warp_matrix(jnp.zeros(center.shape[0]),
+                                          center, scale, (iw, ih))
+                else:
+                    mat = affine_matrix(center, scale,
+                                        jnp.zeros(center.shape[0]), (iw, ih))
+                crops = warp_affine_batch(x, mat, (iw, ih))
+                crops = (crops - jnp.asarray(IMAGENET_MEAN)) \
+                    / jnp.asarray(IMAGENET_STD)
+                hm = infer(model, variables, crops, flip_index=flip_index)
+                preds, maxvals = keypoints_from_heatmaps(
+                    hm, center, scale, post_process=cfg.post_process,
+                    kernel=cfg.modulate_kernel, use_udp=cfg.use_udp,
+                    target_type=cfg.target_type)
+                return preds, maxvals
+            self._jitted[key] = fn
+        return self._jitted[key]
+
+
+def init_pose_model(config, checkpoint: Optional[str] = None,
+                    device: str = 'tpu') -> PoseModel:
+    """Build a PoseModel from a config and optional .pth/.msgpack checkpoint.
+
+    `config` may be:
+      * a dict like {'variant': 'b', 'image_size': (192, 256), ...}
+      * a TopDownConfig
+      * a variant string 'b' / 's' / 'l' / 'h'
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dataset_name = 'coco'
+    padding = 1.25
+    if isinstance(config, str) and config in VIT_VARIANTS:
+        cfg = make_config(config, img_size=(256, 192), out_channels=17)
+    elif isinstance(config, dict):
+        c = dict(config)
+        dataset_name = c.pop('dataset', 'coco')
+        padding = c.pop('padding', 1.25)
+        variant = c.pop('variant', 'b')
+        wh = c.pop('image_size', (192, 256))
+        cfg = make_config(variant, img_size=(wh[1], wh[0]), **c)
+    else:
+        cfg = config
+
+    info = DatasetInfo.load(dataset_name)
+    model = TopDownModel(cfg)
+    ih, iw = cfg.backbone.img_size
+    rng = jax.random.PRNGKey(0)
+    if checkpoint is not None:
+        variables = convert_topdown_checkpoint(checkpoint, cfg)
+        import jax.numpy as jnp
+        variables = jax.tree.map(jnp.asarray, variables)
+    else:
+        variables = model.init(rng, jnp.zeros((1, ih, iw, 3)))
+    hm_h, hm_w = ih // 4, iw // 4
+    return PoseModel(model=model, variables=variables, cfg=cfg,
+                     dataset_info=info, image_size=(iw, ih),
+                     heatmap_size=(hm_w, hm_h), padding=padding)
+
+
+def inference_top_down_pose_model(model: PoseModel, img,
+                                  person_results=None,
+                                  bbox_thr: Optional[float] = None,
+                                  format: str = 'xywh',
+                                  dataset_info: Optional[DatasetInfo] = None,
+                                  return_heatmap: bool = False):
+    """Run top-down pose on one image given person boxes.
+
+    Args mirror the reference (apis/inference.py:295): `person_results` is a
+    list of {'bbox': [x, y, w, h(, score)]} (or xyxy with format='xyxy').
+    Returns (pose_results, returned_outputs): pose_results is a list of the
+    input dicts extended with 'keypoints' [K, 3].
+    """
+    import jax.numpy as jnp
+    assert format in ('xywh', 'xyxy')
+
+    if isinstance(img, str):
+        import cv2
+        img = cv2.cvtColor(cv2.imread(img), cv2.COLOR_BGR2RGB)
+    img = np.asarray(img)
+
+    if person_results is None:
+        h, w = img.shape[:2]
+        person_results = [{'bbox': np.array([0, 0, w, h], np.float32)}]
+
+    bboxes = np.array([np.asarray(p['bbox'][:5] if len(p['bbox']) > 4
+                                  else p['bbox'][:4], np.float32)
+                       for p in person_results], dtype=object)
+    bboxes = np.stack([np.pad(np.asarray(b, np.float32),
+                              (0, 5 - len(np.asarray(b))),
+                              constant_values=1.0)
+                       for b in bboxes])
+    if format == 'xyxy':
+        bboxes = np.asarray(bbox_xyxy2xywh(bboxes))
+    keep = np.ones(len(bboxes), bool)
+    if bbox_thr is not None:
+        keep = bboxes[:, 4] > bbox_thr
+    sel = np.where(keep)[0]
+    if len(sel) == 0:
+        return [], []
+
+    info = dataset_info or model.dataset_info
+    iw, ih = model.image_size
+    aspect = iw / ih
+    center, scale = bbox_xywh2cs(bboxes[sel, :4], aspect,
+                                 padding=model.padding)
+    center = np.asarray(center)
+    scale = np.asarray(scale)
+
+    n = len(sel)
+    nb = _bucket(n)
+    center_p = np.concatenate(
+        [center, np.tile(center[-1:], (nb - n, 1))])
+    scale_p = np.concatenate([scale, np.tile(scale[-1:], (nb - n, 1))])
+    imgs = jnp.asarray(img)[None]
+    fn = model.infer_fn(nb)
+    # the warp gathers from the single shared image for every box
+    imgs_b = jnp.broadcast_to(imgs, (nb,) + img.shape)
+    preds, maxvals = fn(model.variables, imgs_b,
+                        jnp.asarray(center_p), jnp.asarray(scale_p))
+    preds = np.asarray(preds)[:n]
+    maxvals = np.asarray(maxvals)[:n]
+
+    pose_results = []
+    for i, si in enumerate(sel):
+        res = dict(person_results[si])
+        res['keypoints'] = np.concatenate([preds[i], maxvals[i]], axis=1)
+        pose_results.append(res)
+    return pose_results, []
+
+
+def process_mmdet_results(mmdet_results, cat_id: int = 1):
+    """Extract person boxes from detector output (reference
+    demo/top_down_img_demo_with_mmdet.py `process_mmdet_results`)."""
+    if isinstance(mmdet_results, tuple):
+        det_results = mmdet_results[0]
+    else:
+        det_results = mmdet_results
+    bboxes = det_results[cat_id - 1]
+    return [{'bbox': bbox} for bbox in bboxes]
+
+
+def vis_pose_result(model: PoseModel, img, result, kpt_score_thr: float = 0.3,
+                    radius: int = 4, thickness: int = 1,
+                    dataset_info: Optional[DatasetInfo] = None,
+                    show: bool = False, out_file: Optional[str] = None):
+    """Draw keypoints + skeleton (reference core/visualization/image.py:107
+    `imshow_keypoints`). Returns the BGR image."""
+    import cv2
+    info = dataset_info or model.dataset_info
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    else:
+        img = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2BGR)
+    img = img.copy()
+
+    links = info.skeleton_links
+    kp_colors = info.keypoint_colors
+    sk_colors = info.skeleton_colors
+    for res in result:
+        kpts = np.asarray(res['keypoints'])
+        for j, (x, y, s) in enumerate(kpts):
+            if s < kpt_score_thr:
+                continue
+            color = tuple(int(c) for c in (kp_colors[j]
+                                           if len(kp_colors) else
+                                           (0, 255, 0)))
+            cv2.circle(img, (int(x), int(y)), radius, color, -1)
+        for li, (a, b) in enumerate(links):
+            if kpts[a, 2] < kpt_score_thr or kpts[b, 2] < kpt_score_thr:
+                continue
+            color = tuple(int(c) for c in (sk_colors[li]
+                                           if len(sk_colors) else
+                                           (255, 128, 0)))
+            cv2.line(img, (int(kpts[a, 0]), int(kpts[a, 1])),
+                     (int(kpts[b, 0]), int(kpts[b, 1])), color, thickness)
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img

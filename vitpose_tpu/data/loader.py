@@ -1,0 +1,190 @@
+"""Batched data loading for TPU training/eval.
+
+Replaces the reference torch DataLoader + per-sample CPU pipeline
+(reference: mmpose/datasets/builder.py:90 `build_dataloader`,
+samplers/distributed_sampler.py:6) with:
+
+  * host worker threads that decode JPEGs and paste them onto ONE static
+    uint8 canvas [S, S, 3] (COCO images are <=640px; larger sources are
+    pre-scaled and their center/scale adjusted),
+  * numpy batch assembly with deterministic epoch+seed shuffling and
+    per-process sharding (multi-host: each process takes
+    records[process_index::process_count], the jax.process_index analog of
+    the reference's per-rank DistributedSampler),
+  * device-side crop/normalize/target-gen via
+    vitpose_tpu.data.pipeline.make_preprocess_fn (one jit per batch).
+
+Static shapes everywhere: the final incomplete batch is padded and carries
+a `valid` mask (the reference just runs a ragged final batch on GPU —
+rebatching would recompile on TPU).
+"""
+from __future__ import annotations
+
+import concurrent.futures as futures
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .dataset_info import DatasetInfo
+from .pipeline import AugmentConfig, sample_augmentations
+from ..ops.geometry import bbox_xywh2cs
+
+
+def _load_canvas(path, canvas_size, cv2_mod=None):
+    """Decode an image onto a static canvas; returns (canvas, scale_factor,
+    orig_w). Images larger than the canvas are uniformly downscaled."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    s = min(1.0, canvas_size / max(h, w))
+    if s < 1.0:
+        img = cv2.resize(img, (int(round(w * s)), int(round(h * s))),
+                         interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+    canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
+    canvas[:h, :w] = img
+    return canvas, np.float32(s), w
+
+
+class TopDownLoader:
+    """Iterate (host_batch dicts) over a TopDownDataset.
+
+    host_batch keys: imgs [N,S,S,3] uint8, center, scale, rot, joints, vis,
+    bbox_score, bbox_id, image_path (list), valid [N] bool,
+    dataset_idx [N] int32.
+    """
+
+    def __init__(self, dataset, batch_size, is_train=True, canvas_size=640,
+                 padding=1.25, aug: Optional[AugmentConfig] = None,
+                 seed=0, num_workers=8, process_index=0, process_count=1,
+                 drop_last=None):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.is_train = is_train
+        self.canvas_size = canvas_size
+        self.padding = padding
+        self.aug = aug or AugmentConfig()
+        self.seed = seed
+        self.num_workers = num_workers
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = is_train if drop_last is None else drop_last
+        self.epoch = 0
+        self.image_size = tuple(dataset.image_size)
+
+    def __len__(self):
+        n = len(self.ds.db) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.ds.db)
+        idx = np.arange(n)
+        if self.is_train:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-process shard (pad to divisibility like the reference sampler)
+        idx = idx[self.process_index::self.process_count]
+        return idx
+
+    def _prepare_record(self, i, rec_rng):
+        rec = self.ds.db[i]
+        canvas, sfac, _ = _load_canvas(rec['image_file'], self.canvas_size)
+        k = self.ds.num_joints
+        bbox = rec['bbox'] * sfac
+        aspect = self.image_size[0] / self.image_size[1]
+        center, scale = bbox_xywh2cs(bbox, aspect, padding=self.padding)
+        center = np.asarray(center, np.float32)
+        scale = np.asarray(scale, np.float32)
+        joints = rec['joints_3d'][:, :2] * sfac
+        vis = rec['joints_3d_visible'][:, 0]
+
+        if self.is_train:
+            r = dict(rec, center=center, scale=scale,
+                     joints_3d=np.concatenate(
+                         [joints, rec['joints_3d'][:, 2:]], axis=1),
+                     joints_3d_visible=rec['joints_3d_visible'])
+            center, scale, rot, joints, vis, _ = sample_augmentations(
+                rec_rng, r, self.ds.info, self.canvas_size, self.aug,
+                self.image_size)
+        else:
+            rot = np.float32(0.0)
+
+        return dict(img=canvas, center=center, scale=scale, rot=rot,
+                    joints=joints.astype(np.float32),
+                    vis=vis.astype(np.float32),
+                    bbox_score=np.float32(rec['bbox_score']),
+                    bbox_id=rec['bbox_id'],
+                    dataset_idx=np.int32(rec.get('dataset_idx', 0)),
+                    scale_factor=sfac,
+                    image_path=rec['image_file'])
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        bs = self.batch_size
+        rng = np.random.RandomState(self.seed * 1000 + self.epoch)
+        with futures.ThreadPoolExecutor(self.num_workers) as pool:
+            n_batches = len(self)
+            for b in range(n_batches):
+                chunk = idx[b * bs:(b + 1) * bs]
+                valid = np.zeros(bs, bool)
+                valid[:len(chunk)] = True
+                # deterministic per-record rngs
+                seeds = rng.randint(0, 2 ** 31, size=len(chunk))
+                recs = list(pool.map(
+                    lambda args: self._prepare_record(
+                        args[0], np.random.RandomState(args[1])),
+                    zip(chunk, seeds)))
+                while len(recs) < bs:          # pad final batch
+                    recs.append(recs[-1])
+                batch = dict(
+                    imgs=np.stack([r['img'] for r in recs]),
+                    center=np.stack([r['center'] for r in recs]),
+                    scale=np.stack([r['scale'] for r in recs]),
+                    rot=np.stack([r['rot'] for r in recs]),
+                    joints=np.stack([r['joints'] for r in recs]),
+                    vis=np.stack([r['vis'] for r in recs]),
+                    bbox_score=np.stack([r['bbox_score'] for r in recs]),
+                    bbox_id=np.array([r['bbox_id'] for r in recs]),
+                    dataset_idx=np.array([r['dataset_idx'] for r in recs],
+                                         np.int32),
+                    scale_factor=np.stack([r['scale_factor'] for r in recs]),
+                    valid=valid,
+                    image_paths=[r['image_path'] for r in recs],
+                )
+                # center/scale for decode must be in ORIGINAL image coords
+                batch['center_orig'] = (batch['center']
+                                        / batch['scale_factor'][:, None])
+                batch['scale_orig'] = (batch['scale']
+                                       / batch['scale_factor'][:, None])
+                yield batch
+
+
+class MultiDatasetLoader:
+    """ViTPose+ multi-dataset mixture: concatenates datasets (each with its
+    own dataset_idx) and samples uniformly over the union, like the
+    reference's ConcatDataset training (datasets/builder.py:75-79)."""
+
+    def __init__(self, loaders):
+        self.loaders = loaders
+
+    def __len__(self):
+        return sum(len(l) for l in self.loaders)
+
+    def __iter__(self):
+        iters = [iter(l) for l in self.loaders]
+        counts = [len(l) for l in self.loaders]
+        order = np.concatenate([np.full(c, i) for i, c in enumerate(counts)])
+        np.random.RandomState(0).shuffle(order)
+        for i in order:
+            try:
+                yield next(iters[i])
+            except StopIteration:
+                continue

@@ -1,0 +1,148 @@
+"""Top-down preprocessing: host-side augmentation *parameters*, device-side
+batched pixels.
+
+The reference runs its whole pipeline per sample on CPU dataloader workers
+(reference: mmpose/datasets/pipelines/top_down_transform.py — RandomFlip /
+HalfBody / ScaleRotation / TopDownAffine(cv2.warpAffine) / NormalizeTensor /
+GenerateTarget). The TPU-first split:
+
+  * host (this file, numpy, cheap scalar math): sample per-record random
+    flip / half-body crop / scale / rotation, flip joints, emit fixed-shape
+    arrays (image, center, scale, rot, joints, vis).
+  * device (`make_preprocess_fn`, one jit): batched affine crop (bilinear
+    gather), imagenet normalization, and UDP/MSRA heatmap target generation —
+    all fused by XLA; no per-sample Python.
+
+IMPORTANT geometry parity: when the raw image is flipped, joints mirror with
+``W - 1 - x`` and the center with ``W - 1 - cx`` (reference
+top_down_transform.py:149-164), and target generation consumes the
+*crop-space* joints produced by applying the same warp to the points.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import (affine_matrix, udp_warp_matrix,
+                            apply_affine_to_points)
+from ..ops.target import generate_msra_heatmaps, generate_udp_heatmaps
+from ..ops.warp import warp_affine_batch
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass
+class AugmentConfig:
+    flip_prob: float = 0.5
+    half_body_prob: float = 0.3
+    num_joints_half_body: int = 8
+    scale_factor: float = 0.5
+    rot_factor: float = 40.0
+    rot_prob: float = 0.6
+    shift_prob: float = 0.0          # TopDownRandomShiftBboxCenter
+    shift_factor: float = 0.16
+
+
+def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
+                         aug: AugmentConfig, image_size):
+    """Host-side: draw augmentation params for one record, mirroring the
+    reference transforms' distributions. Mutates a copy of the record and
+    returns (center, scale, rot, joints, vis)."""
+    joints = record['joints_3d'][:, :2].copy()
+    vis = record['joints_3d_visible'][:, 0].copy()
+    center = np.asarray(record['center'], np.float32).copy()
+    scale = np.asarray(record['scale'], np.float32).copy()
+    flipped = False
+
+    if rng.rand() <= aug.flip_prob:
+        flipped = True
+        flip_index = info.flip_index
+        joints = joints[flip_index]
+        vis = vis[flip_index]
+        joints[:, 0] = image_w - 1 - joints[:, 0]
+        joints *= vis[:, None]
+        center[0] = image_w - center[0] - 1
+
+    # half-body (reference top_down_transform.py:176)
+    if (vis.sum() > aug.num_joints_half_body
+            and rng.rand() < aug.half_body_prob):
+        upper = [j for j in info.upper_body_ids if vis[j] > 0]
+        lower = [j for j in range(info.num_joints)
+                 if j not in info.upper_body_ids and vis[j] > 0]
+        if rng.randn() < 0.5 and len(upper) > 2:
+            sel = upper
+        elif len(lower) > 2:
+            sel = lower
+        else:
+            sel = upper
+        if len(sel) >= 2:
+            pts = joints[sel]
+            c = pts.mean(axis=0)
+            lt, rb = pts.min(axis=0), pts.max(axis=0)
+            w, h = rb[0] - lt[0], rb[1] - lt[1]
+            ar = image_size[0] / image_size[1]
+            if w > ar * h:
+                h = w / ar
+            elif w < ar * h:
+                w = h * ar
+            center = c.astype(np.float32)
+            scale = np.array([w / 200.0, h / 200.0], np.float32) * 1.5
+
+    if aug.shift_prob > 0 and rng.rand() < aug.shift_prob:
+        center = center + rng.uniform(-1, 1, 2) * aug.shift_factor \
+            * scale * 200.0
+
+    sf, rf = aug.scale_factor, aug.rot_factor
+    scale = scale * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+    rot = np.clip(rng.randn() * rf, -rf * 2, rf * 2) \
+        if rng.rand() <= aug.rot_prob else 0.0
+
+    return (center.astype(np.float32), scale.astype(np.float32),
+            np.float32(rot), joints.astype(np.float32),
+            vis.astype(np.float32), flipped)
+
+
+def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
+                       use_udp=True, sigma=2.0, with_targets=True,
+                       unbiased=False):
+    """Build the jitted device-side preprocessing function.
+
+    fn(imgs_uint8 [N,H,W,3], center [N,2], scale [N,2], rot [N],
+       joints [N,K,2], vis [N,K]) ->
+       dict(imgs [N,h,w,3] normalized, target [N,K,hh,hw], target_weight)
+
+    Images must be pre-resized/padded to one static source shape on host
+    (the crop warp handles arbitrary geometry via center/scale).
+    """
+    iw, ih = int(image_size[0]), int(image_size[1])
+
+    @jax.jit
+    def preprocess(imgs, center, scale, rot, joints, vis):
+        imgs = imgs.astype(jnp.float32) / 255.0
+        if use_udp:
+            mat = udp_warp_matrix(rot, center, scale, (iw, ih))
+        else:
+            mat = affine_matrix(center, scale, rot, (iw, ih))
+        crops = warp_affine_batch(imgs, mat, (iw, ih))
+        crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+        out = {'imgs': crops}
+        if with_targets:
+            joints_c = apply_affine_to_points(joints, mat)
+            if use_udp:
+                target, weight = generate_udp_heatmaps(
+                    joints_c, vis, (iw, ih), heatmap_size, sigma=sigma)
+            else:
+                target, weight = generate_msra_heatmaps(
+                    joints_c, vis, (iw, ih), heatmap_size, sigma=sigma,
+                    unbiased=unbiased)
+            out['target'] = target
+            out['target_weight'] = weight
+        return out
+
+    return preprocess

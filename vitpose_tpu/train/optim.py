@@ -1,0 +1,115 @@
+"""Optimizer: AdamW with ViT layer-wise LR decay, as one optax chain.
+
+Re-implements the reference's param-group construction
+(mmcv_custom/layer_decay_optimizer_constructor.py:18
+`LayerDecayOptimizerConstructor`) as per-leaf multipliers:
+
+  * layer id: pos_embed / patch_embed -> 0; blocks_i -> i+1;
+    everything else (last_norm, heads) -> depth+1.
+  * lr scale = layer_decay_rate ** (depth + 1 - layer_id).
+  * no weight decay for 1-D params, biases, pos_embed.
+
+The reference's LR schedule (mmcv `lr_config` step policy with linear
+warmup, ViTPose_base_coco_256x192.py:33-38) becomes an optax schedule:
+linear warmup from ratio*base over `warmup_iters`, then x0.1 at the given
+epoch boundaries.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    base_lr: float = 5e-4
+    weight_decay: float = 0.1
+    layer_decay_rate: float = 0.75
+    num_layers: int = 12                   # transformer depth
+    betas: tuple = (0.9, 0.999)
+    warmup_iters: int = 500
+    warmup_ratio: float = 1e-3
+    decay_epochs: Sequence[int] = (170, 200)
+    decay_factor: float = 0.1
+    total_epochs: int = 210
+    grad_clip_norm: float = 1.0
+
+
+def layer_id_for_path(path, depth):
+    """Map a flax param path (tuple of str keys) to a ViT layer id."""
+    keys = [getattr(p, 'key', str(p)) for p in path]
+    joined = '.'.join(keys)
+    if 'pos_embed' in joined or 'cls_token' in joined \
+            or 'mask_token' in joined:
+        return 0
+    if 'patch_embed' in joined:
+        return 0
+    for k in keys:
+        if k.startswith('blocks_'):
+            return int(k.split('_')[1]) + 1
+    return depth + 1
+
+
+def _lr_scale_tree(params, depth, rate):
+    num_layers = depth + 2
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: rate ** (num_layers - 1 -
+                                 layer_id_for_path(path, depth)),
+        params)
+
+
+def _wd_mask_tree(params):
+    def mask(path, leaf):
+        keys = [getattr(p, 'key', str(p)) for p in path]
+        joined = '.'.join(keys)
+        if leaf.ndim <= 1 or keys[-1] == 'bias' or 'pos_embed' in joined:
+            return False
+        return True
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int):
+    """Linear warmup -> piecewise-constant step decay (iter-based)."""
+    boundaries = {e * steps_per_epoch: cfg.decay_factor
+                  for e in cfg.decay_epochs}
+    step_fn = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
+
+    def schedule(count):
+        import jax.numpy as jnp
+        warm = cfg.base_lr * (
+            cfg.warmup_ratio + (1.0 - cfg.warmup_ratio)
+            * jnp.minimum(count, cfg.warmup_iters) / cfg.warmup_iters)
+        return jnp.where(count < cfg.warmup_iters, warm, step_fn(count))
+
+    return schedule
+
+
+def layer_decay_adamw(params, cfg: OptimConfig, steps_per_epoch: int = 1000,
+                      schedule=None):
+    """Build the optax chain. `params` is only used for tree structure."""
+    if schedule is None:
+        schedule = make_lr_schedule(cfg, steps_per_epoch)
+    scales = _lr_scale_tree(params, cfg.num_layers, cfg.layer_decay_rate)
+    wd_mask = _wd_mask_tree(params)
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]),
+        optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
+        optax.scale_by_learning_rate(schedule),
+        # per-group lr multiplier applies to BOTH the adam step and the
+        # decayed weights, exactly like torch param-group lr
+        _scale_by_tree(scales),
+    )
+
+
+def _scale_by_tree(scales):
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -1,0 +1,47 @@
+"""Train state: params + BN stats + optimizer state as one pytree."""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, opt_state = self.tx.update(grads, self.opt_state,
+                                            self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=params,
+            batch_stats=(new_batch_stats if new_batch_stats is not None
+                         else self.batch_stats),
+            opt_state=opt_state,
+        )
+
+
+def create_train_state(model, rng, sample_batch, tx, expert_idx=None):
+    """Initialize variables and optimizer state."""
+    # init through every head so extra (associate) head params materialize
+    all_heads = getattr(model.cfg, 'num_extra_heads', 0) > 0
+    variables = model.init(rng, sample_batch, train=False,
+                           expert_idx=expert_idx, all_heads=all_heads)
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

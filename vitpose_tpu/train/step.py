@@ -1,0 +1,115 @@
+"""Jit-compiled train / eval steps.
+
+Replaces the reference's runner-driven `model.train_step`
+(mmpose/models/detectors/base.py:78, top_down.py:143 `forward_train`) with
+pure functions over TrainState. Differences by design:
+
+  * PCK accuracy is computed ON DEVICE inside the step (the reference syncs
+    heatmaps to host numpy every iteration,
+    topdown_heatmap_simple_head.py:190-193 — a per-iter device->host stall).
+  * Under a sharded jit (GSPMD) the gradient mean over the data axis is
+    inserted by XLA; there is no explicit DDP/allreduce code.
+  * ViTPose+ multi-dataset training: every head runs on the full batch and
+    per-dataset losses are masked by `dataset_idx` (same gradient semantics
+    as reference top_down_moe.py:166-203, but as one fused program).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.losses import joints_mse_loss, combined_target_mse_loss
+from ..ops.decode import pose_pck_accuracy
+
+
+def _apply_train(model, params, batch_stats, imgs, rng, expert_idx=None,
+                 all_heads=False):
+    variables = {'params': params}
+    if batch_stats:
+        variables['batch_stats'] = batch_stats
+    out, mut = model.apply(
+        variables, imgs, train=True, expert_idx=expert_idx,
+        all_heads=all_heads, rngs={'droppath': rng},
+        mutable=['batch_stats'] if batch_stats else [])
+    new_stats = mut.get('batch_stats', batch_stats) if mut else batch_stats
+    return out, new_stats
+
+
+def make_train_step(model, target_type='GaussianHeatmap'):
+    """Single-dataset training step: (state, batch, rng) -> (state, metrics).
+
+    batch: dict with imgs [N,H,W,3], target [N,K,Hh,Wh], target_weight [N,K].
+    """
+    loss_f = (combined_target_mse_loss
+              if target_type.lower() == 'combinedtarget' else joints_mse_loss)
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            out, new_stats = _apply_train(
+                model, params, state.batch_stats, batch['imgs'], rng,
+                expert_idx=batch.get('expert_idx'))
+            loss = loss_f(out, batch['target'], batch['target_weight'])
+            return loss, (new_stats, out)
+
+        (loss, (new_stats, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        acc, cnt = pose_pck_accuracy(out, batch['target'],
+                                     batch['target_weight'] > 0)
+        metrics = {'heatmap_loss': loss, 'acc_pose': acc,
+                   'grad_norm': optax_global_norm(grads)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_moe_train_step(model, num_datasets):
+    """ViTPose+ multi-dataset step. batch additionally carries
+    `dataset_idx` [N] int; target is padded to max joints; each head's loss
+    is masked to its dataset's samples (reference top_down_moe.py:177-201).
+    """
+    def train_step(state, batch, rng):
+        ds_idx = batch['dataset_idx']
+
+        def loss_fn(params):
+            outs, new_stats = _apply_train(
+                model, params, state.batch_stats, batch['imgs'], rng,
+                expert_idx=ds_idx, all_heads=True)
+            total = 0.0
+            losses = {}
+            for d, out in enumerate(outs):
+                k = out.shape[1]
+                mask = (ds_idx == d).astype(jnp.float32)     # [N]
+                w = batch['target_weight'][:, :k] * mask[:, None]
+                li = joints_mse_loss(out, batch['target'][:, :k], w)
+                losses[f'loss_{d}'] = li
+                total = total + li
+            return total, (new_stats, losses)
+
+        (loss, (new_stats, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        metrics = dict(losses)
+        metrics['heatmap_loss'] = loss
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, flip_index=None):
+    """Eval step with flip test, returning NCHW heatmaps."""
+    from ..models.topdown import infer
+
+    def eval_step(variables, imgs, expert_idx=None):
+        return infer(model, variables, imgs, flip_index=flip_index,
+                     expert_idx=expert_idx)
+
+    return eval_step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                        for x in leaves))
