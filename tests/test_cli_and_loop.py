@@ -1,0 +1,87 @@
+"""CLI-level integration: config loading, train loop smoke with eval +
+checkpointing + resume, on the reference COCO fixture."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests/data/coco"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def write_smoke_config(tmp_path, work_dir):
+    cfg = tmp_path / "smoke.py"
+    cfg.write_text(f"""
+_base_ = ['{REPO}/vitpose_tpu/configs/base/default_runtime.py']
+model = dict(variant='s', img_size=(64, 48), out_channels=17,
+             head='heatmap', flip_test=True, use_udp=True,
+             post_process='default')
+data = dict(
+    dataset='coco',
+    image_size=(48, 64), heatmap_size=(12, 16),
+    batch_size=4, canvas_size=640, num_workers=2,
+    train=dict(ann_file='{REF}/test_coco.json', img_prefix='{REF}/'),
+    val=dict(ann_file='{REF}/test_coco.json', img_prefix='{REF}/',
+             use_gt_bbox=True),
+)
+target = dict(encoding='UDP', sigma=1.5)
+optimizer = dict(base_lr=1e-3, warmup_iters=2, decay_epochs=(100, 200),
+                 total_epochs=2)
+runtime = dict(work_dir='{work_dir}', log_interval=1, eval_interval=1,
+               ckpt_interval=1, seed=0)
+""")
+    return str(cfg)
+
+
+def test_config_system(tmp_path):
+    from vitpose_tpu.utils.config import load_config, apply_options
+    cfg = load_config(
+        f"{REPO}/vitpose_tpu/configs/coco/vitpose_b_coco_256x192.py")
+    assert cfg['model']['variant'] == 'b'
+    assert cfg['optimizer']['base_lr'] == 5e-4
+    assert cfg['runtime']['log_interval'] == 50     # from base
+    simple = load_config(
+        f"{REPO}/vitpose_tpu/configs/coco/vitpose_b_simple_coco_256x192.py")
+    assert simple['model']['head'] == 'simple'
+    assert simple['model']['variant'] == 'b'        # inherited
+    assert simple['optimizer']['base_lr'] == 2e-4   # overridden
+    over = apply_options(cfg, ['optimizer.base_lr=1e-5',
+                               'model.variant=h'])
+    assert over['optimizer']['base_lr'] == 1e-5
+    assert over['model']['variant'] == 'h'
+
+
+@pytest.mark.slow
+def test_train_loop_with_eval_and_resume(tmp_path):
+    # Use the in-process API (subprocess would re-init jax on TPU).
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+
+    work_dir = str(tmp_path / "wd")
+    # shrink the model for speed
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    cfg['model'] = dict(variant='s', img_size=(64, 48), out_channels=17,
+                        head='heatmap', flip_test=True, use_udp=True,
+                        backbone_overrides=dict(embed_dim=32, depth=2,
+                                                num_heads=4))
+    state = train_model(cfg, work_dir=work_dir)
+    assert state is not None
+
+    log_path = os.path.join(work_dir, 'train.log.json')
+    records = [json.loads(l) for l in open(log_path)]
+    assert any(r.get('mode') == 'train' for r in records)
+    epoch_recs = [r for r in records if r.get('mode') == 'epoch']
+    assert len(epoch_recs) == 2
+    assert 'AP' in epoch_recs[-1]          # eval ran
+
+    ckpt_dir = os.path.join(work_dir, 'ckpts')
+    assert os.path.isdir(ckpt_dir)
+
+    # resume continues from latest epoch without error
+    cfg['optimizer']['total_epochs'] = 3
+    state2 = train_model(cfg, work_dir=work_dir, resume=True)
+    records = [json.loads(l) for l in open(log_path)]
+    assert any(r.get('mode') == 'resume' for r in records)

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Evaluation CLI (counterpart of reference tools/test.py).
+
+Usage:
+  python tools/test.py CONFIG CHECKPOINT [--cfg-options ...]
+      [--out results.json]
+
+CHECKPOINT may be a torch .pth (converted on the fly), an orbax checkpoint
+directory, or an .npz from save_params_npz.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+# honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with a
+# different platform baked in
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
+def load_variables(checkpoint, model_cfg):
+    import jax
+    import jax.numpy as jnp
+    if checkpoint.endswith('.pth'):
+        from vitpose_tpu.utils.torch_ckpt import convert_topdown_checkpoint
+        v = convert_topdown_checkpoint(checkpoint, model_cfg)
+    elif checkpoint.endswith('.npz'):
+        from vitpose_tpu.utils.checkpoint import load_params_npz
+        v = load_params_npz(checkpoint)
+    else:
+        raise ValueError(f'unsupported checkpoint {checkpoint}; for orbax '
+                         'dirs use tools/train.py --resume instead')
+    return jax.tree.map(jnp.asarray, v)
+
+
+def main():
+    ap = argparse.ArgumentParser(description='Evaluate a pose model')
+    ap.add_argument('config')
+    ap.add_argument('checkpoint')
+    ap.add_argument('--cfg-options', nargs='*', default=[])
+    ap.add_argument('--out', default=None)
+    ap.add_argument('--batch-size', type=int, default=None)
+    args = ap.parse_args()
+
+    from vitpose_tpu.utils.config import load_config, apply_options
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.data import TopDownDataset
+    from vitpose_tpu.data.loader import TopDownLoader
+    from vitpose_tpu.eval.loop import run_validation
+
+    cfg = apply_options(load_config(args.config), args.cfg_options)
+    model = build_model_from_cfg(cfg['model'])
+    variables = load_variables(args.checkpoint, model.cfg)
+
+    dcfg = cfg['data']
+    ds = TopDownDataset(
+        dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
+        dataset_info=dcfg.get('dataset', 'coco'),
+        image_size=tuple(dcfg['image_size']),
+        heatmap_size=tuple(dcfg['heatmap_size']),
+        test_mode=True, use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
+        bbox_file=dcfg['val'].get('bbox_file'))
+    loader = TopDownLoader(
+        ds, args.batch_size or dcfg.get('batch_size', 64), is_train=False,
+        canvas_size=dcfg.get('canvas_size', 640),
+        num_workers=dcfg.get('num_workers', 8))
+
+    mcfg = model.cfg
+    results = run_validation(model, variables, loader, use_udp=mcfg.use_udp,
+                             post_process=mcfg.post_process,
+                             modulate_kernel=mcfg.modulate_kernel,
+                             progress=True)
+    stats = ds.evaluate(results)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
+if __name__ == '__main__':
+    main()

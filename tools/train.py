@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Training CLI (counterpart of reference tools/train.py).
+
+Usage:
+  python tools/train.py CONFIG [--work-dir DIR] [--resume]
+      [--cfg-options k.x=v ...] [--max-steps N]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+# honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with a
+# different platform baked in
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
+def main():
+    ap = argparse.ArgumentParser(description='Train a top-down pose model')
+    ap.add_argument('config')
+    ap.add_argument('--work-dir', default=None)
+    ap.add_argument('--resume', action='store_true',
+                    help='resume from the latest checkpoint in work_dir')
+    ap.add_argument('--cfg-options', nargs='*', default=[],
+                    help='dotted config overrides, e.g. optimizer.base_lr=1e-4')
+    ap.add_argument('--max-steps', type=int, default=None,
+                    help='stop after N optimizer steps (smoke tests)')
+    ap.add_argument('--seed', type=int, default=None)
+    args = ap.parse_args()
+
+    from vitpose_tpu.utils.config import load_config, apply_options
+    from vitpose_tpu.train.loop import train_model
+
+    cfg = apply_options(load_config(args.config), args.cfg_options)
+    if args.seed is not None:
+        cfg.setdefault('runtime', {})['seed'] = args.seed
+    train_model(cfg, work_dir=args.work_dir, resume=args.resume,
+                max_steps=args.max_steps)
+
+
+if __name__ == '__main__':
+    main()

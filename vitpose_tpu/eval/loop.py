@@ -1,0 +1,94 @@
+"""Validation loop: sharded inference over a dataset -> COCO stats.
+
+Replaces the reference's `single_gpu_test` / `multi_gpu_test` +
+`collect_results_gpu` pickle-gather (reference: mmpose/apis/test.py:15,50,
+119,179). TPU-native design: batches stay fixed-shape, heatmap decode runs
+inside the same jit as the forward, and per-process results are plain numpy
+on host (multi-host gather is host-side concatenation, which matches the
+reference's collect_results_cpu semantics without the tmpdir/pickle dance).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..models.topdown import infer
+from ..ops.decode import keypoints_from_heatmaps
+from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+
+def make_val_step(model, image_size, use_udp=True, post_process='default',
+                  modulate_kernel=11, flip_index=None, target_type='GaussianHeatmap'):
+    """Build the jitted val step: canvas uint8 batch -> decoded keypoints."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.geometry import udp_warp_matrix, affine_matrix
+    from ..ops.warp import warp_affine_batch
+
+    iw, ih = image_size
+
+    @jax.jit
+    def val_step(variables, imgs, center, scale, expert_idx=None):
+        x = imgs.astype(jnp.float32) / 255.0
+        zeros = jnp.zeros(center.shape[0])
+        if use_udp:
+            mat = udp_warp_matrix(zeros, center, scale, (iw, ih))
+        else:
+            mat = affine_matrix(center, scale, zeros, (iw, ih))
+        crops = warp_affine_batch(x, mat, (iw, ih))
+        crops = (crops - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+            IMAGENET_STD)
+        hm = infer(model, variables, crops, flip_index=flip_index,
+                   expert_idx=expert_idx)
+        preds, maxvals = keypoints_from_heatmaps(
+            hm, center, scale, post_process=post_process,
+            kernel=modulate_kernel, use_udp=use_udp, target_type=target_type)
+        return preds, maxvals
+
+    return val_step
+
+
+def run_validation(model, variables, loader, use_udp=True,
+                   post_process='default', modulate_kernel=11,
+                   expert_idx: Optional[int] = None, progress=False,
+                   target_type='GaussianHeatmap'):
+    """Run the val loop and return the results list consumed by
+    TopDownDataset.evaluate (preds/boxes/image_paths/bbox_ids per batch)."""
+    import jax.numpy as jnp
+
+    flip_index = loader.ds.info.flip_index
+    val_step = make_val_step(
+        model, loader.image_size, use_udp=use_udp,
+        post_process=post_process, modulate_kernel=modulate_kernel,
+        flip_index=flip_index, target_type=target_type)
+
+    results = []
+    for bi, batch in enumerate(loader):
+        n = batch['imgs'].shape[0]
+        eidx = (jnp.full((n,), expert_idx, jnp.int32)
+                if expert_idx is not None else None)
+        # decode against ORIGINAL-image center/scale (canvas may be
+        # downscaled)
+        preds, maxvals = val_step(variables, jnp.asarray(batch['imgs']),
+                                  jnp.asarray(batch['center_orig']),
+                                  jnp.asarray(batch['scale_orig']),
+                                  eidx)
+        preds = np.asarray(preds)
+        maxvals = np.asarray(maxvals)
+        valid = batch['valid']
+        kp = np.concatenate([preds, maxvals], axis=-1)[valid]
+        c = batch['center_orig'][valid]
+        s = batch['scale_orig'][valid]
+        area = np.prod(s * 200.0, axis=1, keepdims=True)
+        boxes = np.concatenate(
+            [c, s, area, batch['bbox_score'][valid][:, None]], axis=1)
+        results.append(dict(
+            preds=kp, boxes=boxes,
+            image_paths=[p for p, v in zip(batch['image_paths'], valid)
+                         if v],
+            bbox_ids=[int(b) for b, v in zip(batch['bbox_id'], valid) if v],
+        ))
+        if progress and bi % 50 == 0:
+            print(f'  val batch {bi}/{len(loader)}')
+    return results

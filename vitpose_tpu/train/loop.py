@@ -1,0 +1,211 @@
+"""End-to-end training orchestration (the runner).
+
+Replaces the reference's mmcv `EpochBasedRunner` + hook zoo
+(reference: apis/train.py:60 `train_model`, runner hooks at train.py:172-194)
+with one explicit loop: epochs -> host loader -> device preprocess ->
+sharded train step, plus json-lines logging, periodic COCO evaluation,
+orbax checkpointing with best-metric tracking, and resume.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data import TopDownDataset
+from ..data.loader import TopDownLoader
+from ..data.pipeline import AugmentConfig, make_preprocess_fn
+from ..models import TopDownModel, make_config
+from ..eval.loop import run_validation
+from ..utils.checkpoint import CheckpointManager
+from .optim import OptimConfig, layer_decay_adamw
+from .state import create_train_state
+from .step import make_train_step
+from ..parallel import make_mesh, shard_train_step
+
+
+def _log(work_dir, record):
+    line = json.dumps(record)
+    print(line, flush=True)
+    if work_dir:
+        with open(os.path.join(work_dir, 'train.log.json'), 'a') as f:
+            f.write(line + '\n')
+
+
+def build_model_from_cfg(mcfg: dict):
+    mcfg = dict(mcfg)
+    variant = mcfg.pop('variant', 'b')
+    wh = mcfg.pop('img_size', (256, 192))
+    bb_over = mcfg.pop('backbone_overrides', None)
+    cfg = make_config(variant, img_size=tuple(wh), **mcfg)
+    if bb_over:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg,
+                          backbone=_dc.replace(cfg.backbone, **bb_over))
+    return TopDownModel(cfg)
+
+
+def train_model(cfg: dict, work_dir: Optional[str] = None,
+                resume: bool = False, max_steps: Optional[int] = None):
+    """Train from a config dict (see vitpose_tpu/configs/). Returns final
+    state. `max_steps` truncates for smoke tests."""
+    import jax
+    import jax.numpy as jnp
+
+    work_dir = work_dir or cfg.get('runtime', {}).get('work_dir', 'work_dir')
+    os.makedirs(work_dir, exist_ok=True)
+    rt = cfg.get('runtime', {})
+    seed = rt.get('seed', 0)
+    rng = jax.random.PRNGKey(seed)
+
+    # ---- data -------------------------------------------------------
+    dcfg = cfg['data']
+    image_size = tuple(dcfg.get('image_size', (192, 256)))
+    heatmap_size = tuple(dcfg.get('heatmap_size', (48, 64)))
+    train_ds = TopDownDataset(
+        dcfg['train']['ann_file'], dcfg['train']['img_prefix'],
+        dataset_info=dcfg.get('dataset', 'coco'),
+        image_size=image_size, heatmap_size=heatmap_size,
+        use_gt_bbox=dcfg['train'].get('use_gt_bbox', True))
+    n_proc = jax.process_count()
+    loader = TopDownLoader(
+        train_ds, dcfg.get('batch_size', 64), is_train=True,
+        canvas_size=dcfg.get('canvas_size', 640),
+        aug=AugmentConfig(**dcfg.get('aug', {})),
+        seed=seed, num_workers=dcfg.get('num_workers', 8),
+        process_index=jax.process_index(), process_count=n_proc)
+
+    tcfg = cfg.get('target', {})
+    preprocess = make_preprocess_fn(
+        image_size=image_size, heatmap_size=heatmap_size,
+        use_udp=tcfg.get('encoding', 'UDP') == 'UDP',
+        sigma=tcfg.get('sigma', 2.0),
+        unbiased=tcfg.get('unbiased', False))
+
+    # ---- model + optimizer -----------------------------------------
+    model = build_model_from_cfg(cfg['model'])
+    ocfg_d = dict(cfg.get('optimizer', {}))
+    total_epochs = ocfg_d.pop('total_epochs', 210)
+    ocfg = OptimConfig(num_layers=model.cfg.backbone.depth, **ocfg_d)
+    steps_per_epoch = max(1, len(loader))
+
+    sample = next(iter(loader))
+    pre0 = preprocess(sample['imgs'], sample['center'], sample['scale'],
+                      sample['rot'], sample['joints'], sample['vis'])
+    init_params = model.init(rng, pre0['imgs'], train=False)['params']
+
+    if cfg.get('pretrained'):
+        from ..utils.torch_ckpt import convert_backbone_checkpoint
+        bb = convert_backbone_checkpoint(cfg['pretrained'], model.cfg,
+                                         num_experts=model.cfg.backbone
+                                         .num_experts,
+                                         part_dim=model.cfg.backbone
+                                         .part_dim)
+        merged = dict(init_params)
+        merged['backbone'] = _merge_trees(init_params['backbone'], bb)
+        init_params = merged
+
+    tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
+    state = create_train_state(model, rng, pre0['imgs'], tx)
+    state = state.replace(params=jax.tree.map(jnp.asarray, init_params))
+
+    # ---- mesh -------------------------------------------------------
+    import math
+    n_dev = jax.device_count()
+    batch_size = dcfg.get('batch_size', 64)
+    # the data axis must divide the per-step batch
+    n_data = rt.get('n_data') or math.gcd(batch_size, n_dev)
+    mesh = make_mesh(n_data=n_data, n_expert=1,
+                     devices=jax.devices()[:n_data])
+    step_fn = make_train_step(model)
+    batch0 = {'imgs': pre0['imgs'], 'target': pre0['target'],
+              'target_weight': pre0['target_weight']}
+    jitted, state, place_batch = shard_train_step(step_fn, mesh, state,
+                                                  batch0)
+
+    # ---- checkpointing / resume ------------------------------------
+    ckpt = CheckpointManager(os.path.join(work_dir, 'ckpts'),
+                             save_best_metric=rt.get('save_best', 'AP'))
+    start_epoch = 0
+    if resume:
+        state, ep = ckpt.restore(state)
+        if ep is not None:
+            start_epoch = ep + 1
+            _log(work_dir, {'mode': 'resume', 'epoch': start_epoch})
+
+    # ---- val loader -------------------------------------------------
+    val_loader = None
+    if 'val' in dcfg:
+        val_ds = TopDownDataset(
+            dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
+            dataset_info=dcfg.get('dataset', 'coco'),
+            image_size=image_size, heatmap_size=heatmap_size,
+            test_mode=True,
+            use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
+            bbox_file=dcfg['val'].get('bbox_file'))
+        val_loader = TopDownLoader(
+            val_ds, dcfg.get('val_batch_size', dcfg.get('batch_size', 64)),
+            is_train=False, canvas_size=dcfg.get('canvas_size', 640),
+            num_workers=dcfg.get('num_workers', 8))
+
+    log_interval = rt.get('log_interval', 50)
+    eval_interval = rt.get('eval_interval', 10)
+    ckpt_interval = rt.get('ckpt_interval', 10)
+    mcfg = model.cfg
+    global_step = 0
+
+    for epoch in range(start_epoch, total_epochs):
+        loader.set_epoch(epoch)
+        t_epoch = time.time()
+        t_data = 0.0
+        t_last = time.time()
+        for it, batch in enumerate(loader):
+            t_data += time.time() - t_last
+            pre = preprocess(batch['imgs'], batch['center'], batch['scale'],
+                             batch['rot'], batch['joints'], batch['vis'])
+            dev_batch = place_batch({'imgs': pre['imgs'],
+                                     'target': pre['target'],
+                                     'target_weight': pre['target_weight']})
+            state, metrics = jitted(state, dev_batch,
+                                    jax.random.fold_in(rng, global_step))
+            global_step += 1
+            if it % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                _log(work_dir, dict(mode='train', epoch=epoch, iter=it,
+                                    step=global_step, data_time=t_data,
+                                    time=time.time() - t_epoch, **m))
+            t_last = time.time()
+            if max_steps and global_step >= max_steps:
+                return state
+        record = dict(mode='epoch', epoch=epoch,
+                      epoch_time=time.time() - t_epoch)
+
+        stats = None
+        if val_loader is not None and (epoch + 1) % eval_interval == 0:
+            variables = {'params': state.params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            results = run_validation(
+                model, variables, val_loader,
+                use_udp=mcfg.use_udp, post_process=mcfg.post_process,
+                modulate_kernel=mcfg.modulate_kernel)
+            stats = val_loader.ds.evaluate(results)
+            record.update({k: float(v) for k, v in stats.items()})
+        _log(work_dir, record)
+
+        if (epoch + 1) % ckpt_interval == 0 or epoch == total_epochs - 1:
+            ckpt.save(epoch, state, metrics=stats)
+    return state
+
+
+def _merge_trees(base, override):
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_trees(out[k], v)
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,113 @@
+"""Orbax checkpointing: save/restore TrainState, best-metric tracking, resume.
+
+Replaces mmcv's CheckpointHook + resume machinery (reference:
+default_runtime.py:1 `checkpoint_config`, apis/train.py:196-199,
+mmcv_custom/checkpoint.py:490 `save_checkpoint`). Checkpoints carry
+{params, batch_stats, opt_state, step, epoch, meta}; `save_best` mirrors the
+reference EvalHook's best-AP tracking (core/evaluation/eval_hooks.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory, max_to_keep=3, save_best_metric='AP'):
+        ocp = _ocp()
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+        self.save_best_metric = save_best_metric
+        self.best_value = -np.inf
+        self._meta_path = os.path.join(self.directory, 'meta.json')
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.best_value = json.load(f).get('best_value', -np.inf)
+
+    def save(self, epoch, state, metrics: Optional[dict] = None, meta=None):
+        ocp = _ocp()
+        payload = {
+            'params': state.params,
+            'batch_stats': state.batch_stats,
+            'opt_state': state.opt_state,
+            'step': state.step,
+        }
+        self.mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self.mgr.wait_until_finished()
+        info = {'epoch': epoch, 'meta': meta or {},
+                'metrics': {k: float(v) for k, v in (metrics or {}).items()}}
+        with open(os.path.join(self.directory, f'info_{epoch}.json'),
+                  'w') as f:
+            json.dump(info, f)
+        if metrics and self.save_best_metric in metrics:
+            v = float(metrics[self.save_best_metric])
+            if v > self.best_value:
+                self.best_value = v
+                with open(self._meta_path, 'w') as f:
+                    json.dump({'best_value': v, 'best_epoch': epoch}, f)
+
+    def latest_epoch(self):
+        return self.mgr.latest_step()
+
+    def restore(self, state, epoch=None):
+        """Restore into the structure of `state`; returns (state, epoch)."""
+        ocp = _ocp()
+        epoch = epoch if epoch is not None else self.mgr.latest_step()
+        if epoch is None:
+            return state, None
+        template = {
+            'params': state.params,
+            'batch_stats': state.batch_stats,
+            'opt_state': state.opt_state,
+            'step': state.step,
+        }
+        restored = self.mgr.restore(
+            epoch, args=ocp.args.StandardRestore(template))
+        state = state.replace(params=restored['params'],
+                              batch_stats=restored['batch_stats'],
+                              opt_state=restored['opt_state'],
+                              step=restored['step'])
+        return state, epoch
+
+
+def save_params_npz(path, variables):
+    """Flat .npz export of params+batch_stats (simple interchange format)."""
+    flat = {}
+
+    def visit(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                visit(f'{prefix}/{k}' if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    for top, tree in variables.items():
+        visit(top, tree)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path):
+    """Inverse of save_params_npz -> nested variables dict."""
+    data = np.load(path)
+    out = {}
+    for key in data.files:
+        parts = key.split('/')
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return out
