@@ -110,7 +110,7 @@ def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
 
 def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
                        use_udp=True, sigma=2.0, with_targets=True,
-                       unbiased=False):
+                       unbiased=False, pad_num_joints=None):
     """Build the jitted device-side preprocessing function.
 
     fn(imgs_uint8 [N,H,W,3], center [N,2], scale [N,2], rot [N],
@@ -141,6 +141,16 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
                 target, weight = generate_msra_heatmaps(
                     joints_c, vis, (iw, ih), heatmap_size, sigma=sigma,
                     unbiased=unbiased)
+            if pad_num_joints is not None:
+                k = target.shape[1]
+                pad = int(pad_num_joints) - k
+                if pad > 0:
+                    # ViTPose+ pads targets to max_num_joints so one compiled
+                    # step serves every dataset (reference
+                    # top_down_transform.py:746-755)
+                    target = jnp.pad(target,
+                                     [(0, 0), (0, pad), (0, 0), (0, 0)])
+                    weight = jnp.pad(weight, [(0, 0), (0, pad)])
             out['target'] = target
             out['target_weight'] = weight
         return out

@@ -19,10 +19,15 @@ from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
 
 def make_val_step(model, image_size, use_udp=True, post_process='default',
-                  modulate_kernel=11, flip_index=None, target_type='GaussianHeatmap'):
-    """Build the jitted val step: canvas uint8 batch -> decoded keypoints."""
+                  modulate_kernel=11, flip_index=None,
+                  target_type='GaussianHeatmap', head_idx=None):
+    """Build the jitted val step: canvas uint8 batch -> decoded keypoints.
+
+    `head_idx` selects an associate head for ViTPose+ multi-dataset eval
+    (0/None = main head)."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from ..ops.geometry import udp_warp_matrix, affine_matrix
     from ..ops.warp import warp_affine_batch
 
@@ -40,7 +45,7 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
         crops = (crops - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
             IMAGENET_STD)
         hm = infer(model, variables, crops, flip_index=flip_index,
-                   expert_idx=expert_idx)
+                   expert_idx=expert_idx, head_idx=head_idx)
         preds, maxvals = keypoints_from_heatmaps(
             hm, center, scale, post_process=post_process,
             kernel=modulate_kernel, use_udp=use_udp, target_type=target_type)
@@ -52,7 +57,7 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
 def run_validation(model, variables, loader, use_udp=True,
                    post_process='default', modulate_kernel=11,
                    expert_idx: Optional[int] = None, progress=False,
-                   target_type='GaussianHeatmap'):
+                   target_type='GaussianHeatmap', head_idx=None):
     """Run the val loop and return the results list consumed by
     TopDownDataset.evaluate (preds/boxes/image_paths/bbox_ids per batch)."""
     import jax.numpy as jnp
@@ -61,7 +66,7 @@ def run_validation(model, variables, loader, use_udp=True,
     val_step = make_val_step(
         model, loader.image_size, use_udp=use_udp,
         post_process=post_process, modulate_kernel=modulate_kernel,
-        flip_index=flip_index, target_type=target_type)
+        flip_index=flip_index, target_type=target_type, head_idx=head_idx)
 
     results = []
     for bi, batch in enumerate(loader):

@@ -51,9 +51,14 @@ def build_model_from_cfg(mcfg: dict):
 def train_model(cfg: dict, work_dir: Optional[str] = None,
                 resume: bool = False, max_steps: Optional[int] = None):
     """Train from a config dict (see vitpose_tpu/configs/). Returns final
-    state. `max_steps` truncates for smoke tests."""
+    state. `max_steps` truncates for smoke tests. A list-valued
+    cfg['data']['train'] dispatches to the ViTPose+ multi-dataset path."""
     import jax
     import jax.numpy as jnp
+
+    if isinstance(cfg['data'].get('train'), (list, tuple)):
+        return train_model_moe(cfg, work_dir=work_dir, resume=resume,
+                               max_steps=max_steps)
 
     work_dir = work_dir or cfg.get('runtime', {}).get('work_dir', 'work_dir')
     os.makedirs(work_dir, exist_ok=True)
@@ -209,3 +214,174 @@ def _merge_trees(base, override):
         else:
             out[k] = v
     return out
+
+
+def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
+                    resume: bool = False, max_steps: Optional[int] = None):
+    """ViTPose+ multi-dataset MoE training.
+
+    cfg['data']['train'] is a LIST of dataset dicts (each with its own
+    `dataset`, `ann_file`, `img_prefix`, `dataset_idx`). Batches are
+    homogeneous per dataset (static shapes; the per-head loss masking of
+    make_moe_train_step reproduces the reference's per-sample masking
+    semantics, reference top_down_moe.py:166-203). Experts shard over the
+    mesh `expert` axis when device count allows.
+    """
+    import math
+    import jax
+    import jax.numpy as jnp
+    from .step import make_moe_train_step
+    from ..data.loader import MultiDatasetLoader
+
+    work_dir = work_dir or cfg.get('runtime', {}).get('work_dir', 'work_dir')
+    os.makedirs(work_dir, exist_ok=True)
+    rt = cfg.get('runtime', {})
+    seed = rt.get('seed', 0)
+    rng = jax.random.PRNGKey(seed)
+
+    dcfg = cfg['data']
+    image_size = tuple(dcfg.get('image_size', (192, 256)))
+    heatmap_size = tuple(dcfg.get('heatmap_size', (48, 64)))
+    max_k = dcfg.get('max_num_joints', 133)
+    tcfg = cfg.get('target', {})
+
+    datasets, loaders, preprocs = [], [], []
+    for i, entry in enumerate(dcfg['train']):
+        ds = TopDownDataset(
+            entry['ann_file'], entry['img_prefix'],
+            dataset_info=entry.get('dataset', 'coco'),
+            image_size=image_size, heatmap_size=heatmap_size,
+            use_gt_bbox=entry.get('use_gt_bbox', True),
+            dataset_idx=entry.get('dataset_idx', i),
+            max_num_joints=max_k)
+        loader = TopDownLoader(
+            ds, dcfg.get('batch_size', 64), is_train=True,
+            canvas_size=dcfg.get('canvas_size', 640),
+            aug=AugmentConfig(**dcfg.get('aug', {})),
+            seed=seed + i, num_workers=dcfg.get('num_workers', 8),
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        pre = make_preprocess_fn(
+            image_size=image_size, heatmap_size=heatmap_size,
+            use_udp=tcfg.get('encoding', 'UDP') == 'UDP',
+            sigma=tcfg.get('sigma', 2.0), pad_num_joints=max_k)
+        datasets.append(ds)
+        loaders.append(loader)
+        preprocs.append(pre)
+    mixture = MultiDatasetLoader(loaders)
+    num_datasets = len(datasets)
+
+    # ---- model ------------------------------------------------------
+    model = build_model_from_cfg(cfg['model'])
+    assert model.cfg.num_extra_heads == num_datasets - 1, \
+        'need one associate head per extra dataset'
+    ocfg_d = dict(cfg.get('optimizer', {}))
+    total_epochs = ocfg_d.pop('total_epochs', 210)
+    ocfg = OptimConfig(num_layers=model.cfg.backbone.depth, **ocfg_d)
+    steps_per_epoch = max(1, len(mixture))
+
+    b0 = next(iter(loaders[0]))
+    pre0 = preprocs[0](b0['imgs'], b0['center'], b0['scale'], b0['rot'],
+                       b0['joints'], b0['vis'])
+    n0 = pre0['imgs'].shape[0]
+    init_expert = jnp.zeros(n0, jnp.int32)
+    init_params = model.init(rng, pre0['imgs'], train=False,
+                             all_heads=True,
+                             expert_idx=init_expert)['params']
+    if cfg.get('pretrained'):
+        from ..utils.torch_ckpt import convert_backbone_checkpoint
+        bb = convert_backbone_checkpoint(
+            cfg['pretrained'], model.cfg,
+            num_experts=model.cfg.backbone.num_experts,
+            part_dim=model.cfg.backbone.part_dim)
+        init_params = dict(init_params,
+                           backbone=_merge_trees(init_params['backbone'],
+                                                 bb))
+    tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
+    state = create_train_state(model, rng, pre0['imgs'], tx,
+                               expert_idx=init_expert)
+    state = state.replace(params=jax.tree.map(jnp.asarray, init_params))
+
+    n_dev = jax.device_count()
+    batch_size = dcfg.get('batch_size', 64)
+    n_expert_axis = rt.get('n_expert', 1)
+    n_data = rt.get('n_data') or math.gcd(batch_size,
+                                          n_dev // n_expert_axis)
+    mesh = make_mesh(n_data=n_data, n_expert=n_expert_axis,
+                     devices=jax.devices()[:n_data * n_expert_axis])
+    step_fn = make_moe_train_step(model, num_datasets)
+    batch0 = {'imgs': pre0['imgs'], 'target': pre0['target'],
+              'target_weight': pre0['target_weight'],
+              'dataset_idx': jnp.asarray(b0['dataset_idx'])}
+    jitted, state, place_batch = shard_train_step(step_fn, mesh, state,
+                                                  batch0)
+
+    ckpt = CheckpointManager(os.path.join(work_dir, 'ckpts'),
+                             save_best_metric=rt.get('save_best', 'AP'))
+    start_epoch = 0
+    if resume:
+        state, ep = ckpt.restore(state)
+        if ep is not None:
+            start_epoch = ep + 1
+            _log(work_dir, {'mode': 'resume', 'epoch': start_epoch})
+
+    val_loader = None
+    if 'val' in dcfg:
+        vcfg = dcfg['val']
+        val_ds = TopDownDataset(
+            vcfg['ann_file'], vcfg['img_prefix'],
+            dataset_info=vcfg.get('dataset', 'coco'),
+            image_size=image_size, heatmap_size=heatmap_size,
+            test_mode=True, use_gt_bbox=vcfg.get('use_gt_bbox', True),
+            bbox_file=vcfg.get('bbox_file'))
+        val_loader = TopDownLoader(
+            val_ds, dcfg.get('val_batch_size', batch_size),
+            is_train=False, canvas_size=dcfg.get('canvas_size', 640),
+            num_workers=dcfg.get('num_workers', 8))
+
+    log_interval = rt.get('log_interval', 50)
+    eval_interval = rt.get('eval_interval', 10)
+    ckpt_interval = rt.get('ckpt_interval', 10)
+    mcfg = model.cfg
+    global_step = 0
+
+    for epoch in range(start_epoch, total_epochs):
+        for l in loaders:
+            l.set_epoch(epoch)
+        t_epoch = time.time()
+        for it, batch in enumerate(mixture):
+            d = int(batch['dataset_idx'][0])
+            pre = preprocs[d](batch['imgs'], batch['center'],
+                              batch['scale'], batch['rot'],
+                              batch['joints'], batch['vis'])
+            dev_batch = place_batch({
+                'imgs': pre['imgs'], 'target': pre['target'],
+                'target_weight': pre['target_weight'],
+                'dataset_idx': jnp.asarray(batch['dataset_idx'])})
+            state, metrics = jitted(state, dev_batch,
+                                    jax.random.fold_in(rng, global_step))
+            global_step += 1
+            if it % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                _log(work_dir, dict(mode='train', epoch=epoch, iter=it,
+                                    dataset=d, step=global_step, **m))
+            if max_steps and global_step >= max_steps:
+                return state
+        record = dict(mode='epoch', epoch=epoch,
+                      epoch_time=time.time() - t_epoch)
+        stats = None
+        if val_loader is not None and (epoch + 1) % eval_interval == 0:
+            variables = {'params': state.params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            results = run_validation(
+                model, variables, val_loader, use_udp=mcfg.use_udp,
+                post_process=mcfg.post_process,
+                modulate_kernel=mcfg.modulate_kernel, expert_idx=0,
+                head_idx=0)
+            stats = val_loader.ds.evaluate(results)
+            record.update({k: float(v) for k, v in stats.items()})
+        _log(work_dir, record)
+        if (epoch + 1) % ckpt_interval == 0 or epoch == total_epochs - 1:
+            ckpt.save(epoch, state, metrics=stats)
+    return state
