@@ -1,0 +1,68 @@
+"""Tests: extra heads, bottom-up estimator end-to-end on synthetic scenes."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vitpose_tpu.models.heads_extra import (RegressionHead, AEHead,
+                                            MultiStageHead)
+from vitpose_tpu.models.bottomup import BottomUpEstimator, get_group_preds
+from vitpose_tpu.models.vit import ViTConfig
+
+
+def test_regression_head_shapes():
+    head = RegressionHead(num_joints=17)
+    x = jnp.ones((2, 8, 6, 32))
+    v = head.init(jax.random.PRNGKey(0), x)
+    out = head.apply(v, x)
+    assert out.shape == (2, 17, 2)
+
+
+def test_ae_head_split():
+    head = AEHead(num_joints=5, tag_per_joint=True, deconv_filters=(16,),
+                  deconv_kernels=(4,))
+    x = jnp.ones((2, 8, 6, 32))
+    v = head.init(jax.random.PRNGKey(0), x, train=False)
+    out = head.apply(v, x, train=False)
+    assert out.shape == (2, 16, 12, 10)
+    hm, tags = head.split(np.asarray(out))
+    assert hm.shape == (2, 5, 16, 12)
+    assert tags.shape == (2, 5, 16, 12, 1)
+
+
+def test_multi_stage_head():
+    head = MultiStageHead(out_channels=5, num_stages=2,
+                          deconv_filters=(16,), deconv_kernels=(4,))
+    xs = [jnp.ones((2, 8, 6, 32)), jnp.ones((2, 8, 6, 32))]
+    v = head.init(jax.random.PRNGKey(0), xs, train=False)
+    outs = head.apply(v, xs, train=False)
+    assert len(outs) == 2 and outs[0].shape == (2, 5, 16, 12)
+
+
+def test_bottomup_end_to_end():
+    bb = ViTConfig(img_size=(64, 48), embed_dim=32, depth=2, num_heads=4)
+    est = BottomUpEstimator(bb, num_joints=17)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(rng, (1, 64, 48, 3))
+    variables = est.init(rng, imgs)
+    flip_index = np.arange(17)
+    hm, tags = est.infer(variables, imgs, flip_index)
+    assert hm.shape[0:2] == (1, 17)
+    assert tags.shape[-1] == 2              # flip stacked
+    center = np.array([32.0, 24.0])
+    scale = np.array([0.3, 0.4])
+    preds, scores = est.parse(np.asarray(hm, np.float32),
+                              np.asarray(tags, np.float32), center, scale)
+    assert isinstance(preds, list)
+
+
+def test_get_group_preds_transform():
+    poses = np.zeros((2, 17, 4), np.float32)
+    poses[..., :2] = 10.0
+    poses[..., 2] = 0.9
+    out = get_group_preds(poses, np.array([100.0, 100.0]),
+                          np.array([1.0, 1.0]), (48, 64))
+    assert len(out) == 2
+    # heatmap coord 10 -> image coords via the top-down affine convention
+    assert np.isfinite(out[0]).all()

@@ -1,0 +1,100 @@
+"""Pose tracking across video frames (greedy IoU/OKS association).
+
+Counterpart of reference mmpose/apis/inference_tracking.py:167
+`get_track_id` (+ helpers): assigns stable track ids frame-to-frame and
+optionally smooths keypoints with a per-track One-Euro filter.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.nms import oks_iou
+from ..ops.smoothing import OneEuroFilter
+
+
+def _compute_iou(a, b):
+    """IoU of two xyxy boxes."""
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    area_a = max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+    area_b = max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def _fill_area(results):
+    for r in results:
+        if 'bbox' in r and r.get('area') is None or 'area' not in r:
+            if 'bbox' in r:
+                b = r['bbox']
+                r['area'] = float((b[2] - b[0]) * (b[3] - b[1]))
+            else:
+                kp = r['keypoints']
+                xs = kp[:, 0][kp[:, 0] > 0]
+                ys = kp[:, 1][kp[:, 1] > 0]
+                xmin = xs.min() if xs.size else 1e10
+                ymin = ys.min() if ys.size else 1e10
+                xmax = kp[:, 0].max()
+                ymax = kp[:, 1].max()
+                r['area'] = float((xmax - xmin) * (ymax - ymin))
+                r['bbox'] = np.array([xmin, ymin, xmax, ymax])
+    return results
+
+
+def _match(res, results_last, thr, use_oks):
+    if not results_last:
+        return -1, results_last, {}
+    if use_oks:
+        pose = np.asarray(res['keypoints']).reshape(-1)
+        poses_last = np.stack([np.asarray(r['keypoints']).reshape(-1)
+                               for r in results_last])
+        areas_last = np.array([r['area'] for r in results_last])
+        scores = oks_iou(pose, poses_last, res['area'], areas_last)
+    else:
+        scores = np.array([_compute_iou(list(res['bbox']),
+                                        list(r['bbox']))
+                           for r in results_last])
+    best = int(np.argmax(scores))
+    if scores[best] > thr:
+        match = results_last[best]
+        del results_last[best]
+        return match['track_id'], results_last, match
+    return -1, results_last, {}
+
+
+def get_track_id(results, results_last, next_id, min_keypoints=3,
+                 use_oks=False, tracking_thr=0.3, use_one_euro=False,
+                 fps=None):
+    """Assign track ids to `results` by matching against `results_last`.
+    Returns (results with 'track_id', next_id). Parity:
+    inference_tracking.py:167."""
+    results = _fill_area(results)
+    for res in results:
+        track_id, results_last, match = _match(res, results_last,
+                                               tracking_thr, use_oks)
+        if track_id == -1:
+            if np.count_nonzero(res['keypoints'][:, 1]) > min_keypoints:
+                res['track_id'] = next_id
+                next_id += 1
+            else:
+                res['keypoints'][:, 1] = -10
+                res['bbox'] = np.asarray(res['bbox']) * 0
+                res['track_id'] = -1
+        else:
+            res['track_id'] = track_id
+        if use_one_euro:
+            res['keypoints'] = _temporal_refine(res, match, fps=fps)
+    return results, next_id
+
+
+def _temporal_refine(result, match_result, fps=None):
+    """Per-track One-Euro smoothing (inference_tracking.py:147)."""
+    if 'one_euro' in match_result:
+        result['keypoints'][:, :2] = match_result['one_euro'](
+            result['keypoints'][:, :2])
+        result['one_euro'] = match_result['one_euro']
+    else:
+        result['one_euro'] = OneEuroFilter(result['keypoints'][:, :2],
+                                           fps=fps)
+    return result['keypoints']

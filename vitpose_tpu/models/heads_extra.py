@@ -1,0 +1,97 @@
+"""Additional heads: coordinate regression, bottom-up AE, multi-stage.
+
+Counterparts of the reference head zoo (mmpose/models/heads/):
+  * RegressionHead  — `DeepposeRegressionHead` (deeppose_regression_head.py):
+    GAP -> Linear -> [N, K, 2] normalized coords.
+  * DeconvHead / AEHead — `DeconvHead` and `AESimpleHead`
+    (deconv_head.py, ae_simple_head.py): deconv stack + final conv whose
+    channels include associative-embedding tag maps
+    (out = K * (1 + tag_per_joint)).
+  * MultiStageHead — `TopdownHeatmapMultiStageHead`
+    (topdown_heatmap_multi_stage_head.py): one deconv+conv head per stage
+    over a list of stage features; losses averaged over stages.
+All NHWC flax modules mirroring heads.py conventions.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .heads import HeatmapHead
+
+
+class RegressionHead(nn.Module):
+    """GAP + fc -> normalized (0..1) keypoint coordinates [N, K, 2]."""
+    num_joints: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.mean(x, axis=(1, 2))                  # NHWC -> NC
+        out = nn.Dense(self.num_joints * 2, dtype=self.dtype,
+                       name='fc')(x)
+        return out.reshape(-1, self.num_joints, 2)
+
+
+class DeconvHead(HeatmapHead):
+    """Reference `DeconvHead` is structurally the classic decoder with
+    arbitrary output channels and a 3-deconv default — reuse HeatmapHead."""
+    deconv_filters: Sequence[int] = (256, 256, 256)
+    deconv_kernels: Sequence[int] = (4, 4, 4)
+
+
+class AEHead(nn.Module):
+    """Associative-embedding head: K heatmaps + K (or 1) tag maps
+    (reference ae_simple_head.py `AESimpleHead`)."""
+    num_joints: int
+    tag_per_joint: bool = True
+    with_ae_loss: bool = True
+    deconv_filters: Sequence[int] = ()
+    deconv_kernels: Sequence[int] = ()
+    final_kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dim_tag = self.num_joints if self.tag_per_joint else 1
+        out_ch = self.num_joints + (dim_tag if self.with_ae_loss else 0)
+        return DeconvHead(out_ch, self.deconv_filters, self.deconv_kernels,
+                          self.final_kernel, dtype=self.dtype,
+                          name='deconv_head')(x, train=train)
+
+    def split(self, out):
+        """[N, H, W, K(+Kt)] NHWC -> (heatmaps [N,K,H,W], tags [N,K,H,W,L])"""
+        k = self.num_joints
+        hm = out[..., :k].transpose(0, 3, 1, 2)
+        tags = out[..., k:].transpose(0, 3, 1, 2)[..., None] \
+            if out.shape[-1] > k else None
+        return hm, tags
+
+
+class MultiStageHead(nn.Module):
+    """One heatmap head per stage over a list of stage feature maps
+    (reference topdown_heatmap_multi_stage_head.py:17). Returns a list of
+    [N, K, H, W] heatmaps; train losses average over stages."""
+    out_channels: int
+    num_stages: int = 1
+    deconv_filters: Sequence[int] = (256, 256, 256)
+    deconv_kernels: Sequence[int] = (4, 4, 4)
+    final_kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        if not isinstance(xs, (list, tuple)):
+            xs = [xs]
+        assert len(xs) == self.num_stages
+        outs = []
+        for i, x in enumerate(xs):
+            out = HeatmapHead(self.out_channels, self.deconv_filters,
+                              self.deconv_kernels, self.final_kernel,
+                              dtype=self.dtype, name=f'stage_{i}')(
+                                  x, train=train)
+            outs.append(out.transpose(0, 3, 1, 2))
+        return outs
