@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Inference FPS benchmark (counterpart of reference
+tools/analysis/benchmark_inference.py).
+
+Usage: python tools/analysis/benchmark_inference.py CONFIG
+           [--batch 64] [--iters 10] [--no-flip]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('config')
+    ap.add_argument('--batch', type=int, default=64)
+    ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--no-flip', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.models import infer
+    from vitpose_tpu.data import DatasetInfo
+
+    cfg = load_config(args.config)
+    model = build_model_from_cfg(cfg['model'])
+    ih, iw = model.cfg.backbone.img_size
+    b = args.batch
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, ih, iw, 3)))
+    fi = None if args.no_flip else DatasetInfo.load(
+        cfg['data'].get('dataset', 'coco')).flip_index
+
+    f = jax.jit(lambda v, x: infer(model, v, x, flip_index=fi))
+    inputs = [jax.random.normal(jax.random.PRNGKey(i), (b, ih, iw, 3))
+              for i in range(4)]
+
+    def sync(o):
+        return np.asarray(o[(0,) * (o.ndim - 1)])
+
+    t0 = time.perf_counter()
+    sync(f(variables, inputs[0]))
+    print(f'compiled in {time.perf_counter() - t0:.1f}s')
+    ts = []
+    for i in range(args.iters):
+        x = inputs[(i + 1) % len(inputs)]
+        t0 = time.perf_counter()
+        sync(f(variables, x))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    print(f'batch {b}: {t * 1e3:.1f} ms -> {b / t:.1f} imgs/s '
+          f'({"flip test" if fi is not None else "single forward"})')
+
+
+if __name__ == '__main__':
+    main()

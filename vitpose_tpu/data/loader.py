@@ -98,11 +98,16 @@ class TopDownLoader:
         rec = self.ds.db[i]
         canvas, sfac, _ = _load_canvas(rec['image_file'], self.canvas_size)
         k = self.ds.num_joints
-        bbox = rec['bbox'] * sfac
-        aspect = self.image_size[0] / self.image_size[1]
-        center, scale = bbox_xywh2cs(bbox, aspect, padding=self.padding)
-        center = np.asarray(center, np.float32)
-        scale = np.asarray(scale, np.float32)
+        if 'center' in rec and 'scale' in rec:
+            # records that carry center/scale directly (e.g. MPII)
+            center = np.asarray(rec['center'], np.float32) * sfac
+            scale = np.asarray(rec['scale'], np.float32) * sfac
+        else:
+            bbox = rec['bbox'] * sfac
+            aspect = self.image_size[0] / self.image_size[1]
+            center, scale = bbox_xywh2cs(bbox, aspect, padding=self.padding)
+            center = np.asarray(center, np.float32)
+            scale = np.asarray(scale, np.float32)
         joints = rec['joints_3d'][:, :2] * sfac
         vis = rec['joints_3d_visible'][:, 0]
 
