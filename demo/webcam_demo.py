@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Realtime pose demo over camera/video/image-dir input (counterpart of
+reference demo/webcam_demo.py + tools/webcam).
+
+Usage:
+  python demo/webcam_demo.py --input /path/to/video_or_dir \
+      [--variant s] [--checkpoint x.pth] [--out out.mp4] [--max-frames N]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--input', default=0,
+                    help='camera index, video file, or image directory')
+    ap.add_argument('--variant', default='s')
+    ap.add_argument('--checkpoint', default=None)
+    ap.add_argument('--out', default=None)
+    ap.add_argument('--max-frames', type=int, default=None)
+    args = ap.parse_args()
+
+    from vitpose_tpu.api import init_pose_model
+    from vitpose_tpu.api.webcam import (WebcamRunner, DetectorNode, PoseNode,
+                                        VisualizerNode, VideoSink)
+
+    model = init_pose_model(args.variant, checkpoint=args.checkpoint)
+    sink = VideoSink(args.out)
+    runner = WebcamRunner(
+        args.input,
+        [DetectorNode(), PoseNode(model), VisualizerNode(model), sink],
+        max_frames=args.max_frames)
+    n = runner.run()
+    print(f'processed {n} frames; ' + '; '.join(
+        runner.stopwatch.report_strings()))
+
+
+if __name__ == '__main__':
+    main()

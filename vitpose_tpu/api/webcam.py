@@ -1,0 +1,168 @@
+"""Realtime pose pipeline: a small node-graph runner.
+
+Counterpart of the reference webcam app
+(tools/webcam/webcam_apis/webcam_runner.py + nodes): frames flow through a
+chain of nodes (source -> person detection -> top-down pose -> visualizer ->
+sink). Headless-friendly: sources can be a camera index, a video file, or a
+directory of images; sinks can be a display window or an output video.
+
+The pose node batches person crops through the jitted bucketed inference of
+`inference_top_down_pose_model`, so per-frame host work is just the decode
+of the video frame.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .inference import inference_top_down_pose_model, vis_pose_result
+from .tracking import get_track_id
+from ..utils.timer import StopWatch
+
+
+class Node:
+    name = 'node'
+
+    def process(self, msg: dict) -> dict:
+        raise NotImplementedError
+
+
+class FrameSource:
+    """Camera index / video path / image directory -> frame iterator."""
+
+    def __init__(self, src):
+        self.src = src
+
+    def __iter__(self):
+        import cv2
+        if isinstance(self.src, str) and os.path.isdir(self.src):
+            for name in sorted(os.listdir(self.src)):
+                if name.lower().endswith(('.jpg', '.jpeg', '.png')):
+                    img = cv2.imread(os.path.join(self.src, name))
+                    if img is not None:
+                        yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            return
+        cap = cv2.VideoCapture(self.src)
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        finally:
+            cap.release()
+
+
+class DetectorNode(Node):
+    """Person detection. Default: whole-frame box (the reference uses an
+    mmdet model here); plug in any callable frame -> list of xywh boxes."""
+    name = 'detector'
+
+    def __init__(self, detect_fn: Optional[Callable] = None):
+        self.detect_fn = detect_fn
+
+    def process(self, msg):
+        frame = msg['frame']
+        if self.detect_fn is None:
+            h, w = frame.shape[:2]
+            msg['person_results'] = [
+                {'bbox': np.array([0, 0, w, h, 1.0], np.float32)}]
+        else:
+            msg['person_results'] = [
+                {'bbox': np.asarray(b, np.float32)}
+                for b in self.detect_fn(frame)]
+        return msg
+
+
+class PoseNode(Node):
+    name = 'pose'
+
+    def __init__(self, pose_model, track: bool = True):
+        self.model = pose_model
+        self.track = track
+        self._last = []
+        self._next_id = 0
+
+    def process(self, msg):
+        results, _ = inference_top_down_pose_model(
+            self.model, msg['frame'], msg['person_results'])
+        if self.track:
+            results, self._next_id = get_track_id(
+                results, self._last, self._next_id)
+            self._last = [dict(r) for r in results]
+        msg['pose_results'] = results
+        return msg
+
+
+class VisualizerNode(Node):
+    name = 'visualizer'
+
+    def __init__(self, pose_model, kpt_thr=0.3):
+        self.model = pose_model
+        self.kpt_thr = kpt_thr
+
+    def process(self, msg):
+        msg['vis_frame'] = vis_pose_result(
+            self.model, msg['frame'], msg.get('pose_results', []),
+            kpt_score_thr=self.kpt_thr)
+        return msg
+
+
+class VideoSink(Node):
+    name = 'sink'
+
+    def __init__(self, out_path=None, fps=30):
+        self.out_path = out_path
+        self.fps = fps
+        self._writer = None
+        self.frames_written = 0
+
+    def process(self, msg):
+        frame = msg.get('vis_frame')
+        if frame is None or self.out_path is None:
+            return msg
+        import cv2
+        if self._writer is None:
+            self._size = (frame.shape[1], frame.shape[0])
+            self._writer = cv2.VideoWriter(
+                self.out_path, cv2.VideoWriter_fourcc(*'mp4v'),
+                self.fps, self._size)
+        if (frame.shape[1], frame.shape[0]) != self._size:
+            frame = cv2.resize(frame, self._size)
+        self._writer.write(frame)
+        self.frames_written += 1
+        return msg
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.release()
+
+
+class WebcamRunner:
+    """Drive frames through the node chain, collecting per-node timings."""
+
+    def __init__(self, source, nodes: List[Node], max_frames=None):
+        self.source = FrameSource(source) if not hasattr(source, '__iter__') \
+            or isinstance(source, str) else source
+        self.nodes = nodes
+        self.max_frames = max_frames
+        self.stopwatch = StopWatch(window=30)
+
+    def run(self):
+        n = 0
+        for frame in self.source:
+            msg = {'frame': frame, 'frame_id': n, 'timestamp': time.time()}
+            with self.stopwatch.timeit('_FPS_'):
+                for node in self.nodes:
+                    with self.stopwatch.timeit(node.name):
+                        msg = node.process(msg)
+            n += 1
+            if self.max_frames and n >= self.max_frames:
+                break
+        for node in self.nodes:
+            if hasattr(node, 'close'):
+                node.close()
+        return n

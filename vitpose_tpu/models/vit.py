@@ -105,11 +105,14 @@ class MoEMlp(nn.Module):
 class Attention(nn.Module):
     """Multi-head self-attention (reference vit.py:78).
 
-    Single fused qkv projection; softmax in f32. For 192-token crops the
-    whole attention fits VMEM; XLA fuses scale+softmax into the matmul chain.
+    Single fused qkv projection; softmax in f32. With `fused=True` the
+    core runs as one Pallas kernel per (batch, head) — QK^T, softmax, PV
+    stay in VMEM (ops/attention.py); otherwise the plain einsum path lets
+    XLA schedule it.
     """
     num_heads: int
     qkv_bias: bool = True
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -121,11 +124,15 @@ class Attention(nn.Module):
                        name='qkv')(x)
         qkv = qkv.reshape(n, t, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [N, T, H, hd]
-        attn = jnp.einsum('nqhd,nkhd->nhqk', q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum('nhqk,nkhd->nqhd', attn, v,
-                         preferred_element_type=jnp.float32)
+        if self.fused:
+            from ..ops.attention import attention as fused_attn
+            out = fused_attn(q, k, v)
+        else:
+            attn = jnp.einsum('nqhd,nkhd->nhqk', q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum('nhqk,nkhd->nqhd', attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(n, t, d).astype(self.dtype)
         return nn.Dense(d, dtype=self.dtype, name='proj')(out)
 
@@ -134,6 +141,7 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    fused_attention: bool = False
     drop_path: float = 0.0
     num_experts: int = 0          # 0 => plain Mlp
     part_dim: int = 0
@@ -145,7 +153,8 @@ class Block(nn.Module):
         hidden = int(d * self.mlp_ratio)
         dp = DropPath(self.drop_path)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
-        y = Attention(self.num_heads, self.qkv_bias, dtype=self.dtype,
+        y = Attention(self.num_heads, self.qkv_bias,
+                      fused=self.fused_attention, dtype=self.dtype,
                       name='attn')(y)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
@@ -170,6 +179,7 @@ class ViTConfig:
     num_experts: int = 0                # >0 enables MoE FFN
     part_dim: int = 0
     remat_blocks: bool = False
+    fused_attention: bool = False       # Pallas attention kernel on TPU
     dtype: str = 'float32'
 
     @property
@@ -231,6 +241,7 @@ class ViT(nn.Module):
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,
+                fused_attention=cfg.fused_attention,
                 drop_path=float(dpr[i]),
                 num_experts=cfg.num_experts,
                 part_dim=cfg.part_dim,

@@ -1,0 +1,113 @@
+"""Fused multi-head self-attention as a Pallas TPU kernel.
+
+ViTPose attention is short-sequence (192 tokens at 256x192, ~972 for the
+576x432 G variant): per (batch, head) the whole [T, T] score matrix fits in
+VMEM, so the kernel computes QK^T -> softmax -> PV in one pass without ever
+materializing attention probabilities in HBM — the main memory-traffic cost
+of the unfused XLA path. FLOPs run on the MXU with f32 accumulation; the
+softmax runs in f32 on the VPU.
+
+Grid: one program per (batch * head). Falls back to a pure-jnp
+implementation off-TPU (`fused_attention(..., interpret=True)` is used in
+CPU tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]                                     # [T, d]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [T, T] f32
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def fused_attention(q, k, v, scale=None, interpret=False):
+    """q, k, v: [N, T, H, d] -> [N, T, H, d].
+
+    One Pallas program per (n, h); inputs are transposed to [N*H, T, d]
+    blocks so each program streams exactly its head's tile HBM->VMEM once.
+    """
+    from jax.experimental import pallas as pl
+
+    n, t, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(n * h, t, d)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        memory_space = pltpu.VMEM
+    except ImportError:                              # pragma: no cover
+        memory_space = None
+
+    spec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                        memory_space=memory_space)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((n * h, t, d), q.dtype),
+        grid=(n * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(qb, kb, vb)
+    return out.reshape(n, h, t, d).transpose(0, 2, 1, 3)
+
+
+def reference_attention(q, k, v, scale=None):
+    """Plain-jnp attention (the XLA path), same layout as fused_attention."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    s = jnp.einsum('nqhd,nkhd->nhqk', q * scale, k,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum('nhqk,nkhd->nqhd', p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@jax.custom_vjp
+def attention(q, k, v):
+    """Differentiable fused attention: Pallas forward on TPU, XLA backward
+    (recomputes scores — same rematerialized-backward shape flash attention
+    uses, fine at these sequence lengths)."""
+    return _attention_fwd_impl(q, k, v)
+
+
+def _attention_fwd_impl(q, k, v):
+    if jax.default_backend() == 'tpu':
+        try:
+            return fused_attention(q, k, v)
+        except Exception:                            # pragma: no cover
+            return reference_attention(q, k, v)
+    return reference_attention(q, k, v)
+
+
+def _attention_fwd(q, k, v):
+    return _attention_fwd_impl(q, k, v), (q, k, v)
+
+
+def _attention_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(reference_attention, q, k, v)
+    return vjp(g)
+
+
+attention.defvjp(_attention_fwd, _attention_bwd)
