@@ -27,8 +27,11 @@ def main():
     from vitpose_tpu.data import DatasetInfo
     from vitpose_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
+    import dataclasses as dc
     cfg = make_config('b', img_size=(256, 192), out_channels=17,
                       dtype='bfloat16')
+    cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
+                                              fused_attention=True))
     model = TopDownModel(cfg)
     rng = jax.random.PRNGKey(0)
     # distinct inputs per timed iteration: the remote-execution path can

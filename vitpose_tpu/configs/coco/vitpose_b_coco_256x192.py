@@ -12,6 +12,7 @@ model = dict(
     flip_test=True,
     post_process='default',
     use_udp=True,
+    backbone_overrides=dict(fused_attention=True),
 )
 optimizer = dict(
     base_lr=5e-4,

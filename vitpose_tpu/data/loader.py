@@ -21,6 +21,7 @@ rebatching would recompile on TPU).
 from __future__ import annotations
 
 import concurrent.futures as futures
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -68,7 +69,10 @@ class TopDownLoader:
         self.padding = padding
         self.aug = aug or AugmentConfig()
         self.seed = seed
-        self.num_workers = num_workers
+        # more threads than cores only adds contention (this box has 1 core)
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
+        from .native import native_available
+        self.use_native = native_available()
         self.process_index = process_index
         self.process_count = process_count
         self.drop_last = is_train if drop_last is None else drop_last
@@ -94,9 +98,31 @@ class TopDownLoader:
         idx = idx[self.process_index::self.process_count]
         return idx
 
-    def _prepare_record(self, i, rec_rng):
+    def _decode_chunk(self, recs):
+        """Decode a chunk of records' images -> (canvases, scale_factors).
+        Uses the native C++ pool when built; else threaded cv2."""
+        paths = [r['image_file'] for r in recs]
+        if self.use_native and all(p.lower().endswith(('.jpg', '.jpeg'))
+                                   for p in paths):
+            from .native import decode_batch_native
+            return decode_batch_native(paths, self.canvas_size,
+                                       self.num_workers)
+        canvases = np.empty((len(paths), self.canvas_size,
+                             self.canvas_size, 3), np.uint8)
+        sfacs = np.empty(len(paths), np.float32)
+        if self.num_workers > 1:
+            with futures.ThreadPoolExecutor(self.num_workers) as pool:
+                outs = list(pool.map(
+                    lambda p: _load_canvas(p, self.canvas_size), paths))
+        else:
+            outs = [_load_canvas(p, self.canvas_size) for p in paths]
+        for j, (c, s, _) in enumerate(outs):
+            canvases[j] = c
+            sfacs[j] = s
+        return canvases, sfacs
+
+    def _prepare_record(self, i, rec_rng, canvas, sfac):
         rec = self.ds.db[i]
-        canvas, sfac, _ = _load_canvas(rec['image_file'], self.canvas_size)
         k = self.ds.num_joints
         if 'center' in rec and 'scale' in rec:
             # records that carry center/scale directly (e.g. MPII)
@@ -135,41 +161,41 @@ class TopDownLoader:
         idx = self._indices()
         bs = self.batch_size
         rng = np.random.RandomState(self.seed * 1000 + self.epoch)
-        with futures.ThreadPoolExecutor(self.num_workers) as pool:
-            n_batches = len(self)
-            for b in range(n_batches):
-                chunk = idx[b * bs:(b + 1) * bs]
-                valid = np.zeros(bs, bool)
-                valid[:len(chunk)] = True
-                # deterministic per-record rngs
-                seeds = rng.randint(0, 2 ** 31, size=len(chunk))
-                recs = list(pool.map(
-                    lambda args: self._prepare_record(
-                        args[0], np.random.RandomState(args[1])),
-                    zip(chunk, seeds)))
-                while len(recs) < bs:          # pad final batch
-                    recs.append(recs[-1])
-                batch = dict(
-                    imgs=np.stack([r['img'] for r in recs]),
-                    center=np.stack([r['center'] for r in recs]),
-                    scale=np.stack([r['scale'] for r in recs]),
-                    rot=np.stack([r['rot'] for r in recs]),
-                    joints=np.stack([r['joints'] for r in recs]),
-                    vis=np.stack([r['vis'] for r in recs]),
-                    bbox_score=np.stack([r['bbox_score'] for r in recs]),
-                    bbox_id=np.array([r['bbox_id'] for r in recs]),
-                    dataset_idx=np.array([r['dataset_idx'] for r in recs],
-                                         np.int32),
-                    scale_factor=np.stack([r['scale_factor'] for r in recs]),
-                    valid=valid,
-                    image_paths=[r['image_path'] for r in recs],
-                )
-                # center/scale for decode must be in ORIGINAL image coords
-                batch['center_orig'] = (batch['center']
-                                        / batch['scale_factor'][:, None])
-                batch['scale_orig'] = (batch['scale']
-                                       / batch['scale_factor'][:, None])
-                yield batch
+        n_batches = len(self)
+        for b in range(n_batches):
+            chunk = idx[b * bs:(b + 1) * bs]
+            valid = np.zeros(bs, bool)
+            valid[:len(chunk)] = True
+            # deterministic per-record rngs
+            seeds = rng.randint(0, 2 ** 31, size=len(chunk))
+            canvases, sfacs = self._decode_chunk(
+                [self.ds.db[i] for i in chunk])
+            recs = [self._prepare_record(i, np.random.RandomState(s),
+                                         canvases[j], sfacs[j])
+                    for j, (i, s) in enumerate(zip(chunk, seeds))]
+            while len(recs) < bs:          # pad final batch
+                recs.append(recs[-1])
+            batch = dict(
+                imgs=np.stack([r['img'] for r in recs]),
+                center=np.stack([r['center'] for r in recs]),
+                scale=np.stack([r['scale'] for r in recs]),
+                rot=np.stack([r['rot'] for r in recs]),
+                joints=np.stack([r['joints'] for r in recs]),
+                vis=np.stack([r['vis'] for r in recs]),
+                bbox_score=np.stack([r['bbox_score'] for r in recs]),
+                bbox_id=np.array([r['bbox_id'] for r in recs]),
+                dataset_idx=np.array([r['dataset_idx'] for r in recs],
+                                     np.int32),
+                scale_factor=np.stack([r['scale_factor'] for r in recs]),
+                valid=valid,
+                image_paths=[r['image_path'] for r in recs],
+            )
+            # center/scale for decode must be in ORIGINAL image coords
+            batch['center_orig'] = (batch['center']
+                                    / batch['scale_factor'][:, None])
+            batch['scale_orig'] = (batch['scale']
+                                   / batch['scale_factor'][:, None])
+            yield batch
 
 
 class MultiDatasetLoader:
