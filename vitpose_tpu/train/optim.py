@@ -71,18 +71,29 @@ def _wd_mask_tree(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
-def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int):
-    """Linear warmup -> piecewise-constant step decay (iter-based)."""
-    boundaries = {e * steps_per_epoch: cfg.decay_factor
-                  for e in cfg.decay_epochs}
-    step_fn = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
+def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int,
+                     policy: str = 'step'):
+    """Linear warmup -> main policy. 'step' = piecewise-constant decay at
+    `decay_epochs` (reference lr_config step policy); 'cosine' = cosine
+    anneal to 0 over total_epochs (reference mmcv_custom/checkpoint.py:292
+    `cosine_scheduler`)."""
+    import jax.numpy as jnp
+    if policy == 'cosine':
+        total = cfg.total_epochs * steps_per_epoch
+
+        def main_fn(count):
+            frac = jnp.clip(count / max(total, 1), 0.0, 1.0)
+            return cfg.base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+    else:
+        boundaries = {e * steps_per_epoch: cfg.decay_factor
+                      for e in cfg.decay_epochs}
+        main_fn = optax.piecewise_constant_schedule(cfg.base_lr, boundaries)
 
     def schedule(count):
-        import jax.numpy as jnp
         warm = cfg.base_lr * (
             cfg.warmup_ratio + (1.0 - cfg.warmup_ratio)
             * jnp.minimum(count, cfg.warmup_iters) / cfg.warmup_iters)
-        return jnp.where(count < cfg.warmup_iters, warm, step_fn(count))
+        return jnp.where(count < cfg.warmup_iters, warm, main_fn(count))
 
     return schedule
 
