@@ -63,7 +63,10 @@ class CocoKeypointEval:
     """Evaluate keypoint detections against a CocoIndex ground truth."""
 
     def __init__(self, coco_gt, sigmas=None,
-                 area_rngs=None, max_dets=20):
+                 area_rngs=None, max_dets=20, use_area=True):
+        # use_area=False: datasets without an 'area' field (CrowdPose, AIC)
+        # normalize OKS by bbox w*h*0.53 (xtcocotools convention)
+        self.use_area = use_area
         self.coco_gt = coco_gt
         self.sigmas = (np.asarray(sigmas, np.float64)
                        if sigmas is not None else _DEFAULT_SIGMAS)
@@ -77,9 +80,10 @@ class CocoKeypointEval:
         self.max_dets = max_dets
 
     # ------------------------------------------------------------------
-    def _gather(self, coco_dt):
+    def _gather(self, coco_dt, img_ids=None):
         """Group gt/dt per image for the person category."""
-        img_ids = self.coco_gt.getImgIds()
+        img_ids = img_ids if img_ids is not None else \
+            self.coco_gt.getImgIds()
         cat_ids = self.coco_gt.getCatIds() or [1]
         cat = cat_ids[0]
         per_img = {}
@@ -93,6 +97,8 @@ class CocoKeypointEval:
             for g in gts:
                 g['_ignore'] = (g.get('iscrowd', 0) == 1
                                 or g.get('num_keypoints', 1) == 0)
+                if not self.use_area or 'area' not in g:
+                    g['area'] = g['bbox'][2] * g['bbox'][3] * 0.53
             per_img[img_id] = (gts, dts)
         return per_img
 
@@ -152,9 +158,10 @@ class CocoKeypointEval:
         return d_scores, dt_matched, dt_ignore, int((~gt_ignore).sum())
 
     # ------------------------------------------------------------------
-    def evaluate(self, coco_dt):
-        """coco_dt: CocoIndex from loadRes. Returns dict of the 10 stats."""
-        per_img = self._gather(coco_dt)
+    def evaluate(self, coco_dt, img_ids=None):
+        """coco_dt: CocoIndex from loadRes. Returns dict of the 10 stats.
+        `img_ids` restricts evaluation to an image subset."""
+        per_img = self._gather(coco_dt, img_ids)
         t_n, r_n = len(self.oks_thrs), len(self.rec_thrs)
         stats = {}
         results = {}
@@ -220,11 +227,41 @@ class CocoKeypointEval:
         stats['AP'] = _ap('all')
         stats['AP .5'] = _ap('all', 0.5)
         stats['AP .75'] = _ap('all', 0.75)
-        stats['AP (M)'] = _ap('medium')
-        stats['AP (L)'] = _ap('large')
         stats['AR'] = _ar('all')
         stats['AR .5'] = _ar('all', 0.5)
         stats['AR .75'] = _ar('all', 0.75)
-        stats['AR (M)'] = _ar('medium')
-        stats['AR (L)'] = _ar('large')
+        if 'medium' in results:
+            stats['AP (M)'] = _ap('medium')
+            stats['AR (M)'] = _ar('medium')
+        if 'large' in results:
+            stats['AP (L)'] = _ap('large')
+            stats['AR (L)'] = _ar('large')
         return stats
+
+
+CROWDPOSE_STAT_NAMES = ['AP', 'AP .5', 'AP .75', 'AR', 'AR .5', 'AR .75',
+                        'AP (E)', 'AP (M)', 'AP (H)']
+
+
+def evaluate_crowdpose(coco_gt, coco_dt, sigmas):
+    """CrowdPose protocol (COCOeval iouType='keypoints_crowd'):
+    the standard AP/AR over all images plus AP on easy/medium/hard image
+    subsets partitioned by each image's `crowdIndex`
+    ([0, 0.1) / [0.1, 0.8) / [0.8, 1]).
+    """
+    ev = CocoKeypointEval(coco_gt, sigmas=sigmas, use_area=False,
+                          area_rngs=[('all', [0.0, 1e10])])
+    base = ev.evaluate(coco_dt)
+    easy, medium, hard = [], [], []
+    for img_id, img in coco_gt.imgs.items():
+        ci = img.get('crowdIndex', 0.0)
+        (easy if ci < 0.1 else medium if ci < 0.8 else hard).append(img_id)
+    stats = {
+        'AP': base['AP'], 'AP .5': base['AP .5'], 'AP .75': base['AP .75'],
+        'AR': base['AR'], 'AR .5': base['AR .5'], 'AR .75': base['AR .75'],
+    }
+    for name, subset in (('AP (E)', easy), ('AP (M)', medium),
+                         ('AP (H)', hard)):
+        stats[name] = (ev.evaluate(coco_dt, img_ids=subset)['AP']
+                       if subset else -1.0)
+    return stats
