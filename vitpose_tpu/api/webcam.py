@@ -166,3 +166,55 @@ class WebcamRunner:
             if hasattr(node, 'close'):
                 node.close()
         return n
+
+
+class EffectNode(Node):
+    """Fun frame effects driven by keypoints (counterpart of the reference
+    webcam effect nodes, tools/webcam/webcam_apis/nodes/): 'sunglasses'
+    draws shades over the eyes, 'bugeye' magnifies the eye regions."""
+    name = 'effect'
+
+    def __init__(self, pose_model, kind='sunglasses', kpt_thr=0.3):
+        self.info = pose_model.dataset_info
+        self.kind = kind
+        self.kpt_thr = kpt_thr
+        names = self.info.keypoint_names
+        self.eye_ids = [names.index(n) for n in ('left_eye', 'right_eye')
+                        if n in names]
+
+    def process(self, msg):
+        import cv2
+        frame = msg.get('vis_frame', msg['frame']).copy()
+        for res in msg.get('pose_results', []):
+            kp = np.asarray(res['keypoints'])
+            if len(self.eye_ids) != 2:
+                continue
+            le, re = kp[self.eye_ids[0]], kp[self.eye_ids[1]]
+            if le[2] < self.kpt_thr or re[2] < self.kpt_thr:
+                continue
+            center = ((le[:2] + re[:2]) / 2).astype(int)
+            half = max(int(np.linalg.norm(le[:2] - re[:2])), 8)
+            if self.kind == 'sunglasses':
+                for eye in (le, re):
+                    cv2.circle(frame, tuple(eye[:2].astype(int)),
+                               half // 2, (20, 20, 20), -1)
+                cv2.line(frame, tuple(le[:2].astype(int)),
+                         tuple(re[:2].astype(int)), (20, 20, 20), 2)
+            elif self.kind == 'bugeye':
+                for eye in (le, re):
+                    ex, ey = eye[:2].astype(int)
+                    r = half // 2
+                    x0, y0 = max(ex - r, 0), max(ey - r, 0)
+                    x1 = min(ex + r, frame.shape[1])
+                    y1 = min(ey + r, frame.shape[0])
+                    if x1 - x0 > 2 and y1 - y0 > 2:
+                        patch = frame[y0:y1, x0:x1]
+                        big = cv2.resize(patch, None, fx=1.5, fy=1.5)
+                        bh, bw = big.shape[:2]
+                        cx0 = max((bh - (y1 - y0)) // 2, 0)
+                        cx1 = cx0 + (y1 - y0)
+                        cy0 = max((bw - (x1 - x0)) // 2, 0)
+                        cy1 = cy0 + (x1 - x0)
+                        frame[y0:y1, x0:x1] = big[cx0:cx1, cy0:cy1]
+        msg['vis_frame'] = frame
+        return msg

@@ -95,3 +95,57 @@ class MultiStageHead(nn.Module):
                                   x, train=train)
             outs.append(out.transpose(0, 3, 1, 2))
         return outs
+
+
+class MSMUHead(nn.Module):
+    """Multi-Stage Multi-Unit head for MSPN/RSN
+    (reference topdown_heatmap_multi_stage_head.py `TopdownHeatmapMSMUHead`):
+    a 1x1 prediction conv per (stage, scale-unit); all units are supervised,
+    the last stage's highest-resolution unit is the inference output."""
+    out_channels: int
+    num_stages: int = 2
+    num_units: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, stage_feats, train: bool = False):
+        outs = []
+        for si, feats in enumerate(stage_feats):
+            assert len(feats) == self.num_units
+            for ui, f in enumerate(feats):
+                o = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name=f's{si}_u{ui}')(f)
+                outs.append(o.transpose(0, 3, 1, 2))
+        return outs
+
+
+class ViPNASHead(nn.Module):
+    """ViPNAS heatmap head (reference vipnas_heatmap_simple_head.py): deconv
+    layers use grouped convolutions found by NAS."""
+    out_channels: int
+    deconv_filters: Sequence[int] = (144, 144, 144)
+    deconv_groups: Sequence[int] = (16, 16, 16)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, (f, g) in enumerate(zip(self.deconv_filters,
+                                       self.deconv_groups)):
+            # grouped transposed conv (flax ConvTranspose has no groups):
+            # split channels, deconv each group, concat
+            groups = jnp.split(x, g, axis=-1) if g > 1 else [x]
+            outs = [nn.ConvTranspose(f // g, (4, 4), strides=(2, 2),
+                                     padding='SAME', use_bias=False,
+                                     transpose_kernel=True,
+                                     dtype=self.dtype,
+                                     name=f'deconv_{i}_{gi}')(part)
+                    for gi, part in enumerate(groups)]
+            x = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                               axis=-1)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f'bn_{i}')(x)
+            x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name='final')(x)
+        return x
