@@ -1,0 +1,149 @@
+"""HRFormer backbone: HRNet topology with local-window transformer blocks.
+
+Counterpart of reference mmpose/models/backbones/hrformer.py (746 LoC
+torch): parallel multi-resolution branches where each branch's unit is a
+window-attention transformer block (LSA) followed by a depthwise-conv FFN,
+fused across branches HRNet-style. Compact NHWC flax implementation
+preserving the architecture (window attention, dw-FFN, exchange fusion).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import Bottleneck, _bn
+from .hrnet import ExchangeModule
+
+
+def _window_partition(x, ws):
+    """[N, H, W, C] -> [N*nw, ws*ws, C] (pads to multiples of ws)."""
+    n, h, w, c = x.shape
+    ph = (ws - h % ws) % ws
+    pw = (ws - w % ws) % ws
+    if ph or pw:
+        x = jnp.pad(x, [(0, 0), (0, ph), (0, pw), (0, 0)])
+    hp, wp = h + ph, w + pw
+    x = x.reshape(n, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    return x, (hp, wp), (h, w)
+
+
+def _window_merge(x, ws, padded_hw, orig_hw, n):
+    hp, wp = padded_hw
+    h, w = orig_hw
+    c = x.shape[-1]
+    x = x.reshape(n, hp // ws, wp // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, c)
+    return x[:, :h, :w]
+
+
+class WindowAttention(nn.Module):
+    num_heads: int
+    window_size: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.shape[0]
+        win, padded, orig = _window_partition(x, self.window_size)
+        b, t, c = win.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name='qkv')(win)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum('bqhd,bkhd->bhqk', q * hd ** -0.5, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum('bhqk,bkhd->bqhd', attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, t, c).astype(self.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name='proj')(out)
+        return _window_merge(out, self.window_size, padded, orig, n)
+
+
+class HRFormerBlock(nn.Module):
+    """Window attention + depthwise-conv FFN with layer norms."""
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        x = x + WindowAttention(self.num_heads, self.window_size,
+                                dtype=self.dtype, name='attn')(y)
+        y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        hidden = int(c * self.mlp_ratio)
+        # conv-FFN: pw -> dw 3x3 -> pw (the HRFormer FFN)
+        y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name='ffn_pw1')(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=hidden, dtype=self.dtype,
+                    name='ffn_dw')(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name='ffn_pw2')(y)
+        return x + y
+
+
+class HRFormer(nn.Module):
+    """Stem + stage1 bottlenecks, then transformer branches with HRNet
+    fusion; returns the high-resolution branch [N, H/4, W/4, width]."""
+    width: int = 32
+    num_heads: Sequence[int] = (1, 2, 4, 8)
+    window_size: int = 7
+    stage_modules: Sequence[int] = (1, 2, 2)
+    blocks_per_module: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w = self.width
+        chans = (w, w * 2, w * 4, w * 8)
+        for i in (1, 2):
+            x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype,
+                        name=f'stem{i}')(x)
+            x = nn.relu(_bn(train, self.dtype, f'stem{i}_bn')(x))
+        for k in range(2):
+            x = Bottleneck(64, downsample=(k == 0), dtype=self.dtype,
+                           name=f'layer1_{k}')(x, train=train)
+
+        b0 = nn.relu(_bn(train, self.dtype, 'tr0_bn')(
+            nn.Conv(chans[0], (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name='tr0')(x)))
+        b1 = nn.relu(_bn(train, self.dtype, 'tr1_bn')(
+            nn.Conv(chans[1], (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name='tr1')(x)))
+        xs = [b0, b1]
+        for stage, n_mod in enumerate(self.stage_modules):
+            n_br = stage + 2
+            for m in range(n_mod):
+                xs = [
+                    HRFormerBlock(self.num_heads[bi], self.window_size,
+                                  dtype=self.dtype,
+                                  name=f's{stage}_m{m}_b{bi}_t0')(
+                        xi, train=train)
+                    for bi, xi in enumerate(xs)]
+                if self.blocks_per_module > 1:
+                    xs = [HRFormerBlock(self.num_heads[bi],
+                                        self.window_size, dtype=self.dtype,
+                                        name=f's{stage}_m{m}_b{bi}_t1')(
+                        xi, train=train)
+                        for bi, xi in enumerate(xs)]
+                xs = ExchangeModule(chans[:n_br], num_blocks=0,
+                                    dtype=self.dtype,
+                                    name=f's{stage}_m{m}_fuse')(
+                                        xs, train=train)
+            if stage < len(self.stage_modules) - 1:
+                y = nn.Conv(chans[n_br], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            dtype=self.dtype, name=f'tr{stage + 2}')(xs[-1])
+                xs = xs + [nn.relu(_bn(train, self.dtype,
+                                       f'tr{stage + 2}_bn')(y))]
+        return xs[0]

@@ -1,0 +1,59 @@
+"""Multi-host initialization + graceful preemption handling.
+
+Replaces the reference's `init_dist` / torch.distributed.launch process
+bootstrap (reference tools/train.py:149, tools/dist_train.sh) with
+`jax.distributed.initialize`, and goes beyond the reference (which has no
+failure handling — SURVEY §5) with a SIGTERM-triggered checkpoint hook for
+preemptible TPU pools.
+"""
+from __future__ import annotations
+
+import os
+import signal
+from typing import Callable, Optional
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Initialize multi-host JAX. No-ops for single-process runs.
+
+    Env-var driven (like torch.distributed.launch): COORDINATOR_ADDRESS,
+    NUM_PROCESSES, PROCESS_ID — or pass explicitly. On TPU pods the
+    defaults are auto-detected by jax.distributed.
+    """
+    import jax
+    coordinator_address = coordinator_address or os.environ.get(
+        'COORDINATOR_ADDRESS')
+    num_processes = num_processes or int(os.environ.get('NUM_PROCESSES', 0))
+    process_id = (process_id if process_id is not None
+                  else int(os.environ.get('PROCESS_ID', -1)))
+    if coordinator_address and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+class PreemptionGuard:
+    """Install a SIGTERM handler that requests a final checkpoint.
+
+    The training loop checks `.should_stop` each iteration; on preemption
+    it saves and exits cleanly rather than dying mid-step.
+    """
+
+    def __init__(self, on_preempt: Optional[Callable] = None):
+        self.should_stop = False
+        self._on_preempt = on_preempt
+        self._prev = None
+
+    def install(self):
+        def handler(signum, frame):
+            self.should_stop = True
+            if self._on_preempt is not None:
+                self._on_preempt()
+            if callable(self._prev):
+                self._prev(signum, frame)
+        self._prev = signal.signal(signal.SIGTERM, handler)
+        return self

@@ -161,6 +161,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     ckpt_interval = rt.get('ckpt_interval', 10)
     mcfg = model.cfg
     global_step = 0
+    from ..parallel.distributed import PreemptionGuard
+    guard = PreemptionGuard().install()
 
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
@@ -183,6 +185,11 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                                     step=global_step, data_time=t_data,
                                     time=time.time() - t_epoch, **m))
             t_last = time.time()
+            if guard.should_stop:
+                _log(work_dir, {'mode': 'preempt', 'epoch': epoch,
+                                'step': global_step})
+                ckpt.save(epoch, state)
+                return state
             if max_steps and global_step >= max_steps:
                 return state
         record = dict(mode='epoch', epoch=epoch,
