@@ -1,0 +1,73 @@
+"""Necks: GlobalAveragePooling and PoseWarper temporal aggregation.
+
+Counterparts of reference mmpose/models/necks/:
+  * GlobalAveragePooling (gap_neck.py) — trivial spatial mean.
+  * PoseWarperNeck (posewarper_neck.py, 329 LoC + mmcv DCN CUDA op):
+    aligns per-frame features to the key frame with offset fields predicted
+    from feature differences, applies multi-dilation deformable convolution
+    (ops/deform_conv.py — pure XLA, no CUDA), and sums across frames.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.deform_conv import deform_conv2d
+from .resnet import _bn
+
+
+class GlobalAveragePooling(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return jnp.mean(x, axis=(1, 2))
+
+
+class PoseWarperNeck(nn.Module):
+    """Warp supporting-frame features onto the key frame and aggregate.
+
+    Inputs: key [N, H, W, C], supports [N, T, H, W, C].
+    Output: [N, H, W, out_channels] aggregated feature.
+    """
+    out_channels: int = 48
+    kernel: int = 3
+    dilations: Sequence[int] = (3, 6, 12, 18, 24)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, key, supports, train: bool = False):
+        n, t, h, w, c = supports.shape
+        k = self.kernel
+        key_p = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name='reduce_key')(key)
+        key_p = _bn(train, self.dtype, 'reduce_key_bn')(key_p)
+
+        # one shared deformable kernel; modules instantiated once and
+        # re-applied per frame (weight sharing across T)
+        weight = self.param('dcn_weight', nn.initializers.lecun_normal(),
+                            (k, k, self.out_channels, self.out_channels))
+        reduce_sup = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                             dtype=self.dtype, name='reduce_sup')
+        sup_bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=self.dtype,
+                              name='reduce_sup_bn')
+        offset_convs = [
+            nn.Conv(2 * k * k, (3, 3), padding=((dil, dil), (dil, dil)),
+                    kernel_dilation=(dil, dil), dtype=self.dtype,
+                    name=f'offset_d{di}')
+            for di, dil in enumerate(self.dilations)]
+
+        agg = None
+        for ti in range(t):
+            sup_p = sup_bn(reduce_sup(supports[:, ti]))
+            diff = key_p - sup_p
+            warped = None
+            for oc, dil in zip(offset_convs, self.dilations):
+                off = oc(diff)
+                out = deform_conv2d(sup_p, off, weight, padding=dil,
+                                    dilation=dil)
+                warped = out if warped is None else warped + out
+            warped = warped / len(self.dilations)
+            agg = warped if agg is None else agg + warped
+        return agg / t

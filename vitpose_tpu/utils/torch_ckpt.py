@@ -23,16 +23,28 @@ import numpy as np
 
 
 def _to_numpy(t):
-    return t.detach().cpu().numpy() if hasattr(t, 'detach') else np.asarray(t)
+    if hasattr(t, 'detach'):
+        t = t.detach().cpu()
+        if str(t.dtype) == 'torch.bfloat16':
+            t = t.float()
+        return t.numpy()
+    return np.asarray(t)
 
 
 def load_torch_state_dict(path):
-    """Read a .pth file -> flat {name: np.ndarray} with prefixes normalized."""
-    import torch
+    """Read a .pth file -> flat {name: np.ndarray} with prefixes normalized.
+
+    Uses torch when available; otherwise the pure-python zip/pickle reader
+    (utils/pth_reader.py)."""
     try:
-        ckpt = torch.load(path, map_location='cpu', weights_only=True)
-    except Exception:
-        ckpt = torch.load(path, map_location='cpu', weights_only=False)
+        import torch
+        try:
+            ckpt = torch.load(path, map_location='cpu', weights_only=True)
+        except Exception:
+            ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    except ImportError:
+        from .pth_reader import load_pth
+        ckpt = load_pth(path)
     if isinstance(ckpt, dict):
         for key in ('state_dict', 'model', 'module'):
             if key in ckpt:
