@@ -1,0 +1,26 @@
+# ViTPose-B on AIC (14 keypoints), GT boxes (reference: configs/body/.../aic/)
+import os as _os
+_ROOT = _os.environ.get('AIC_ROOT', '/data/aic')
+_base_ = ['../base/default_runtime.py']
+model = dict(variant='b', img_size=(256, 192), out_channels=14,
+             head='heatmap', dtype='bfloat16', flip_test=True,
+             post_process='default', use_udp=True,
+             backbone_overrides=dict(fused_attention=True))
+data = dict(dataset='aic', image_size=(192, 256), heatmap_size=(48, 64),
+            batch_size=64, canvas_size=640, num_workers=8,
+            train=dict(ann_file=f'{_ROOT}/annotations/aic_train.json',
+                       img_prefix=f'{_ROOT}/ai_challenger_keypoint'
+                                  '_train_20170902/keypoint_train_images'
+                                  '_20170902/'),
+            val=dict(ann_file=f'{_ROOT}/annotations/aic_val.json',
+                     img_prefix=f'{_ROOT}/ai_challenger_keypoint'
+                                '_validation_20170911/keypoint_validation'
+                                '_images_20170911/',
+                     use_gt_bbox=True),
+            aug=dict(flip_prob=0.5, half_body_prob=0.3, scale_factor=0.5,
+                     rot_factor=40.0, rot_prob=0.6))
+target = dict(encoding='UDP', sigma=2.0)
+optimizer = dict(base_lr=5e-4, weight_decay=0.1, layer_decay_rate=0.75,
+                 warmup_iters=500, decay_epochs=(170, 200),
+                 total_epochs=210, grad_clip_norm=1.0)
+runtime = dict(work_dir='work_dirs/vitpose_b_aic')

@@ -149,3 +149,45 @@ class ViPNASHead(nn.Module):
         x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                     name='final')(x)
         return x
+
+
+class Interhand3DHead(nn.Module):
+    """Interacting-hand 3D head (reference interhand_3d_head.py, 521 LoC):
+    three parallel sub-heads on the backbone feature —
+      * 2.5D heatmaps [K, D, H', W'] via deconvs + 1x1 producing K*D
+        channels,
+      * root-relative depth: GAP -> MLP -> 1D heatmap over depth bins,
+      * hand-type (left/right presence): GAP -> MLP -> 2 logits.
+    """
+    num_joints: int = 42
+    depth_size: int = 64
+    root_depth_bins: int = 64
+    deconv_filters: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = x
+        for i, f in enumerate(self.deconv_filters):
+            y = nn.ConvTranspose(f, (4, 4), strides=(2, 2), padding='SAME',
+                                 use_bias=False, transpose_kernel=True,
+                                 dtype=self.dtype, name=f'deconv_{i}')(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f'bn_{i}')(y)
+            y = nn.relu(y)
+        hm = nn.Conv(self.num_joints * self.depth_size, (1, 1),
+                     dtype=self.dtype, name='hm3d')(y)
+        n, hh, ww, _ = hm.shape
+        heatmaps3d = hm.transpose(0, 3, 1, 2).reshape(
+            n, self.num_joints, self.depth_size, hh, ww)
+
+        pooled = jnp.mean(x, axis=(1, 2))
+        root = nn.Dense(512, dtype=self.dtype, name='root_fc1')(pooled)
+        root = nn.relu(root)
+        root_depth = nn.Dense(self.root_depth_bins, dtype=self.dtype,
+                              name='root_fc2')(root)
+        ht = nn.relu(nn.Dense(512, dtype=self.dtype,
+                              name='type_fc1')(pooled))
+        hand_type = nn.Dense(2, dtype=self.dtype, name='type_fc2')(ht)
+        return heatmaps3d, root_depth, hand_type

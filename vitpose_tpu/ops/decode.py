@@ -289,3 +289,28 @@ def pose_pck_accuracy(output, target, mask, thr=0.05):
                     jnp.sum(jnp.where(kpt_has_valid, per_kpt_acc, 0.0))
                     / jnp.maximum(cnt, 1), 0.0)
     return avg, cnt
+
+
+def heatmaps3d_to_coords(heatmaps):
+    """Argmax decode of 3D heatmaps [N, K, D, H, W] -> (coords [N,K,3]
+    (x, y, z), maxvals [N,K,1]) (parity: top_down_eval.py:98
+    `_get_max_preds_3d`)."""
+    n, k, d, h, w = heatmaps.shape
+    flat = heatmaps.reshape(n, k, d * h * w)
+    idx = jnp.argmax(flat, axis=-1)
+    maxvals = jnp.max(flat, axis=-1, keepdims=True)
+    z = (idx // (h * w)).astype(jnp.float32)
+    y = ((idx // w) % h).astype(jnp.float32)
+    x = (idx % w).astype(jnp.float32)
+    coords = jnp.stack([x, y, z], axis=-1)
+    return jnp.where(maxvals > 0.0, coords, -1.0), maxvals
+
+
+def keypoints_from_heatmaps3d(heatmaps, center, scale):
+    """3D heatmaps -> image-space (x, y) + depth-bin z
+    (parity: top_down_eval.py:625)."""
+    coords, maxvals = heatmaps3d_to_coords(heatmaps)
+    w = heatmaps.shape[4]
+    h = heatmaps.shape[3]
+    xy = transform_preds(coords[..., :2], center, scale, (w, h))
+    return jnp.concatenate([xy, coords[..., 2:]], axis=-1), maxvals
