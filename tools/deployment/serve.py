@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Minimal HTTP pose-inference server (counterpart of reference
+tools/deployment/mmpose2torchserve.py + mmpose_handler.py — a servable
+endpoint over the same inference API).
+
+POST /predict with a JSON body:
+  {"image": "<base64 jpeg/png>", "bboxes": [[x, y, w, h, score], ...]}
+returns {"pose_results": [{"bbox": [...], "keypoints": [[x, y, s] x K]}]}.
+GET /health returns model metadata.
+
+Usage:
+  python tools/deployment/serve.py [--variant b] [--checkpoint x.pth]
+      [--port 8080]
+"""
+import argparse
+import base64
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
+
+if os.environ.get('JAX_PLATFORMS'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
+
+def make_handler(model):
+    import cv2
+    import numpy as np
+    from vitpose_tpu.api import inference_top_down_pose_model
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == '/health':
+                ih, iw = model.cfg.backbone.img_size
+                self._json(200, {
+                    'status': 'ok',
+                    'model': 'vitpose_tpu',
+                    'input_size': [ih, iw],
+                    'num_joints': model.cfg.out_channels,
+                    'dataset': model.dataset_info.dataset_name,
+                })
+            else:
+                self._json(404, {'error': 'not found'})
+
+        def do_POST(self):
+            if self.path != '/predict':
+                self._json(404, {'error': 'not found'})
+                return
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                req = json.loads(self.rfile.read(length))
+                raw = base64.b64decode(req['image'])
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                person_results = ([{'bbox': np.asarray(b, np.float32)}
+                                   for b in req.get('bboxes', [])]
+                                  or None)
+                results, _ = inference_top_down_pose_model(
+                    model, img, person_results)
+                out = [{'bbox': np.asarray(r.get('bbox', [])).tolist(),
+                        'keypoints': np.asarray(r['keypoints']).tolist()}
+                       for r in results]
+                self._json(200, {'pose_results': out})
+            except Exception as e:                      # noqa: BLE001
+                self._json(400, {'error': str(e)})
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--variant', default='s')
+    ap.add_argument('--checkpoint', default=None)
+    ap.add_argument('--port', type=int, default=8080)
+    ap.add_argument('--config', default=None,
+                    help='optional config file (overrides --variant)')
+    args = ap.parse_args()
+
+    from vitpose_tpu.api import init_pose_model
+    if args.config:
+        from vitpose_tpu.utils.config import load_config
+        from vitpose_tpu.train.loop import build_model_from_cfg
+        model_cfg = build_model_from_cfg(
+            load_config(args.config)['model']).cfg
+        model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
+    else:
+        model = init_pose_model(args.variant, checkpoint=args.checkpoint)
+    server = HTTPServer(('127.0.0.1', args.port), make_handler(model))
+    print(f'serving on http://127.0.0.1:{args.port} '
+          f'(POST /predict, GET /health)', flush=True)
+    server.serve_forever()
+
+
+if __name__ == '__main__':
+    main()

@@ -240,3 +240,53 @@ def vis_pose_result(model: PoseModel, img, result, kpt_score_thr: float = 0.3,
     if out_file:
         cv2.imwrite(out_file, img)
     return img
+
+
+def inference_bottom_up_pose_model(estimator, variables, img,
+                                   dataset_info=None, pose_nms_thr=0.9,
+                                   base_size=512):
+    """Bottom-up inference on one image (reference apis/inference.py:425
+    `inference_bottom_up_pose_model`): resize to a static base size, run the
+    AE model with flip, group on host, map back to image coords, OKS-NMS.
+
+    estimator: models.bottomup.BottomUpEstimator with trained `variables`.
+    Returns (pose_results list of {'keypoints': [K,3], 'score': float}, []).
+    """
+    import cv2
+    import jax.numpy as jnp
+    from ..ops.nms import oks_nms
+
+    if isinstance(img, str):
+        img = cv2.cvtColor(cv2.imread(img), cv2.COLOR_BGR2RGB)
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    info = dataset_info or estimator.dataset_info
+    scale_f = base_size / max(h, w)
+    resized = cv2.resize(img, (int(round(w * scale_f)),
+                               int(round(h * scale_f))))
+    canvas = np.zeros((base_size, base_size, 3), img.dtype)
+    canvas[:resized.shape[0], :resized.shape[1]] = resized
+    x = jnp.asarray(canvas[None]).astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    flip_index = info.flip_index if info is not None else \
+        np.arange(estimator.num_joints)
+    heatmaps, tags = estimator.infer(variables, x, flip_index)
+    # center/scale of the full resized canvas in ORIGINAL image coords
+    center = np.array([w / 2.0, h / 2.0], np.float32)
+    scale = np.array([max(h, w) / 200.0, max(h, w) / 200.0], np.float32)
+    preds, scores = estimator.parse(
+        np.asarray(heatmaps, np.float32), np.asarray(tags, np.float32),
+        center, scale)
+    pose_results = [dict(keypoints=np.asarray(p)[:, :3],
+                         score=float(s))
+                    for p, s in zip(preds, scores)]
+    if pose_results:
+        for p in pose_results:
+            kp = p['keypoints']
+            p['area'] = float((kp[:, 0].max() - kp[:, 0].min())
+                              * (kp[:, 1].max() - kp[:, 1].min()))
+        keep = oks_nms(pose_results, pose_nms_thr,
+                       sigmas=info.sigmas if len(info.sigmas) else None)
+        pose_results = [pose_results[i] for i in keep]
+    return pose_results, []
