@@ -1,0 +1,315 @@
+"""Remaining CNN backbone families: SCNet, ResNeSt, RegNet, MobileNetV3,
+ShuffleNetV1.
+
+Counterparts of reference mmpose/models/backbones/{scnet,resnest,regnet,
+mobilenet_v3,shufflenet_v1}.py — compact NHWC flax implementations
+preserving each family's defining block (self-calibrated conv,
+split-attention, group-width bottleneck, SE+h-swish inverted residual,
+grouped-1x1 shuffle unit).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import RESNET_SPECS, _bn
+
+
+def _hswish(x):
+    return x * nn.relu6(x + 3.0) / 6.0
+
+
+class SCConv(nn.Module):
+    """Self-calibrated conv (SCNet): branch A calibrates branch B through a
+    downsampled gating path."""
+    channels: int
+    stride: int = 1
+    pooling_r: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        # calibration path: avgpool -> conv -> upsample -> sigmoid gate
+        # (pool size clamped so tiny feature maps don't collapse to zero)
+        r = max(1, min(self.pooling_r, x.shape[1], x.shape[2]))
+        down = nn.avg_pool(x, (r, r), strides=(r, r))
+        down = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                       use_bias=False, dtype=self.dtype, name='k2')(down)
+        down = _bn(train, self.dtype, 'k2_bn')(down)
+        up = jax.image.resize(down, x.shape[:3] + (self.channels,),
+                              method='bilinear')
+        gate = nn.sigmoid(x[..., :self.channels] + up)
+        y = nn.Conv(self.channels, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name='k3')(x)
+        y = _bn(train, self.dtype, 'k3_bn')(y)
+        if self.stride > 1:
+            gate = gate[:, ::self.stride, ::self.stride]
+        y = y * gate
+        y = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name='k4')(y)
+        return _bn(train, self.dtype, 'k4_bn')(y)
+
+
+class SCBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        half = self.planes // 2
+        # branch a: plain conv path
+        a = nn.relu(_bn(train, self.dtype, 'a1_bn')(
+            nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='a1')(x)))
+        a = nn.relu(_bn(train, self.dtype, 'a2_bn')(
+            nn.Conv(half, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name='a2')(a)))
+        # branch b: self-calibrated path
+        b = nn.relu(_bn(train, self.dtype, 'b1_bn')(
+            nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='b1')(x)))
+        b = nn.relu(SCConv(half, stride=self.stride, dtype=self.dtype,
+                           name='scconv')(b, train=train))
+        y = jnp.concatenate([a, b], axis=-1)
+        y = _bn(train, self.dtype, 'out_bn')(
+            nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='out')(y))
+        if self.downsample:
+            identity = _bn(train, self.dtype, 'ds_bn')(
+                nn.Conv(self.planes * 4, (1, 1),
+                        strides=(self.stride,) * 2, use_bias=False,
+                        dtype=self.dtype, name='ds')(x))
+        return nn.relu(y + identity)
+
+
+class SplitAttention(nn.Module):
+    """ResNeSt split-attention over `radix` feature splits."""
+    channels: int
+    radix: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = nn.Conv(self.channels * self.radix, (3, 3),
+                    padding=((1, 1), (1, 1)),
+                    feature_group_count=self.radix, use_bias=False,
+                    dtype=self.dtype, name='conv')(x)
+        y = nn.relu(_bn(train, self.dtype, 'bn')(y))
+        n, h, w, _ = y.shape
+        splits = y.reshape(n, h, w, self.radix, self.channels)
+        gap = jnp.sum(splits, axis=3).mean(axis=(1, 2))      # [N, C]
+        att = nn.relu(nn.Dense(max(self.channels // 4, 32),
+                               dtype=self.dtype, name='fc1')(gap))
+        att = nn.Dense(self.channels * self.radix, dtype=self.dtype,
+                       name='fc2')(att)
+        att = jax.nn.softmax(att.reshape(n, self.radix, self.channels),
+                             axis=1)
+        return jnp.sum(splits * att[:, None, None], axis=3)
+
+
+class ResNeStBottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    radix: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        y = nn.relu(_bn(train, self.dtype, 'bn1')(
+            nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)))
+        y = SplitAttention(self.planes, self.radix, dtype=self.dtype,
+                           name='splat')(y, train=train)
+        if self.stride > 1:
+            y = nn.avg_pool(y, (3, 3), strides=(self.stride,) * 2,
+                            padding=((1, 1), (1, 1)))
+        y = _bn(train, self.dtype, 'bn3')(
+            nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='conv3')(y))
+        if self.downsample:
+            identity = _bn(train, self.dtype, 'ds_bn')(
+                nn.Conv(self.planes * 4, (1, 1),
+                        strides=(self.stride,) * 2, use_bias=False,
+                        dtype=self.dtype, name='ds')(x))
+        return nn.relu(y + identity)
+
+
+class _ResNetLike(nn.Module):
+    """Shared ResNet-style trunk over an arbitrary bottleneck block."""
+    block_cls: type
+    depth: int = 50
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _, stage_blocks = RESNET_SPECS[self.depth]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = nn.relu(_bn(train, self.dtype, 'bn1')(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        planes, in_ch = 64, 64
+        for si, n_blocks in enumerate(stage_blocks):
+            stride = 1 if si == 0 else 2
+            for bi in range(n_blocks):
+                s = stride if bi == 0 else 1
+                ds = bi == 0 and (s != 1 or in_ch != planes * 4)
+                x = self.block_cls(planes, stride=s, downsample=ds,
+                                   dtype=self.dtype,
+                                   name=f'layer{si + 1}_{bi}')(x,
+                                                               train=train)
+                in_ch = planes * 4
+            planes *= 2
+        return x
+
+
+def SCNet(depth=50, dtype=jnp.float32):
+    return _ResNetLike(SCBottleneck, depth=depth, dtype=dtype)
+
+
+def ResNeSt(depth=50, dtype=jnp.float32):
+    return _ResNetLike(ResNeStBottleneck, depth=depth, dtype=dtype)
+
+
+class RegNet(nn.Module):
+    """RegNetX-style staged group-conv bottlenecks (widths/depths per
+    stage; reference regnet.py parameterizes by w0/wa/wm — we accept the
+    resolved per-stage widths directly)."""
+    stage_widths: Sequence[int] = (80, 240, 560, 1360)
+    stage_depths: Sequence[int] = (2, 6, 15, 2)
+    group_width: int = 40
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name='stem')(x)
+        x = nn.relu(_bn(train, self.dtype, 'stem_bn')(x))
+        for si, (wd, dp) in enumerate(zip(self.stage_widths,
+                                          self.stage_depths)):
+            groups = max(wd // self.group_width, 1)
+            for bi in range(dp):
+                stride = 2 if bi == 0 else 1
+                identity = x
+                y = nn.relu(_bn(train, self.dtype, f's{si}b{bi}_bn1')(
+                    nn.Conv(wd, (1, 1), use_bias=False, dtype=self.dtype,
+                            name=f's{si}b{bi}_c1')(x)))
+                y = nn.relu(_bn(train, self.dtype, f's{si}b{bi}_bn2')(
+                    nn.Conv(wd, (3, 3), strides=(stride,) * 2,
+                            padding=((1, 1), (1, 1)),
+                            feature_group_count=groups, use_bias=False,
+                            dtype=self.dtype, name=f's{si}b{bi}_c2')(y)))
+                y = _bn(train, self.dtype, f's{si}b{bi}_bn3')(
+                    nn.Conv(wd, (1, 1), use_bias=False, dtype=self.dtype,
+                            name=f's{si}b{bi}_c3')(y))
+                if stride != 1 or identity.shape[-1] != wd:
+                    identity = _bn(train, self.dtype, f's{si}b{bi}_dsbn')(
+                        nn.Conv(wd, (1, 1), strides=(stride,) * 2,
+                                use_bias=False, dtype=self.dtype,
+                                name=f's{si}b{bi}_ds')(identity))
+                x = nn.relu(y + identity)
+        return x
+
+
+class MobileNetV3(nn.Module):
+    """MobileNetV3-small-style inverted residuals with SE + h-swish."""
+    dtype: jnp.dtype = jnp.float32
+    # (kernel, expand, out, use_se, use_hs, stride)
+    ARCH = ((3, 16, 16, True, False, 2), (3, 72, 24, False, False, 2),
+            (3, 88, 24, False, False, 1), (5, 96, 40, True, True, 2),
+            (5, 240, 40, True, True, 1), (5, 240, 40, True, True, 1),
+            (5, 120, 48, True, True, 1), (5, 144, 48, True, True, 1),
+            (5, 288, 96, True, True, 2), (5, 576, 96, True, True, 1),
+            (5, 576, 96, True, True, 1))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .classic_cnns import SELayer
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name='stem')(x)
+        x = _hswish(_bn(train, self.dtype, 'stem_bn')(x))
+        for i, (k, e, o, se, hs, s) in enumerate(self.ARCH):
+            act = _hswish if hs else nn.relu
+            inp = x
+            y = nn.Conv(e, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f'b{i}_exp')(x)
+            y = act(_bn(train, self.dtype, f'b{i}_exp_bn')(y))
+            p = (k - 1) // 2
+            y = nn.Conv(e, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+                        feature_group_count=e, use_bias=False,
+                        dtype=self.dtype, name=f'b{i}_dw')(y)
+            y = act(_bn(train, self.dtype, f'b{i}_dw_bn')(y))
+            if se:
+                y = SELayer(ratio=4, dtype=self.dtype, name=f'b{i}_se')(y)
+            y = nn.Conv(o, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f'b{i}_proj')(y)
+            y = _bn(train, self.dtype, f'b{i}_proj_bn')(y)
+            if s == 1 and inp.shape[-1] == o:
+                y = y + inp
+            x = y
+        x = nn.Conv(576, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='head')(x)
+        return _hswish(_bn(train, self.dtype, 'head_bn')(x))
+
+
+class ShuffleNetV1(nn.Module):
+    """ShuffleNetV1 grouped-1x1 + channel-shuffle units."""
+    groups: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        chans = {1: (144, 288, 576), 2: (200, 400, 800),
+                 3: (240, 480, 960), 4: (272, 544, 1088),
+                 8: (384, 768, 1536)}[self.groups]
+        g = self.groups
+        x = nn.Conv(24, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name='stem')(x)
+        x = nn.relu(_bn(train, self.dtype, 'stem_bn')(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        def shuffle(y):
+            n, h, w, c = y.shape
+            y = y.reshape(n, h, w, g, c // g).swapaxes(3, 4)
+            return y.reshape(n, h, w, c)
+
+        for si, (ch, reps) in enumerate(zip(chans, (4, 8, 4))):
+            for bi in range(reps):
+                stride = 2 if bi == 0 else 1
+                identity = x
+                body = ch - identity.shape[-1] if stride == 2 else ch
+                first_groups = 1 if (si == 0 and bi == 0) else g
+                mid = max(body // 4 // g * g, g)
+                y = nn.Conv(mid, (1, 1),
+                            feature_group_count=first_groups,
+                            use_bias=False, dtype=self.dtype,
+                            name=f's{si}b{bi}_g1')(x)
+                y = nn.relu(_bn(train, self.dtype, f's{si}b{bi}_bn1')(y))
+                y = shuffle(y) if first_groups == g else y
+                y = nn.Conv(y.shape[-1], (3, 3), strides=(stride,) * 2,
+                            padding=((1, 1), (1, 1)),
+                            feature_group_count=y.shape[-1],
+                            use_bias=False, dtype=self.dtype,
+                            name=f's{si}b{bi}_dw')(y)
+                y = _bn(train, self.dtype, f's{si}b{bi}_bn2')(y)
+                y = nn.Conv(body, (1, 1), feature_group_count=g,
+                            use_bias=False, dtype=self.dtype,
+                            name=f's{si}b{bi}_g2')(y)
+                y = _bn(train, self.dtype, f's{si}b{bi}_bn3')(y)
+                if stride == 2:
+                    identity = nn.avg_pool(identity, (3, 3),
+                                           strides=(2, 2),
+                                           padding=((1, 1), (1, 1)))
+                    x = nn.relu(jnp.concatenate([identity, y], axis=-1))
+                else:
+                    x = nn.relu(identity + y)
+        return x
