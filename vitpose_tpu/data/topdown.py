@@ -117,7 +117,18 @@ class TopDownDataset:
                     continue
                 if ann.get('num_keypoints', 1) == 0:
                     continue
-                kp = np.asarray(ann['keypoints'], np.float32).reshape(-1, 3)
+                kp_list = list(ann['keypoints'])
+                # COCO-WholeBody splits keypoints across part fields
+                # (reference topdown_coco_wholebody_dataset.py concatenates
+                # body+foot+face+lefthand+righthand)
+                if len(kp_list) // 3 < k:
+                    for part in ('foot_kpts', 'face_kpts', 'lefthand_kpts',
+                                 'righthand_kpts'):
+                        if part in ann:
+                            kp_list = kp_list + list(ann[part])
+                if len(kp_list) // 3 != k:
+                    continue
+                kp = np.asarray(kp_list, np.float32).reshape(-1, 3)
                 joints = np.zeros((k, 3), np.float32)
                 visible = np.zeros((k, 3), np.float32)
                 joints[:, :2] = kp[:, :2]

@@ -2,61 +2,80 @@
 
 Counterpart of the reference camera module
 (mmpose/core/camera/single_camera.py:8 `SimpleCamera` /
-`SimpleCameraTorch`): world<->camera rigid transforms and camera->pixel
-projection with radial (k1..k6-style truncated to k3) + tangential (p1, p2)
-distortion. All functions vmap/jit-ready; parameters follow the reference's
-dict convention (R [3,3], T [3,1], f [2,1], c [2,1], k [3|6], p [2]).
+`SimpleCameraTorch`), matching its conventions exactly (golden-tested):
+  * `R` [3, 3] is the CAMERA-TO-WORLD rotation; `T` [3, 1] the
+    camera position in world coords.
+  * world->camera: X @ R + (-T^T @ R);  camera->world: X @ R^T + T^T.
+  * camera->pixel: perspective divide, radial (k, 3 or 6 coeffs) +
+    tangential (p) distortion, then the [3, 2] intrinsic projection.
+All math is jnp and vmap/jit-ready.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class SimpleCamera:
     """Camera parametrized like the reference SimpleCamera."""
 
     def __init__(self, param: dict):
-        self.R = jnp.asarray(param['R'], jnp.float32)          # [3, 3]
-        self.T = jnp.asarray(param['T'], jnp.float32).reshape(1, 3)
-        f = jnp.asarray(param['f'], jnp.float32).reshape(2)
-        c = jnp.asarray(param['c'], jnp.float32).reshape(2)
-        self.f = f
-        self.c = c
-        self.K = jnp.array([[f[0], 0, c[0]], [0, f[1], c[1]], [0, 0, 1]],
-                           jnp.float32)
+        r = np.asarray(param['R'], np.float32)
+        t = np.asarray(param['T'], np.float32).reshape(1, 3)
+        self.R_c2w = jnp.asarray(r.T)
+        self.T_c2w = jnp.asarray(t)
+        self.R_w2c = jnp.asarray(r)
+        self.T_w2c = jnp.asarray(-t @ r)
+
+        if 'K' in param:
+            k_mat = np.asarray(param['K'], np.float32)   # [2, 3]
+            self.K = jnp.asarray(k_mat.T)                # [3, 2]
+            f = np.array([k_mat[0, 0], k_mat[1, 1]], np.float32)
+            c = np.array([k_mat[0, 2], k_mat[1, 2]], np.float32)
+        else:
+            f = np.asarray(param['f'], np.float32).reshape(2)
+            c = np.asarray(param['c'], np.float32).reshape(2)
+            self.K = jnp.asarray(
+                np.concatenate([np.diagflat(f), c[:, None]],
+                               axis=-1).T)               # [3, 2]
+        self.f = jnp.asarray(f)
+        self.c = jnp.asarray(c)
+
         self.has_dist = 'k' in param and 'p' in param
         if self.has_dist:
-            self.k = jnp.asarray(param['k'], jnp.float32).reshape(-1)
-            self.p = jnp.asarray(param['p'], jnp.float32).reshape(-1)
+            self.k = jnp.asarray(np.asarray(param['k'],
+                                            np.float32).flatten())
+            self.p = jnp.asarray(np.asarray(param['p'],
+                                            np.float32).flatten())
 
     def world_to_camera(self, x):
-        """[..., 3] world -> camera coords (reference: X_cam = R(X - T)...
-        mmpose convention: x @ R.T + T)."""
-        return x @ self.R.T + self.T
+        x = jnp.asarray(x, jnp.float32)
+        return x @ self.R_w2c + self.T_w2c
 
     def camera_to_world(self, x):
-        return (x - self.T) @ jnp.linalg.inv(self.R).T
+        x = jnp.asarray(x, jnp.float32)
+        return x @ self.R_c2w + self.T_c2w
 
     def camera_to_pixel(self, x):
-        """[..., 3] camera coords -> [..., 2] pixels with distortion
-        (parity: single_camera.py SimpleCamera.camera_to_pixel)."""
-        v = x[..., :2] / x[..., 2:]
+        x = jnp.asarray(x, jnp.float32)
+        v = x / x[..., 2:]
         if self.has_dist:
             k, p = self.k, self.p
-            r2 = jnp.sum(v ** 2, axis=-1)
+            v2 = v[..., :2]
+            r2 = jnp.sum(v2 ** 2, axis=-1)
             radial = 1.0 + sum(ki * r2 ** (i + 1)
                                for i, ki in enumerate(k[:3]))
             if k.shape[0] == 6:
                 radial = radial / (1.0 + sum(
                     ki * r2 ** (i + 1) for i, ki in enumerate(k[3:])))
             tangential = 2.0 * (p[1] * v[..., 0] + p[0] * v[..., 1])
-            v = (v * (radial + tangential)[..., None]
-                 + jnp.stack([p[1], p[0]]) * r2[..., None])
-        return v * self.f + self.c
+            v2 = v2 * (radial + tangential)[..., None] \
+                + r2[..., None] * p[::-1]
+            v = jnp.concatenate([v2, v[..., 2:]], axis=-1)
+        return v @ self.K
 
     def pixel_to_camera(self, x):
-        """[..., 3] (u, v, depth) -> camera coords (no distortion inverse,
-        like the reference)."""
+        x = jnp.asarray(x, jnp.float32)
         z = x[..., 2:]
         uv = (x[..., :2] - self.c) / self.f * z
         return jnp.concatenate([uv, z], axis=-1)
