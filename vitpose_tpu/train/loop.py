@@ -27,12 +27,36 @@ from .step import make_train_step
 from ..parallel import make_mesh, shard_train_step
 
 
-def _log(work_dir, record):
+_tb_writers = {}
+
+
+def _log(work_dir, record, tensorboard=False):
     line = json.dumps(record)
     print(line, flush=True)
     if work_dir:
         with open(os.path.join(work_dir, 'train.log.json'), 'a') as f:
             f.write(line + '\n')
+        if tensorboard:
+            _log_tensorboard(work_dir, record)
+
+
+def _log_tensorboard(work_dir, record):
+    """Optional TF summary writer (the reference's TensorboardLoggerHook
+    counterpart, default_runtime.py:7)."""
+    try:
+        import tensorflow as tf
+    except ImportError:
+        return
+    if work_dir not in _tb_writers:
+        _tb_writers[work_dir] = tf.summary.create_file_writer(
+            os.path.join(work_dir, 'tb'))
+    step = record.get('step', record.get('epoch', 0))
+    with _tb_writers[work_dir].as_default():
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k not in ('epoch', 'iter',
+                                                         'step'):
+                tf.summary.scalar(f"{record.get('mode', 'x')}/{k}", v,
+                                  step=step)
 
 
 def build_model_from_cfg(mcfg: dict):
@@ -159,6 +183,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     log_interval = rt.get('log_interval', 50)
     eval_interval = rt.get('eval_interval', 10)
     ckpt_interval = rt.get('ckpt_interval', 10)
+    use_tb = rt.get('tensorboard', False)
     mcfg = model.cfg
     global_step = 0
     from ..parallel.distributed import PreemptionGuard
@@ -183,7 +208,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                 m = {k: float(v) for k, v in metrics.items()}
                 _log(work_dir, dict(mode='train', epoch=epoch, iter=it,
                                     step=global_step, data_time=t_data,
-                                    time=time.time() - t_epoch, **m))
+                                    time=time.time() - t_epoch, **m),
+                     tensorboard=use_tb)
             t_last = time.time()
             if guard.should_stop:
                 _log(work_dir, {'mode': 'preempt', 'epoch': epoch,
@@ -206,7 +232,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                 modulate_kernel=mcfg.modulate_kernel)
             stats = val_loader.ds.evaluate(results)
             record.update({k: float(v) for k, v in stats.items()})
-        _log(work_dir, record)
+        _log(work_dir, record, tensorboard=use_tb)
 
         if (epoch + 1) % ckpt_interval == 0 or epoch == total_epochs - 1:
             ckpt.save(epoch, state, metrics=stats)
