@@ -1,0 +1,51 @@
+"""Bottom-up AE training smoke: loss decreases on the real fixture."""
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+REF = "/root/reference/tests/data/coco"
+
+
+@pytest.mark.slow
+def test_bottomup_training_converges():
+    from vitpose_tpu.data.bottomup import BottomUpCocoDataset
+    from vitpose_tpu.data import DatasetInfo
+    from vitpose_tpu.models.bottomup import BottomUpEstimator
+    from vitpose_tpu.models.vit import ViTConfig
+    from vitpose_tpu.train.bottomup_loop import (BottomUpLoader,
+                                                 make_bottomup_train_step)
+
+    ds = BottomUpCocoDataset(f"{REF}/test_coco.json", REF + "/",
+                             input_size=128, output_sizes=(32,),
+                             max_people=10)
+    ds.info = DatasetInfo.load('coco')
+    loader = BottomUpLoader(ds, batch_size=4, output_size=32, sigma=1.5)
+
+    bb = ViTConfig(img_size=(128, 128), embed_dim=48, depth=2, num_heads=4)
+    est = BottomUpEstimator(bb, num_joints=17,
+                            dataset_info=DatasetInfo.load('coco'))
+    rng = jax.random.PRNGKey(0)
+    variables = est.init(rng, jnp.zeros((1, 128, 128, 3)))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables)
+
+    loss_fn, train_step = make_bottomup_train_step(est)
+    step = jax.jit(functools.partial(train_step, tx=tx))
+
+    losses = []
+    for epoch in range(10):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            variables, opt_state, metrics = step(variables, opt_state,
+                                                 batch)
+            losses.append(float(metrics['total_loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    # all three loss components present
+    assert {'heatmap_loss', 'push_loss', 'pull_loss'} <= set(metrics)

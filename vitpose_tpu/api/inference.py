@@ -290,3 +290,48 @@ def inference_bottom_up_pose_model(estimator, variables, img,
                        sigmas=info.sigmas if len(info.sigmas) else None)
         pose_results = [pose_results[i] for i in keep]
     return pose_results, []
+
+
+def imshow_bboxes(img, bboxes, labels=None, colors=(0, 255, 0), thickness=1,
+                  out_file=None):
+    """Draw xyxy boxes (+optional labels) on an image (reference
+    core/visualization/image.py:27 `imshow_bboxes`). Returns BGR image."""
+    import cv2
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    else:
+        img = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2BGR)
+    img = img.copy()
+    if isinstance(colors[0], int):
+        colors = [colors] * len(bboxes)
+    for i, bbox in enumerate(np.asarray(bboxes)):
+        x0, y0, x1, y1 = bbox[:4].astype(int)
+        cv2.rectangle(img, (x0, y0), (x1, y1), tuple(colors[i]), thickness)
+        if labels is not None:
+            cv2.putText(img, str(labels[i]), (x0, max(y0 - 2, 0)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, tuple(colors[i]), 1)
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img
+
+
+def vis_pose_result_3d(pose_results_3d, skeleton=None, out_file=None,
+                       azimuth=70, elevation=15):
+    """Render 3D poses with matplotlib (reference
+    core/visualization/image.py:205 `imshow_keypoints_3d`)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    fig = plt.figure()
+    ax = fig.add_subplot(111, projection='3d')
+    for res in pose_results_3d:
+        kp = np.asarray(res['keypoints_3d'])
+        ax.scatter(kp[:, 0], kp[:, 1], kp[:, 2], s=8)
+        for a, b in (skeleton or []):
+            ax.plot([kp[a, 0], kp[b, 0]], [kp[a, 1], kp[b, 1]],
+                    [kp[a, 2], kp[b, 2]], lw=1)
+    ax.view_init(elev=elevation, azim=azimuth)
+    if out_file:
+        fig.savefig(out_file, dpi=100)
+        plt.close(fig)
+    return fig

@@ -250,3 +250,22 @@ class TopDownDataset:
         evaluator = CocoKeypointEval(self.coco, sigmas=self.sigmas)
         stats = evaluator.evaluate(coco_dt)
         return OrderedDict(stats)
+
+    def evaluate_per_kpts(self, results):
+        """Per-keypoint AP sensitivity: re-evaluate with each keypoint's OKS
+        sigma inflated to 10.0 in turn (fork's evaluate_per_kpts,
+        topdown_coco_dataset.py:391). Returns a list of stats dicts, one per
+        keypoint."""
+        base = np.asarray(self.sigmas if self.sigmas is not None
+                          else np.full(self.num_joints, 0.05), np.float64)
+        out = []
+        saved = self.info.sigmas
+        try:
+            for i in range(self.num_joints):
+                s = base.copy()
+                s[i] = 10.0
+                self.info.sigmas = s
+                out.append(self.evaluate(results))
+        finally:
+            self.info.sigmas = saved
+        return out
