@@ -54,19 +54,31 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
     return val_step
 
 
+_val_step_cache = {}
+
+
 def run_validation(model, variables, loader, use_udp=True,
                    post_process='default', modulate_kernel=11,
                    expert_idx: Optional[int] = None, progress=False,
                    target_type='GaussianHeatmap', head_idx=None):
     """Run the val loop and return the results list consumed by
-    TopDownDataset.evaluate (preds/boxes/image_paths/bbox_ids per batch)."""
+    TopDownDataset.evaluate (preds/boxes/image_paths/bbox_ids per batch).
+
+    The jitted val step is cached per (model, geometry, decode config) so
+    periodic in-training evaluation doesn't recompile every time."""
     import jax.numpy as jnp
 
     flip_index = loader.ds.info.flip_index
-    val_step = make_val_step(
-        model, loader.image_size, use_udp=use_udp,
-        post_process=post_process, modulate_kernel=modulate_kernel,
-        flip_index=flip_index, target_type=target_type, head_idx=head_idx)
+    key = (id(model), tuple(loader.image_size), use_udp, post_process,
+           modulate_kernel, target_type, head_idx,
+           tuple(flip_index.tolist()))
+    if key not in _val_step_cache:
+        _val_step_cache[key] = make_val_step(
+            model, loader.image_size, use_udp=use_udp,
+            post_process=post_process, modulate_kernel=modulate_kernel,
+            flip_index=flip_index, target_type=target_type,
+            head_idx=head_idx)
+    val_step = _val_step_cache[key]
 
     results = []
     for bi, batch in enumerate(loader):
