@@ -1,0 +1,94 @@
+"""H36M 3D dataset + MPJPE metrics + PoseLifter training smoke."""
+import numpy as np
+import pytest
+
+REF = "/root/reference/tests/data/h36m"
+
+
+def test_h36m_dataset_sequences():
+    from vitpose_tpu.data.body3d import Body3DH36MDataset
+    ds = Body3DH36MDataset(f"{REF}/test_h36m_body3d.npz", seq_len=3)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s['input_2d'].shape == (3, 17, 2)
+    assert s['target_3d'].shape == (17, 3)
+
+
+def test_h36m_2d_detection_substitution():
+    from vitpose_tpu.data.body3d import Body3DH36MDataset
+    ds = Body3DH36MDataset(f"{REF}/test_h36m_body3d.npz", seq_len=1,
+                           det_file=f"{REF}/test_h36m_2d_detection.npy")
+    s = ds[0]
+    assert s['input_2d'].shape == (1, 17, 2)
+
+
+def test_mpjpe_metrics():
+    from vitpose_tpu.data.body3d import keypoint_mpjpe, procrustes_align
+    rng = np.random.RandomState(0)
+    gt = rng.randn(4, 17, 3)
+    mask = np.ones((4, 17), bool)
+    # pure translation: mpjpe > 0, p-mpjpe == 0
+    pred = gt + np.array([0.5, 0.0, 0.0])
+    assert keypoint_mpjpe(pred, gt, mask) == pytest.approx(0.5, abs=1e-6)
+    assert keypoint_mpjpe(pred, gt, mask, 'procrustes') < 1e-6
+    # pure scale: n-mpjpe == 0
+    pred = gt * 1.3
+    assert keypoint_mpjpe(pred, gt, mask, 'scale') < 1e-6
+    # procrustes recovers a random rotation
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    pred = gt @ q.T * 0.8 + 2.0
+    assert keypoint_mpjpe(pred, gt, mask, 'procrustes') < 1e-6
+
+
+def test_h36m_evaluate():
+    from vitpose_tpu.data.body3d import Body3DH36MDataset
+    ds = Body3DH36MDataset(f"{REF}/test_h36m_body3d.npz", seq_len=1)
+    preds = np.stack([ds.joints_3d[i][..., :3] for i in range(4)])
+    results = [dict(preds=preds, target_idxs=[0, 1, 2, 3])]
+    stats = ds.evaluate(results, metric=['mpjpe', 'p-mpjpe', 'n-mpjpe'])
+    assert stats['MPJPE'] < 1e-6
+
+
+@pytest.mark.slow
+def test_poselifter_training_on_h36m():
+    """PoseLifter overfits the 4-sample H36M fixture (loss + MPJPE drop)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from vitpose_tpu.data.body3d import Body3DH36MDataset, keypoint_mpjpe
+    from vitpose_tpu.models.pose3d import PoseLifter
+    from vitpose_tpu.models.losses_regression import mpjpe_loss
+
+    ds = Body3DH36MDataset(f"{REF}/test_h36m_body3d.npz", seq_len=9)
+    model = PoseLifter(num_joints=17, stem_channels=64,
+                       kernel_sizes=(3, 3))
+    x = jnp.stack([jnp.asarray(ds[i]['input_2d']) for i in range(4)])
+    x = x / 1000.0
+    y = jnp.stack([jnp.asarray(ds[i]['target_3d']) for i in range(4)])
+    root = y[:, :1]
+    y_rel = y - root
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, x, train=False)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state):
+        def loss_fn(v):
+            out = model.apply(v, x, train=False)
+            return mpjpe_loss(out, y_rel)
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss
+
+    losses = []
+    for _ in range(150):
+        variables, opt_state, loss = step(variables, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.2, (losses[0], losses[-1])
+    out = model.apply(variables, x, train=False)
+    err = keypoint_mpjpe(np.asarray(out), np.asarray(y_rel),
+                         np.ones((4, 17), bool))
+    assert err < losses[0]

@@ -21,6 +21,8 @@ FIXTURES = [
     ('macaque', f'{DATA}/macaque/test_macaque.json', f'{DATA}/macaque/'),
     ('animalpose', f'{DATA}/animalpose/test_animalpose.json',
      f'{DATA}/animalpose/'),
+    ('posetrack18', f'{DATA}/posetrack18/annotations/'
+     'test_posetrack18_val.json', f'{DATA}/posetrack18/'),
 ]
 
 

@@ -1,0 +1,141 @@
+"""Human3.6M-style 3D pose dataset (sequence sampling + MPJPE evaluation).
+
+Counterpart of reference Body3DH36MDataset
+(mmpose/datasets/datasets/body3d/body3d_h36m_dataset.py) and
+`keypoint_mpjpe` (core/evaluation): loads the npz annotation format
+(imgname/center/scale/part[2D]/S[3D]), samples fixed-length temporal
+windows per target frame grouped by video sequence, optionally substitutes
+detected 2D keypoints, and evaluates MPJPE / P-MPJPE (Procrustes-aligned) /
+N-MPJPE (scale-aligned).
+"""
+from __future__ import annotations
+
+import os
+import re
+from collections import OrderedDict, defaultdict
+
+import numpy as np
+
+
+def procrustes_align(pred, gt):
+    """Similarity-transform-align pred [K,3] to gt [K,3] (umeyama)."""
+    mu_p, mu_g = pred.mean(0), gt.mean(0)
+    p, g = pred - mu_p, gt - mu_g
+    cov = g.T @ p / len(p)
+    u, s, vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(u @ vt))
+    D = np.diag([1.0, 1.0, d])
+    r = u @ D @ vt
+    var_p = (p ** 2).sum() / len(p)
+    scale = np.trace(np.diag(s) @ D) / var_p
+    t = mu_g - scale * (r @ mu_p)
+    return scale * pred @ r.T + t
+
+
+def keypoint_mpjpe(pred, gt, mask, alignment='none'):
+    """Mean per-joint position error over visible joints.
+
+    alignment: 'none' | 'procrustes' (P-MPJPE) | 'scale' (N-MPJPE).
+    pred/gt [N, K, 3], mask [N, K] bool.
+    """
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    errs = []
+    for p, g, m in zip(pred, gt, np.asarray(mask, bool)):
+        if not m.any():
+            continue
+        if alignment == 'procrustes':
+            p = procrustes_align(p, g)
+        elif alignment == 'scale':
+            denom = (p * p).sum()
+            a = (p * g).sum() / denom if denom > 0 else 1.0
+            p = a * p
+        errs.append(np.linalg.norm((p - g)[m], axis=-1).mean())
+    return float(np.mean(errs)) if errs else 0.0
+
+
+def _seq_name(imgname):
+    """'S1_Directions_1.54138969_000001.jpg' -> subject+action+camera key."""
+    base = os.path.basename(imgname)
+    return re.sub(r'_\d+\.(jpg|png)$', '', base)
+
+
+class Body3DH36MDataset:
+    def __init__(self, ann_file, img_prefix='', seq_len=27,
+                 seq_frame_interval=1, causal=False, det_file=None,
+                 test_mode=False):
+        data = np.load(ann_file, allow_pickle=True)
+        self.imgnames = data['imgname']
+        self.centers = np.asarray(data['center'], np.float32)
+        self.scales = np.asarray(data['scale'], np.float32)
+        self.joints_2d = np.asarray(data['part'], np.float32)   # [N, K, 3]
+        self.joints_3d = np.asarray(data['S'], np.float32)      # [N, K, 4]
+        if det_file:
+            det = np.load(det_file)
+            self.joints_2d = np.asarray(det, np.float32)[:, :, :3]
+        self.img_prefix = img_prefix
+        self.seq_len = seq_len
+        self.interval = seq_frame_interval
+        self.causal = causal
+        self.test_mode = test_mode
+        self.num_joints = self.joints_2d.shape[1]
+        self.sample_indices = self._build_sequences()
+
+    def _build_sequences(self):
+        """Per target frame, a padded window of frame indices from the same
+        video (parity: body3d_h36m_dataset.py:184-205)."""
+        by_seq = defaultdict(list)
+        for i, name in enumerate(self.imgnames):
+            by_seq[_seq_name(str(name))].append(i)
+        samples = []
+        for _, idxs in sorted(by_seq.items()):
+            idxs = np.asarray(idxs)
+            n = len(idxs)
+            for t in range(n):
+                if self.causal:
+                    left, right = self.seq_len - 1, 0
+                else:
+                    left = (self.seq_len - 1) // 2
+                    right = self.seq_len - 1 - left
+                window = []
+                for off in range(-left, right + 1):
+                    j = int(np.clip(t + off * self.interval, 0, n - 1))
+                    window.append(int(idxs[j]))
+                samples.append(window)
+        return samples
+
+    def __len__(self):
+        return len(self.sample_indices)
+
+    def __getitem__(self, idx):
+        window = self.sample_indices[idx]
+        target = window[-1] if self.causal else window[len(window) // 2]
+        return dict(
+            input_2d=self.joints_2d[window][..., :2],          # [T, K, 2]
+            input_2d_visible=self.joints_2d[window][..., 2],
+            target_3d=self.joints_3d[target][..., :3],         # [K, 3]
+            target_3d_visible=self.joints_3d[target][..., 3],
+            target_image_path=os.path.join(self.img_prefix,
+                                           str(self.imgnames[target])),
+            target_idx=target,
+        )
+
+    def evaluate(self, results, metric='mpjpe'):
+        """results: list of dicts with preds [M, K, 3] and target_idxs
+        (list). Metrics: mpjpe | p-mpjpe | n-mpjpe."""
+        metrics = metric if isinstance(metric, list) else [metric]
+        preds, gts, masks = [], [], []
+        for r in results:
+            for p, ti in zip(np.asarray(r['preds']), r['target_idxs']):
+                preds.append(p)
+                gts.append(self.joints_3d[ti][..., :3])
+                masks.append(self.joints_3d[ti][..., 3] > 0)
+        preds, gts = np.stack(preds), np.stack(gts)
+        masks = np.stack(masks)
+        name_value = OrderedDict()
+        for m in metrics:
+            align = {'mpjpe': 'none', 'p-mpjpe': 'procrustes',
+                     'n-mpjpe': 'scale'}[m.lower()]
+            name_value[m.upper()] = keypoint_mpjpe(preds, gts, masks,
+                                                   alignment=align)
+        return name_value

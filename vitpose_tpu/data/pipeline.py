@@ -156,3 +156,36 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
         return out
 
     return preprocess
+
+
+def photometric_distortion(rng: np.random.RandomState, img,
+                           brightness_delta=32, contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5), hue_delta=18):
+    """Random photometric augmentation on a uint8 RGB image (counterpart of
+    reference shared_transform.py:303 `PhotometricDistortion`): brightness,
+    contrast (random order), saturation, hue, channel swap."""
+    import cv2
+    img = img.astype(np.float32)
+
+    if rng.randint(2):
+        img += rng.uniform(-brightness_delta, brightness_delta)
+
+    contrast_last = rng.randint(2)
+    if not contrast_last and rng.randint(2):
+        img *= rng.uniform(*contrast_range)
+
+    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                       cv2.COLOR_RGB2HSV).astype(np.float32)
+    if rng.randint(2):
+        hsv[..., 1] *= rng.uniform(*saturation_range)
+    if rng.randint(2):
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) \
+            % 180
+    img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                       cv2.COLOR_HSV2RGB).astype(np.float32)
+
+    if contrast_last and rng.randint(2):
+        img *= rng.uniform(*contrast_range)
+    if rng.randint(2):
+        img = img[..., rng.permutation(3)]
+    return np.clip(img, 0, 255).astype(np.uint8)

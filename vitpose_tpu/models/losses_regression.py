@@ -186,3 +186,42 @@ def ae_tag_loss(tags, joints, loss_type='exp'):
     push = jnp.where(num_people > 1, push, 0.0)
     pull = jnp.where(num_people > 0, pull, 0.0)
     return push, pull
+
+
+# ---------------------------------------------------------------------------
+# mesh / adversarial losses (reference mmpose/models/losses/mesh_loss.py)
+# ---------------------------------------------------------------------------
+
+def gan_loss(pred, target_is_real, gan_type='vanilla', loss_weight=1.0):
+    """GAN objective used by the SMPL discriminator (reference
+    mesh_loss.py `GANLoss`): 'vanilla' = BCE-with-logits, 'lsgan' = MSE,
+    'wgan' = mean(+-pred)."""
+    pred = jnp.asarray(pred)
+    if gan_type == 'wgan':
+        loss = -jnp.mean(pred) if target_is_real else jnp.mean(pred)
+        return loss * loss_weight
+    target = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
+    if gan_type == 'vanilla':
+        loss = jnp.mean(jnp.maximum(pred, 0) - pred * target
+                        + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+    elif gan_type == 'lsgan':
+        loss = jnp.mean((pred - target) ** 2)
+    else:
+        raise ValueError(gan_type)
+    return loss * loss_weight
+
+
+def mesh_joint_loss(pred_joints_3d, gt_joints_3d, joints_3d_visible,
+                    loss_weight=1.0):
+    """Root-centered L1 joint loss for mesh training (reference
+    mesh_loss.py `MeshLoss.joint_3d_loss` style: center on pelvis=mean of
+    hips, ignore invisible)."""
+    conf = jnp.asarray(joints_3d_visible)[..., None]
+    diff = jnp.abs(pred_joints_3d - gt_joints_3d) * conf
+    return jnp.mean(diff) * loss_weight
+
+
+def smpl_param_loss(pred_params, gt_params, has_smpl, loss_weight=1.0):
+    """MSE over SMPL pose/shape parameters on samples with SMPL gt."""
+    mask = jnp.asarray(has_smpl)[..., None]
+    return jnp.mean(((pred_params - gt_params) ** 2) * mask) * loss_weight
