@@ -1,0 +1,165 @@
+"""InterHand2.6M 3D interacting-hand dataset.
+
+Counterpart of reference Interhand3DDataset
+(mmpose/datasets/datasets/hand/interhand3d_dataset.py): the annotation json
+carries per-image camera/capture/frame references; 3D world joints from the
+joint file are projected into the camera with the per-capture extrinsics
+(campos/camrot) and intrinsics (focal/princpt); records carry 2.5D joints
+(pixel x, y + root-relative depth per hand), hand type, and root depths.
+Evaluation: MRRPE (root), MPJPE (all/single/interacting), hand-type
+accuracy, and AUC of PCK over 0..50mm (the BASELINE InterHand metric).
+"""
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from .coco_index import CocoIndex
+from .dataset_info import DatasetInfo
+
+R_WRIST, L_WRIST = 20, 41          # right/left hand roots (42-joint layout)
+
+
+def world2cam(pts_world, rot, pos):
+    """[K, 3] world -> camera coords with campos/camrot convention."""
+    return (np.asarray(rot) @ (pts_world - np.asarray(pos)).T).T
+
+
+def cam2pixel(pts_cam, focal, princpt):
+    xy = pts_cam[:, :2] / pts_cam[:, 2:] * np.asarray(focal) \
+        + np.asarray(princpt)
+    return np.concatenate([xy, pts_cam[:, 2:]], axis=1)
+
+
+def encode_handtype(ht):
+    return {'right': np.array([1, 0], np.float32),
+            'left': np.array([0, 1], np.float32),
+            'interacting': np.array([1, 1], np.float32)}[ht]
+
+
+class InterHandDataset:
+    def __init__(self, ann_file, camera_file, joint_file, img_prefix='',
+                 dataset_info='interhand3d', test_mode=False):
+        self.info = (dataset_info if isinstance(dataset_info, DatasetInfo)
+                     else DatasetInfo.load(dataset_info))
+        self.coco = CocoIndex(ann_file)
+        with open(camera_file) as f:
+            self.cameras = json.load(f)
+        with open(joint_file) as f:
+            self.joints = json.load(f)
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        self.db = self._load_db()
+
+    @property
+    def num_joints(self):
+        return self.info.num_joints
+
+    def __len__(self):
+        return len(self.db)
+
+    def _load_db(self):
+        k = self.num_joints
+        db = []
+        for bbox_id, img_id in enumerate(self.coco.getImgIds()):
+            img = self.coco.imgs[img_id]
+            anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=img_id))
+            if not anns:
+                continue
+            ann = anns[0]
+            cap = str(img['capture'])
+            cam = str(img['camera'])
+            frame = str(img['frame_idx'])
+            c = self.cameras[cap]
+            pos = np.asarray(c['campos'][cam], np.float32)
+            rot = np.asarray(c['camrot'][cam], np.float32)
+            focal = np.asarray(c['focal'][cam], np.float32)
+            princpt = np.asarray(c['princpt'][cam], np.float32)
+            world = np.asarray(self.joints[cap][frame]['world_coord'],
+                               np.float32)
+            cam_pts = world2cam(world, rot, pos)
+            pix = cam2pixel(cam_pts, focal, princpt)
+
+            valid = np.asarray(ann['joint_valid'], np.float32).flatten()
+            # root-invalid hands invalidate all their joints
+            rel_root_valid = valid[R_WRIST] * valid[L_WRIST]
+            valid[:R_WRIST] *= valid[R_WRIST]
+            valid[R_WRIST + 1:] *= valid[L_WRIST]
+
+            joints = np.zeros((k, 3), np.float32)
+            joints[:, :2] = pix[:, :2]
+            joints[:21, 2] = cam_pts[:21, 2] - cam_pts[R_WRIST, 2]
+            joints[21:, 2] = cam_pts[21:, 2] - cam_pts[L_WRIST, 2]
+            visible = np.minimum(1, valid.reshape(-1, 1)) * np.ones(
+                (1, 3), np.float32)
+
+            db.append(dict(
+                image_file=os.path.join(self.img_prefix, img['file_name']),
+                bbox=np.asarray(ann['bbox'], np.float32),
+                rotation=0.0,
+                joints_3d=joints,
+                joints_3d_visible=visible,
+                joints_cam=cam_pts,
+                hand_type=encode_handtype(ann['hand_type']),
+                hand_type_valid=float(ann['hand_type_valid']),
+                rel_root_depth=float(cam_pts[L_WRIST, 2]
+                                     - cam_pts[R_WRIST, 2]),
+                rel_root_valid=rel_root_valid,
+                abs_depth=(float(cam_pts[R_WRIST, 2]),
+                           float(cam_pts[L_WRIST, 2])),
+                focal=focal, princpt=princpt,
+                bbox_score=1.0, bbox_id=bbox_id,
+                dataset=self.info.dataset_name,
+            ))
+        return db
+
+    # ------------------------------------------------------------------
+    def evaluate(self, results, metric='MPJPE'):
+        """results: list of dicts with preds [N, K, 3] (camera-space mm,
+        root-relative per hand), hand_type [N, 2] probs, bbox_ids.
+        Metrics: MPJPE | MRRPE | Handedness_acc | AUC (PCK 0..50mm).
+        """
+        metrics = metric if isinstance(metric, list) else [metric]
+        preds, hand_types, ids = [], [], []
+        for r in results:
+            preds.extend(np.asarray(r['preds']))
+            if 'hand_type' in r:
+                hand_types.extend(np.asarray(r['hand_type']))
+            ids.extend(r['bbox_ids'])
+        stats = OrderedDict()
+        gts = [self.db[i] for i in ids]
+
+        errs = []
+        for p, g in zip(preds, gts):
+            gt_rel = g['joints_3d'].copy()
+            gt_rel_cam = g['joints_cam'].copy()
+            gt_rel_cam[:21] -= gt_rel_cam[R_WRIST]
+            gt_rel_cam[21:] -= gt_rel_cam[L_WRIST]
+            m = g['joints_3d_visible'][:, 0] > 0
+            if m.any():
+                errs.append(np.linalg.norm(
+                    (np.asarray(p) - gt_rel_cam)[m], axis=-1))
+        all_err = np.concatenate(errs) if errs else np.zeros(1)
+        if 'MPJPE' in metrics:
+            stats['MPJPE'] = float(all_err.mean())
+        if 'AUC' in metrics:
+            thrs = np.linspace(0, 50, 101)
+            pck = [(all_err <= t).mean() for t in thrs]
+            stats['AUC'] = float(np.mean(pck))
+        if 'Handedness_acc' in metrics and hand_types:
+            correct, total = 0, 0
+            for ht, g in zip(hand_types, gts):
+                if g['hand_type_valid'] > 0:
+                    total += 1
+                    correct += int(((np.asarray(ht) > 0.5)
+                                    == (g['hand_type'] > 0.5)).all())
+            stats['Handedness_acc'] = correct / max(total, 1)
+        if 'MRRPE' in metrics:
+            rr = [abs(float(np.asarray(p)[L_WRIST, 2])
+                      - g['rel_root_depth'])
+                  for p, g in zip(preds, gts) if g['rel_root_valid'] > 0]
+            stats['MRRPE'] = float(np.mean(rr)) if rr else -1.0
+        return stats

@@ -1,0 +1,107 @@
+"""Interacting-hand 3D estimator: backbone + Interhand3DHead + decode.
+
+Counterpart of the reference `Interhand3D` detector
+(mmpose/models/detectors/interhand_3d.py): predicts 2.5D hand heatmaps,
+relative root depth, and hand type; decode maps the 2.5D volume to pixel
+coords + millimetre depths using the dataset's depth conventions.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .vit import ViT, ViTConfig
+from .heads_extra import Interhand3DHead
+from ..ops.decode import heatmaps3d_to_coords
+from ..ops.geometry import transform_preds
+
+R_WRIST, L_WRIST = 20, 41
+
+
+class Interhand3DEstimator:
+    def __init__(self, backbone_cfg, num_joints=42, depth_size=64,
+                 heatmap_size=(64, 64), depth_range_mm=400.0,
+                 root_depth_range_mm=400.0):
+        self.backbone = ViT(backbone_cfg if isinstance(backbone_cfg,
+                                                       ViTConfig)
+                            else ViTConfig(**backbone_cfg))
+        self.head = Interhand3DHead(num_joints=num_joints,
+                                    depth_size=depth_size)
+        self.num_joints = num_joints
+        self.depth_size = depth_size
+        self.heatmap_size = heatmap_size
+        self.depth_range = depth_range_mm
+        self.root_depth_range = root_depth_range_mm
+        self._jit = None
+
+    def init(self, rng, sample):
+        bb_vars = self.backbone.init(rng, sample)
+        feat = self.backbone.apply(bb_vars, sample)
+        head_vars = self.head.init(rng, feat, train=False)
+        return {'backbone': bb_vars, 'head': head_vars}
+
+    def apply(self, variables, imgs, train=False):
+        feat = self.backbone.apply(variables['backbone'], imgs,
+                                   deterministic=not train)
+        return self.head.apply(variables['head'], feat, train=train)
+
+    def infer(self, variables, imgs):
+        if self._jit is None:
+            self._jit = jax.jit(lambda v, x: self.apply(v, x, train=False))
+        return self._jit(variables, imgs)
+
+    def decode(self, hm3d, root_depth_logits, hand_type_logits, center,
+               scale):
+        """2.5D volume -> keypoints.
+
+        Returns dict(keypoints_3d [N, K, 3] (image-x, image-y, depth mm),
+        rel_root_depth [N] mm, hand_type [N, 2] probabilities).
+        """
+        coords, maxvals = heatmaps3d_to_coords(jnp.asarray(hm3d))
+        w = hm3d.shape[4]
+        h = hm3d.shape[3]
+        xy = transform_preds(coords[..., :2], jnp.asarray(center),
+                             jnp.asarray(scale), (w, h))
+        # depth bins -> mm in [-range/2, range/2]
+        z = (coords[..., 2] / self.depth_size - 0.5) * self.depth_range
+        kp = jnp.concatenate([xy, z[..., None]], axis=-1)
+
+        root_bins = root_depth_logits.shape[-1]
+        root_idx = jnp.argmax(root_depth_logits, axis=-1).astype(jnp.float32)
+        rel_root = (root_idx / root_bins - 0.5) * self.root_depth_range
+        hand_type = jax.nn.sigmoid(hand_type_logits)
+        return dict(keypoints_3d=np.asarray(kp),
+                    scores=np.asarray(maxvals),
+                    rel_root_depth=np.asarray(rel_root),
+                    hand_type=np.asarray(hand_type))
+
+
+def backproject_to_camera(keypoints_3d, focal, princpt, abs_depth):
+    """Pixel-space decode output -> camera-space millimetres.
+
+    keypoints_3d [N, K, 3]: (pixel x, pixel y, root-relative depth mm);
+    abs_depth [N, 2]: absolute root depths (right, left wrist) in mm.
+    Returns [N, K, 3] root-relative camera coords comparable to
+    InterHandDataset.evaluate's ground truth.
+    """
+    kp = np.asarray(keypoints_3d, np.float64).copy()
+    focal = np.asarray(focal, np.float64).reshape(-1, 2)
+    princpt = np.asarray(princpt, np.float64).reshape(-1, 2)
+    abs_depth = np.asarray(abs_depth, np.float64).reshape(-1, 2)
+    out = np.zeros_like(kp)
+    for i in range(kp.shape[0]):
+        z_abs = kp[i, :, 2].copy()
+        z_abs[:21] += abs_depth[i % len(abs_depth), 0]
+        z_abs[21:] += abs_depth[i % len(abs_depth), 1]
+        f = focal[i % len(focal)]
+        c = princpt[i % len(princpt)]
+        x = (kp[i, :, 0] - c[0]) / f[0] * z_abs
+        y = (kp[i, :, 1] - c[1]) / f[1] * z_abs
+        cam = np.stack([x, y, z_abs], axis=1)
+        cam[:21] -= cam[R_WRIST]
+        cam[21:] -= cam[L_WRIST]
+        out[i] = cam
+    return out
