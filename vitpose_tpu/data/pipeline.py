@@ -189,3 +189,24 @@ def photometric_distortion(rng: np.random.RandomState, img,
     if rng.randint(2):
         img = img[..., rng.permutation(3)]
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def albumentation_transform(transforms):
+    """Thin adapter for the `albumentations` library (counterpart of
+    reference shared_transform.py:182 `Albumentation`). Returns a callable
+    img -> img, or raises ImportError with guidance if the library is not
+    installed (it is an optional dependency here as in the reference)."""
+    try:
+        import albumentations as A
+    except ImportError as e:
+        raise ImportError(
+            'albumentation_transform requires the optional `albumentations` '
+            'package; use photometric_distortion for built-in color '
+            'augmentation') from e
+    composed = A.Compose([getattr(A, t.pop('type'))(**t)
+                          for t in [dict(t) for t in transforms]])
+
+    def apply(img):
+        return composed(image=img)['image']
+
+    return apply

@@ -180,10 +180,14 @@ class TopDownDataset:
     # ------------------------------------------------------------------
     # evaluation (reference: topdown_coco_dataset.py:406 `evaluate`)
     # ------------------------------------------------------------------
-    def evaluate(self, results, res_folder=None, metric='mAP'):
+    def evaluate(self, results, res_folder=None, metric='mAP',
+                 rle_score=False):
         """results: list of dicts with
           preds [N, K, 3], boxes [N, 6] (c0, c1, s0, s1, area, score),
           image_paths (list[str]), bbox_ids (list[int]).
+        rle_score: RLE-style rescoring box + mean + max keypoint confidence
+        (reference topdown_coco_dataset.py:483-486) instead of the default
+        mean-over-visible rescoring.
         Returns OrderedDict of COCO keypoint stats.
         """
         kpts = defaultdict(list)
@@ -217,9 +221,13 @@ class TopDownDataset:
         for image_id, items in kpts.items():
             for p in items:
                 conf = p['keypoints'][:, 2]
-                sel = conf > self.vis_thr
-                kpt_score = conf[sel].mean() if sel.any() else 0.0
-                p['score'] = float(kpt_score * p['score'])
+                if rle_score:
+                    p['score'] = float(p['score'] + conf.mean()
+                                       + conf.max())
+                else:
+                    sel = conf > self.vis_thr
+                    kpt_score = conf[sel].mean() if sel.any() else 0.0
+                    p['score'] = float(kpt_score * p['score'])
             if self.use_nms:
                 nms = soft_oks_nms if self.soft_nms else oks_nms
                 keep = nms(items, self.oks_thr, sigmas=self.sigmas)

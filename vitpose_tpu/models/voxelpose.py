@@ -1,0 +1,157 @@
+"""VoxelPose-style multiview 3D pose: voxel aggregation + V2VNet + heads.
+
+Counterparts of the reference multiview stack
+(mmpose/models/detectors/multiview_pose.py `DetectAndRegress`,
+ mmpose/models/backbones/v2v_net.py `V2VNet`,
+ mmpose/models/heads/voxelpose_head.py `CuboidCenterHead`/`CuboidPoseHead`):
+
+  * `project_heatmaps_to_voxels` — the core multiview step: sample every
+    camera view's 2D heatmaps at the pixel projections of a 3D voxel grid
+    and average, producing [X, Y, Z, K] feature volumes. Pure jnp gathers —
+    vmappable over proposals, jit-able end to end.
+  * `V2VNet` — 3D conv encoder-decoder with skip connections (NDHWC).
+  * `CuboidCenterHead` — 1-channel 3D heatmap over the space volume; local-
+    maximum candidates become person proposals.
+  * `CuboidPoseHead` — per-joint 3D heatmaps decoded with soft-argmax over
+    the voxel grid (beta-scaled softmax, like the reference).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_voxel_grid(center, size, resolution):
+    """Axis-aligned voxel grid. center [3], size [3] (mm),
+    resolution (nx, ny, nz) -> [nx, ny, nz, 3] world coords."""
+    center = jnp.asarray(center, jnp.float32)
+    size = jnp.asarray(size, jnp.float32)
+    axes = [jnp.linspace(center[i] - size[i] / 2, center[i] + size[i] / 2,
+                         int(resolution[i])) for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*axes, indexing='ij')
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def project_heatmaps_to_voxels(heatmaps, cameras, grid):
+    """Aggregate multiview 2D heatmaps into a voxel volume.
+
+    heatmaps: [V, K, H, W] per-view heatmaps (heatmap-pixel space).
+    cameras: list of V SimpleCamera whose camera_to_pixel lands in heatmap
+      pixels (pre-scale intrinsics accordingly).
+    grid: [X, Y, Z, 3] world coordinates.
+
+    Returns [X, Y, Z, K] averaged sampled responses (bilinear, zeros
+    outside).
+    """
+    v, k, h, w = heatmaps.shape
+    pts = grid.reshape(-1, 3)
+    acc = jnp.zeros((pts.shape[0], k), jnp.float32)
+    for vi, cam in enumerate(cameras):
+        pix = cam.camera_to_pixel(cam.world_to_camera(pts))    # [P, 2]
+        x, y = pix[..., 0], pix[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx, fy = x - x0, y - y0
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        hm = heatmaps[vi].reshape(k, h * w)
+
+        def samp(xi, yi):
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            vals = hm[:, idx].T                              # [P, K]
+            return jnp.where(valid[:, None], vals, 0.0)
+
+        val = (samp(x0i, y0i) * (1 - fx)[:, None] * (1 - fy)[:, None]
+               + samp(x0i + 1, y0i) * fx[:, None] * (1 - fy)[:, None]
+               + samp(x0i, y0i + 1) * (1 - fx)[:, None] * fy[:, None]
+               + samp(x0i + 1, y0i + 1) * fx[:, None] * fy[:, None])
+        acc = acc + val
+    return (acc / v).reshape(grid.shape[:3] + (k,))
+
+
+class _Basic3D(nn.Module):
+    ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = nn.Conv(self.ch, (3, 3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name='conv')(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn')(y)
+        return nn.relu(y)
+
+
+class V2VNet(nn.Module):
+    """3D conv encoder-decoder over [N, X, Y, Z, C] volumes."""
+    mid_channels: int = 32
+    out_channels: int = 15
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.mid_channels
+        x = _Basic3D(c // 2, dtype=self.dtype, name='stem1')(x, train)
+        x = _Basic3D(c, dtype=self.dtype, name='stem2')(x, train)
+        s1 = x
+        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        x = _Basic3D(c * 2, dtype=self.dtype, name='enc1')(x, train)
+        s2 = x
+        x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+        x = _Basic3D(c * 4, dtype=self.dtype, name='mid')(x, train)
+        x = jax.image.resize(x, s2.shape[:4] + (c * 4,), method='nearest')
+        x = _Basic3D(c * 2, dtype=self.dtype, name='dec1')(x, train) + s2
+        x = jax.image.resize(x, s1.shape[:4] + (c * 2,), method='nearest')
+        x = _Basic3D(c, dtype=self.dtype, name='dec2')(x, train) + s1
+        return nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                       name='out')(x)
+
+
+class CuboidCenterHead(nn.Module):
+    """Person-center 3D heatmap over the whole space; returns top-N local
+    maxima as proposals (host decode)."""
+    mid_channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return V2VNet(self.mid_channels, 1, dtype=self.dtype,
+                      name='v2v')(x, train=train)[..., 0]
+
+    @staticmethod
+    def get_proposals(center_volume, grid, max_people=10, threshold=0.1):
+        """center_volume [X, Y, Z] -> list of (world_xyz, score)."""
+        vol = np.asarray(center_volume)
+        g = np.asarray(grid)
+        flat = vol.ravel()
+        order = np.argsort(-flat)[:max_people]
+        out = []
+        for idx in order:
+            if flat[idx] < threshold:
+                break
+            out.append((g.reshape(-1, 3)[idx], float(flat[idx])))
+        return out
+
+
+class CuboidPoseHead(nn.Module):
+    """Per-joint 3D heatmaps + soft-argmax readout (reference
+    voxelpose_head.py `CuboidPoseHead` with beta-scaled softmax)."""
+    num_joints: int = 15
+    beta: float = 100.0
+    mid_channels: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, grid, train: bool = False):
+        """x [N, X, Y, Z, C], grid [X, Y, Z, 3] -> joints [N, K, 3]."""
+        vol = V2VNet(self.mid_channels, self.num_joints,
+                     dtype=self.dtype, name='v2v')(x, train=train)
+        n = vol.shape[0]
+        flat = vol.reshape(n, -1, self.num_joints)
+        w = jax.nn.softmax(self.beta * flat, axis=1)         # [N, P, K]
+        pts = grid.reshape(-1, 3)                            # [P, 3]
+        return jnp.einsum('npk,pd->nkd', w, pts)
