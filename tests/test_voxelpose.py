@@ -73,3 +73,32 @@ def test_v2vnet_and_heads():
     assert joints.shape == (1, 5, 3)
     # soft-argmax output stays inside the grid bounds
     assert np.abs(np.asarray(joints)).max() <= 500.0 + 1e-3
+
+
+def test_detect_and_regress_pipeline():
+    from vitpose_tpu.models.voxelpose import DetectAndRegress
+    cams = two_cameras()
+    target = np.array([200.0, 300.0, 1100.0])
+    h = w = 64
+    heatmaps = []
+    for cam in cams:
+        pix = np.asarray(cam.camera_to_pixel(
+            cam.world_to_camera(target[None])))[0]
+        ys, xs = np.mgrid[0:h, 0:w]
+        hm = np.exp(-((xs - pix[0]) ** 2 + (ys - pix[1]) ** 2) / 8.0)
+        heatmaps.append(np.tile(hm[None], (5, 1, 1)))
+    heatmaps = jnp.asarray(np.stack(heatmaps))
+
+    model = DetectAndRegress(num_joints=5, space_center=(0, 0, 1000),
+                             space_size=(2000, 2000, 2000),
+                             space_resolution=(16, 16, 16),
+                             cube_size=(600, 600, 600),
+                             cube_resolution=(8, 8, 8),
+                             mid_channels=4, max_people=2,
+                             center_threshold=-1e9)
+    v = model.init(jax.random.PRNGKey(0))
+    people = model.forward(v, heatmaps, cams)
+    assert len(people) >= 1
+    joints, score = people[0]
+    assert joints.shape == (5, 3)
+    assert np.isfinite(joints).all()

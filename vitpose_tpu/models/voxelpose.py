@@ -155,3 +155,67 @@ class CuboidPoseHead(nn.Module):
         w = jax.nn.softmax(self.beta * flat, axis=1)         # [N, P, K]
         pts = grid.reshape(-1, 3)                            # [P, 3]
         return jnp.einsum('npk,pd->nkd', w, pts)
+
+
+class DetectAndRegress:
+    """Full multiview 3D pipeline (reference multiview_pose.py
+    `DetectAndRegress`): per-view 2D heatmaps (any 2D pose model) ->
+    multiview voxel aggregation over the whole space -> center proposals ->
+    per-proposal fine voxel grids -> CuboidPoseHead 3D joints.
+    """
+
+    def __init__(self, num_joints=15, space_center=(0, 0, 1000),
+                 space_size=(8000, 8000, 2000), space_resolution=(40, 40, 16),
+                 cube_size=(800, 800, 800), cube_resolution=(16, 16, 16),
+                 mid_channels=16, beta=100.0, max_people=10,
+                 center_threshold=0.1):
+        self.num_joints = num_joints
+        self.space_center = space_center
+        self.space_size = space_size
+        self.space_resolution = space_resolution
+        self.cube_size = cube_size
+        self.cube_resolution = cube_resolution
+        self.max_people = max_people
+        self.center_threshold = center_threshold
+        self.center_head = CuboidCenterHead(mid_channels=mid_channels)
+        self.pose_head = CuboidPoseHead(num_joints=num_joints, beta=beta,
+                                        mid_channels=mid_channels)
+        self.space_grid = make_voxel_grid(space_center, space_size,
+                                          space_resolution)
+
+    def init(self, rng):
+        import jax
+        space_vol = jnp.zeros((1,) + tuple(self.space_resolution)
+                              + (self.num_joints,))
+        cube_vol = jnp.zeros((1,) + tuple(self.cube_resolution)
+                             + (self.num_joints,))
+        cube_grid = make_voxel_grid((0, 0, 0), self.cube_size,
+                                    self.cube_resolution)
+        k1, k2 = jax.random.split(rng)
+        return {
+            'center': self.center_head.init(k1, space_vol, train=False),
+            'pose': self.pose_head.init(k2, cube_vol, cube_grid,
+                                        train=False),
+        }
+
+    def forward(self, variables, heatmaps, cameras):
+        """heatmaps [V, K, H, W] (single scene) + cameras -> list of
+        (joints_3d [K, 3], score)."""
+        space_vol = project_heatmaps_to_voxels(heatmaps, cameras,
+                                               self.space_grid)
+        center_vol = self.center_head.apply(variables['center'],
+                                            space_vol[None], train=False)
+        proposals = CuboidCenterHead.get_proposals(
+            np.asarray(center_vol)[0], self.space_grid,
+            max_people=self.max_people, threshold=self.center_threshold)
+        people = []
+        for center_xyz, score in proposals:
+            cube_grid = make_voxel_grid(center_xyz, self.cube_size,
+                                        self.cube_resolution)
+            cube_vol = project_heatmaps_to_voxels(heatmaps, cameras,
+                                                  cube_grid)
+            joints = self.pose_head.apply(variables['pose'],
+                                          cube_vol[None], cube_grid,
+                                          train=False)
+            people.append((np.asarray(joints)[0], score))
+        return people
