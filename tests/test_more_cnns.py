@@ -23,3 +23,12 @@ def test_backbone_forward(name, factory, channels):
     # train-mode (BN updating) path also works
     out2, _ = m.apply(v, x, train=True, mutable=['batch_stats'])
     assert out2.shape == out.shape
+
+
+def test_vipnas_mbv3():
+    from vitpose_tpu.models.more_cnns import ViPNASMobileNetV3
+    m = ViPNASMobileNetV3()
+    x = jnp.ones((1, 64, 48, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 2, 2, 160)

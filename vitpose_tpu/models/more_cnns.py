@@ -313,3 +313,66 @@ class ShuffleNetV1(nn.Module):
                 else:
                     x = nn.relu(identity + y)
         return x
+
+
+class ViPNASMobileNetV3(nn.Module):
+    """ViPNAS-searched MobileNetV3 variant (reference vipnas_mbv3.py
+    `ViPNAS_MobileNetV3`): per-stage searched widths/expansions/depths/
+    kernel sizes/group counts/SE flags/activations."""
+    wid: Sequence[int] = (16, 16, 24, 40, 80, 112, 160)
+    expan: Sequence[int] = (0, 1, 5, 4, 5, 5, 6)
+    dep: Sequence[int] = (0, 1, 4, 4, 4, 4, 4)
+    ks: Sequence[int] = (3, 3, 7, 7, 5, 7, 5)
+    group: Sequence[int] = (0, 8, 120, 20, 100, 280, 240)
+    att: Sequence[bool] = (False, True, True, False, True, True, True)
+    stride: Sequence[int] = (2, 1, 2, 2, 2, 1, 2)
+    act: Sequence[str] = ('hswish', 'relu', 'relu', 'relu', 'hswish',
+                          'hswish', 'hswish')
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .classic_cnns import SELayer
+
+        def activate(y, kind):
+            return _hswish(y) if kind == 'hswish' else nn.relu(y)
+
+        k0 = self.ks[0]
+        x = nn.Conv(self.wid[0], (k0, k0), strides=(self.stride[0],) * 2,
+                    padding=((k0 // 2,) * 2,) * 2, use_bias=False,
+                    dtype=self.dtype, name='stem')(x)
+        x = activate(_bn(train, self.dtype, 'stem_bn')(x), self.act[0])
+
+        for i in range(1, len(self.wid)):
+            mid = self.wid[i] * self.expan[i]
+            k = self.ks[i]
+            g = max(1, self.group[i])
+            # depthwise-ish grouped conv needs mid % groups == 0
+            while mid % g:
+                g -= 1
+            for j in range(self.dep[i]):
+                stride = self.stride[i] if j == 0 else 1
+                inp = x
+                y = x
+                if self.expan[i] != 1:
+                    y = nn.Conv(mid, (1, 1), use_bias=False,
+                                dtype=self.dtype,
+                                name=f's{i}b{j}_expand')(y)
+                    y = activate(_bn(train, self.dtype,
+                                     f's{i}b{j}_expand_bn')(y), self.act[i])
+                y = nn.Conv(mid, (k, k), strides=(stride,) * 2,
+                            padding=((k // 2,) * 2,) * 2,
+                            feature_group_count=g, use_bias=False,
+                            dtype=self.dtype, name=f's{i}b{j}_dw')(y)
+                y = activate(_bn(train, self.dtype,
+                                 f's{i}b{j}_dw_bn')(y), self.act[i])
+                if self.att[i]:
+                    y = SELayer(ratio=4, dtype=self.dtype,
+                                name=f's{i}b{j}_se')(y)
+                y = nn.Conv(self.wid[i], (1, 1), use_bias=False,
+                            dtype=self.dtype, name=f's{i}b{j}_proj')(y)
+                y = _bn(train, self.dtype, f's{i}b{j}_proj_bn')(y)
+                if stride == 1 and inp.shape[-1] == self.wid[i]:
+                    y = y + inp
+                x = y
+        return x
