@@ -1,0 +1,156 @@
+"""Parametric human mesh estimation (SMPL) with adversarial training.
+
+Counterparts of the reference mesh stack
+(mmpose/models/detectors/mesh.py `ParametricMesh`,
+ mmpose/models/heads/hmr_head.py `HMRMeshHead`,
+ mmpose/models/misc/discriminator.py `SMPLDiscriminator`):
+
+  * `HMRMeshHead` — iterative error-feedback regression: starting from mean
+    parameters, N refinement steps of fc layers predict Δ(pose θ[24*rot6d
+    simplified to axis-angle 72], shape β[10], camera [3]).
+  * `SMPLDiscriminator` — per-joint-angle discriminators + shape
+    discriminator + full-pose discriminator (compact fc version).
+  * `ParametricMesh` — composes backbone + head with an injectable
+    ``smpl_fn(pose, beta) -> (vertices, joints)`` (the SMPL model assets are
+    external; tests inject a linear mock). The adversarial train step keeps
+    two optimizers in ONE jit program (the reference wraps generator and
+    discriminator in separate DDP modules, apis/train.py:121-127 — under
+    GSPMD the sharded grads of both just coexist).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+POSE_DIM, SHAPE_DIM, CAM_DIM = 72, 10, 3
+
+
+class HMRMeshHead(nn.Module):
+    """Iterative regression head: feature [N, C] -> (pose, shape, cam)."""
+    num_iters: int = 3
+    hidden: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, train: bool = False):
+        n = feat.shape[0]
+        mean = self.param('mean_params', nn.initializers.zeros,
+                          (POSE_DIM + SHAPE_DIM + CAM_DIM,))
+        params = jnp.tile(mean[None], (n, 1))
+        fc1 = nn.Dense(self.hidden, dtype=self.dtype, name='fc1')
+        fc2 = nn.Dense(self.hidden, dtype=self.dtype, name='fc2')
+        out = nn.Dense(POSE_DIM + SHAPE_DIM + CAM_DIM, dtype=self.dtype,
+                       name='out')
+        for _ in range(self.num_iters):
+            x = jnp.concatenate([feat, params], axis=-1)
+            x = nn.relu(fc1(x))
+            x = nn.relu(fc2(x))
+            params = params + out(x)
+        pose = params[:, :POSE_DIM]
+        shape = params[:, POSE_DIM:POSE_DIM + SHAPE_DIM]
+        cam = params[:, POSE_DIM + SHAPE_DIM:]
+        return pose, shape, cam
+
+
+class SMPLDiscriminator(nn.Module):
+    """Pose/shape realism discriminator: per-joint heads on axis-angle
+    triples, a shape head, and a full-pose head; outputs [N, 25] logits
+    (23 joints + shape + full pose)."""
+    hidden: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose, shape):
+        n = pose.shape[0]
+        joints = pose.reshape(n, 24, 3)[:, 1:]          # skip global orient
+        common = nn.relu(nn.Dense(32, dtype=self.dtype,
+                                  name='joint_embed')(joints))
+        per_joint = nn.Dense(1, dtype=self.dtype,
+                             name='joint_out')(common)[..., 0]   # [N, 23]
+        sh = nn.relu(nn.Dense(self.hidden // 4, dtype=self.dtype,
+                              name='shape_fc')(shape))
+        sh = nn.Dense(1, dtype=self.dtype, name='shape_out')(sh)
+        full = nn.relu(nn.Dense(self.hidden, dtype=self.dtype,
+                                name='full_fc')(common.reshape(n, -1)))
+        full = nn.Dense(1, dtype=self.dtype, name='full_out')(full)
+        return jnp.concatenate([per_joint, sh, full], axis=-1)
+
+
+def project_points(joints_3d, cam):
+    """Weak-perspective projection: cam = (scale, tx, ty)."""
+    s = cam[:, :1, None]
+    t = cam[:, None, 1:]
+    return s * joints_3d[..., :2] + t
+
+
+class ParametricMesh:
+    """Generator (backbone + HMR head + smpl_fn) with loss utilities."""
+
+    def __init__(self, backbone, smpl_fn: Callable, num_iters=3):
+        self.backbone = backbone
+        self.head = HMRMeshHead(num_iters=num_iters)
+        self.smpl_fn = smpl_fn
+
+    def init(self, rng, sample):
+        bb = self.backbone.init(rng, sample)
+        feat = self.backbone.apply(bb, sample)
+        feat = jnp.mean(feat, axis=(1, 2))
+        head = self.head.init(rng, feat, train=False)
+        return {'backbone': bb, 'head': head}
+
+    def apply(self, variables, imgs, train=False):
+        feat = self.backbone.apply(variables['backbone'], imgs, train=train)
+        feat = jnp.mean(feat, axis=(1, 2))
+        pose, shape, cam = self.head.apply(variables['head'], feat,
+                                           train=train)
+        verts, joints3d = self.smpl_fn(pose, shape)
+        return dict(pose=pose, shape=shape, cam=cam, vertices=verts,
+                    joints_3d=joints3d,
+                    joints_2d=project_points(joints3d, cam))
+
+
+def make_adversarial_train_step(mesh: ParametricMesh,
+                                disc: SMPLDiscriminator, gen_tx, disc_tx,
+                                w_joint2d=1.0, w_joint3d=1.0, w_adv=0.1,
+                                w_disc=1.0):
+    """One jit program updating generator and discriminator together
+    (reference ParametricMesh.train_step, mesh.py: alternating optimizers)."""
+    from .losses_regression import gan_loss, mesh_joint_loss
+    import optax
+
+    def step(gen_vars, disc_vars, gen_opt, disc_opt, batch):
+        def gen_loss_fn(gv):
+            out = mesh.apply(gv, batch['imgs'], train=False)
+            l2d = mesh_joint_loss(out['joints_2d'], batch['joints_2d'],
+                                  batch['joints_2d_visible']) * w_joint2d
+            l3d = mesh_joint_loss(out['joints_3d'], batch['joints_3d'],
+                                  batch['joints_3d_visible']) * w_joint3d
+            logits = disc.apply(disc_vars, out['pose'], out['shape'])
+            ladv = gan_loss(logits, True, 'lsgan') * w_adv
+            return l2d + l3d + ladv, dict(loss_2d=l2d, loss_3d=l3d,
+                                          loss_adv=ladv, out=out)
+
+        (gl, aux), ggrads = jax.value_and_grad(gen_loss_fn,
+                                               has_aux=True)(gen_vars)
+        gupd, gen_opt = gen_tx.update(ggrads, gen_opt, gen_vars)
+        gen_vars = optax.apply_updates(gen_vars, gupd)
+
+        def disc_loss_fn(dv):
+            fake = disc.apply(dv, jax.lax.stop_gradient(aux['out']['pose']),
+                              jax.lax.stop_gradient(aux['out']['shape']))
+            real = disc.apply(dv, batch['real_pose'], batch['real_shape'])
+            return (gan_loss(real, True, 'lsgan')
+                    + gan_loss(fake, False, 'lsgan')) * w_disc
+
+        dl, dgrads = jax.value_and_grad(disc_loss_fn)(disc_vars)
+        dupd, disc_opt = disc_tx.update(dgrads, disc_opt, disc_vars)
+        disc_vars = optax.apply_updates(disc_vars, dupd)
+        metrics = {k: v for k, v in aux.items() if k != 'out'}
+        metrics.update(gen_loss=gl, disc_loss=dl)
+        return gen_vars, disc_vars, gen_opt, disc_opt, metrics
+
+    return step
