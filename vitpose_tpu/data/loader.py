@@ -58,14 +58,18 @@ class TopDownLoader:
     dataset_idx [N] int32.
     """
 
-    def __init__(self, dataset, batch_size, is_train=True, canvas_size=640,
+    def __init__(self, dataset, batch_size, is_train=True, canvas_size=None,
                  padding=1.25, aug: Optional[AugmentConfig] = None,
                  seed=0, num_workers=8, process_index=0, process_count=1,
                  drop_last=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.is_train = is_train
-        self.canvas_size = canvas_size
+        # canvas is dataset-driven by default: COCO sources are <=640px, but
+        # MPII/PoseTrack/AIC frames are larger and would be double-resampled
+        # (canvas downscale + crop warp) on a 640 canvas
+        self.canvas_size = (canvas_size if canvas_size is not None
+                            else getattr(dataset, 'canvas_size', 640))
         self.padding = padding
         self.aug = aug or AugmentConfig()
         self.seed = seed
@@ -134,6 +138,11 @@ class TopDownLoader:
             center, scale = bbox_xywh2cs(bbox, aspect, padding=self.padding)
             center = np.asarray(center, np.float32)
             scale = np.asarray(scale, np.float32)
+            if self.is_train and rec_rng.rand() < 0.3:
+                # reference _xywh2cs train-time center jitter
+                # (kpt_2d_sview_rgb_img_top_down_dataset.py:147-148)
+                center = center + (0.4 * (rec_rng.rand(2) - 0.5)
+                                   * bbox[2:4]).astype(np.float32)
         joints = rec['joints_3d'][:, :2] * sfac
         vis = rec['joints_3d_visible'][:, 0]
 

@@ -21,7 +21,7 @@ from .dataset_info import DatasetInfo
 class MpiiDataset:
     def __init__(self, ann_file, img_prefix, dataset_info='mpii',
                  image_size=(192, 256), heatmap_size=(48, 64),
-                 test_mode=False, dataset_idx=0, **kw):
+                 test_mode=False, dataset_idx=0, canvas_size=1280, **kw):
         self.info = (dataset_info if isinstance(dataset_info, DatasetInfo)
                      else DatasetInfo.load(dataset_info))
         self.ann_file = ann_file
@@ -30,6 +30,7 @@ class MpiiDataset:
         self.heatmap_size = np.array(heatmap_size)
         self.test_mode = test_mode
         self.dataset_idx = dataset_idx
+        self.canvas_size = canvas_size   # MPII frames are up to 1280px wide
         self.db = self._load_db()
 
     @property

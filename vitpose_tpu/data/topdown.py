@@ -49,7 +49,7 @@ class TopDownDataset:
                  use_gt_bbox=True, bbox_file=None, det_bbox_thr=0.0,
                  test_mode=False, dataset_idx=0, max_num_joints=None,
                  soft_nms=False, nms_thr=1.0, oks_thr=0.9, vis_thr=0.2,
-                 use_nms=True):
+                 use_nms=True, canvas_size=640):
         self.info = (dataset_info if isinstance(dataset_info, DatasetInfo)
                      else DatasetInfo.load(dataset_info))
         self.ann_file = ann_file
@@ -67,6 +67,9 @@ class TopDownDataset:
         self.oks_thr = oks_thr
         self.vis_thr = vis_thr
         self.use_nms = use_nms
+        # static loader canvas; COCO images are <=640px, other sources set
+        # a larger canvas so crops are sampled at native resolution
+        self.canvas_size = canvas_size
 
         self.coco = CocoIndex(ann_file)
         self.id2name = {i: im['file_name'] for i, im in self.coco.imgs.items()}
@@ -106,11 +109,15 @@ class TopDownDataset:
                     self.coco.getAnnIds(imgIds=img_id, iscrowd=False)):
                 if 'bbox' not in ann or 'keypoints' not in ann:
                     continue
-                # clip box to the image, drop degenerate/empty ones
+                # clip box to the image, drop degenerate/empty ones.
+                # COCO's kernel clips with x1+max(0,w)
+                # (topdown_coco_dataset.py:303); every other reference
+                # dataset uses x1+max(0,w-1) (e.g. ap10k :142, jhmdb :130)
+                m1 = 0 if self.info.dataset_name == 'coco' else 1
                 x, y, w, h = ann['bbox']
                 x1, y1 = max(0, x), max(0, y)
-                x2 = min(width - 1, x1 + max(0, w))
-                y2 = min(height - 1, y1 + max(0, h))
+                x2 = min(width - 1, x1 + max(0, w - m1))
+                y2 = min(height - 1, y1 + max(0, h - m1))
                 if ann.get('area', 1) <= 0 or x2 <= x1 or y2 <= y1:
                     continue
                 if max(ann['keypoints']) == 0:

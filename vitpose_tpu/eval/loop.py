@@ -34,7 +34,12 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
     iw, ih = image_size
 
     @jax.jit
-    def val_step(variables, imgs, center, scale, expert_idx=None):
+    def val_step(variables, imgs, center, scale, center_orig, scale_orig,
+                 expert_idx=None):
+        # `center`/`scale` are CANVAS coords (the loader may downscale large
+        # sources onto the fixed canvas) and drive the crop warp;
+        # `center_orig`/`scale_orig` are ORIGINAL-image coords and drive the
+        # decode, so predictions land in original-image space.
         x = imgs.astype(jnp.float32) / 255.0
         zeros = jnp.zeros(center.shape[0])
         if use_udp:
@@ -47,7 +52,7 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
         hm = infer(model, variables, crops, flip_index=flip_index,
                    expert_idx=expert_idx, head_idx=head_idx)
         preds, maxvals = keypoints_from_heatmaps(
-            hm, center, scale, post_process=post_process,
+            hm, center_orig, scale_orig, post_process=post_process,
             kernel=modulate_kernel, use_udp=use_udp, target_type=target_type)
         return preds, maxvals
 
@@ -85,9 +90,11 @@ def run_validation(model, variables, loader, use_udp=True,
         n = batch['imgs'].shape[0]
         eidx = (jnp.full((n,), expert_idx, jnp.int32)
                 if expert_idx is not None else None)
-        # decode against ORIGINAL-image center/scale (canvas may be
-        # downscaled)
+        # warp in canvas coords, decode in original-image coords (the two
+        # differ when the loader downscaled a large source image)
         preds, maxvals = val_step(variables, jnp.asarray(batch['imgs']),
+                                  jnp.asarray(batch['center']),
+                                  jnp.asarray(batch['scale']),
                                   jnp.asarray(batch['center_orig']),
                                   jnp.asarray(batch['scale_orig']),
                                   eidx)

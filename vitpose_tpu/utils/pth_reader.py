@@ -70,7 +70,26 @@ class _Unpickler(pickle.Unpickler):
         if module.startswith('torch'):
             # any other torch object: return an inert placeholder factory
             return lambda *a, **k: None
-        return super().find_class(module, name)
+        # Safety allowlist: a pickle can name arbitrary callables, which the
+        # default Unpickler would import and invoke (code execution on
+        # load). Only benign containers / numpy reconstruction are allowed.
+        allowed = {
+            ('collections', 'defaultdict'),
+            ('builtins', 'dict'), ('builtins', 'list'),
+            ('builtins', 'set'), ('builtins', 'frozenset'),
+            ('builtins', 'tuple'), ('builtins', 'complex'),
+            ('builtins', 'bytearray'),
+            ('numpy', 'ndarray'), ('numpy', 'dtype'),
+            ('numpy.core.multiarray', '_reconstruct'),
+            ('numpy.core.multiarray', 'scalar'),
+            ('numpy._core.multiarray', '_reconstruct'),
+            ('numpy._core.multiarray', 'scalar'),
+        }
+        if (module, name) in allowed:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f'refusing to unpickle {module}.{name}: not in the checkpoint '
+            'allowlist (arbitrary classes can execute code on load)')
 
     def persistent_load(self, pid):
         # ('storage', storage_type_tag, key, location, numel)

@@ -31,16 +31,23 @@ def _to_numpy(t):
     return np.asarray(t)
 
 
-def load_torch_state_dict(path):
+def load_torch_state_dict(path, allow_unsafe=False):
     """Read a .pth file -> flat {name: np.ndarray} with prefixes normalized.
 
     Uses torch when available; otherwise the pure-python zip/pickle reader
-    (utils/pth_reader.py)."""
+    (utils/pth_reader.py). Loads with ``weights_only=True``; legacy pickles
+    that need arbitrary-object unpickling (full code execution on load) are
+    refused unless the caller explicitly passes ``allow_unsafe=True``."""
     try:
         import torch
         try:
             ckpt = torch.load(path, map_location='cpu', weights_only=True)
         except Exception:
+            if not allow_unsafe:
+                raise ValueError(
+                    f'{path} is not loadable with weights_only=True; '
+                    'loading it would execute arbitrary pickled code. Pass '
+                    'allow_unsafe=True only for checkpoints you trust.')
             ckpt = torch.load(path, map_location='cpu', weights_only=False)
     except ImportError:
         from .pth_reader import load_pth
@@ -79,19 +86,28 @@ def _interpolate_pos_embed(pos, num_patches, grid_hw):
     return np.concatenate([cls_tok, new_patch], axis=1)
 
 
-def _adapt_patch_embed(kernel, patch_size):
-    """Pad or bicubic-resize a conv kernel [D, 3, k, k] to patch_size
-    (reference checkpoint.py:360-374)."""
+def _adapt_patch_embed(kernel, patch_size, mode='pad'):
+    """Adapt a conv kernel [D, 3, k, k] to patch_size (reference
+    checkpoint.py:360-374 `patch_padding` modes).
+
+    mode='pad' (the reference default) zero-pads asymmetrically
+    (padding_l = diff//2, padding_r = diff - padding_l) — e.g. the MAE 14x14
+    kernel gets 1px each side to reach 16x16; 'bilinear'/'bicubic'
+    interpolate instead. Kernels LARGER than patch_size always interpolate
+    (negative padding would crop)."""
     k = kernel.shape[-1]
     if k == patch_size:
         return kernel
+    if mode == 'pad' and k < patch_size:
+        diff = patch_size - k
+        pl = diff // 2
+        pr = diff - pl
+        return np.pad(kernel, [(0, 0), (0, 0), (pl, pr), (pl, pr)])
     import torch
     import torch.nn.functional as F
-    if patch_size % k == 0 and patch_size - k <= 2:
-        pad = (patch_size - k) // 2
-        return np.pad(kernel, [(0, 0), (0, 0), (pad, pad), (pad, pad)])
     t = torch.from_numpy(kernel)
-    t = F.interpolate(t, size=(patch_size, patch_size), mode='bicubic',
+    t = F.interpolate(t, size=(patch_size, patch_size),
+                      mode='bilinear' if mode == 'bilinear' else 'bicubic',
                       align_corners=False)
     return t.numpy()
 
@@ -218,7 +234,7 @@ def convert_head(sd, prefix='keypoint_head.'):
     return params, stats
 
 
-def convert_topdown_checkpoint(path_or_sd, model_cfg):
+def convert_topdown_checkpoint(path_or_sd, model_cfg, patch_padding='pad'):
     """Full conversion: reference TopDown .pth -> flax variables for
     TopDownModel(model_cfg). Applies pos-embed regrid and patch-kernel
     adaptation for the target input geometry."""
@@ -228,7 +244,8 @@ def convert_topdown_checkpoint(path_or_sd, model_cfg):
 
     key = 'backbone.patch_embed.proj.weight'
     if key in sd:
-        sd[key] = _adapt_patch_embed(sd[key], bb.patch_size)
+        sd[key] = _adapt_patch_embed(sd[key], bb.patch_size,
+                                     mode=patch_padding)
     pk = 'backbone.pos_embed'
     if pk in sd:
         sd[pk] = _interpolate_pos_embed(sd[pk], bb.num_patches, bb.grid)
@@ -249,7 +266,7 @@ def convert_topdown_checkpoint(path_or_sd, model_cfg):
 
 
 def convert_backbone_checkpoint(path_or_sd, model_cfg, num_experts=0,
-                                part_dim=0):
+                                part_dim=0, patch_padding='pad'):
     """MAE/pretraining checkpoint (backbone-only keys, no 'backbone.'
     prefix) -> flax backbone params for fine-tuning init."""
     sd = (load_torch_state_dict(path_or_sd)
@@ -257,7 +274,8 @@ def convert_backbone_checkpoint(path_or_sd, model_cfg, num_experts=0,
     bb = model_cfg.backbone
     if 'patch_embed.proj.weight' in sd:
         sd['patch_embed.proj.weight'] = _adapt_patch_embed(
-            sd['patch_embed.proj.weight'], bb.patch_size)
+            sd['patch_embed.proj.weight'], bb.patch_size,
+            mode=patch_padding)
     if 'pos_embed' in sd:
         sd['pos_embed'] = _interpolate_pos_embed(
             sd['pos_embed'], bb.num_patches, bb.grid)
