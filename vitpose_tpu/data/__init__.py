@@ -1,3 +1,5 @@
 from .dataset_info import DatasetInfo, available_datasets
 from .coco_index import CocoIndex
 from .topdown import TopDownDataset
+from .wholebody import WholeBodyDataset
+from .loader import TopDownLoader

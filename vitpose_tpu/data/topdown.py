@@ -24,7 +24,17 @@ import numpy as np
 from .coco_index import CocoIndex
 from .dataset_info import DatasetInfo
 from ..ops.nms import oks_nms, soft_oks_nms
+from ..ops.decode import (keypoint_pck_accuracy, keypoint_auc, keypoint_epe,
+                          keypoint_nme)
 from ..eval.cocoeval import CocoKeypointEval
+
+# NME normalization landmark pairs (inter-ocular / nose-eye distance) per
+# dataset (reference face_300w_dataset.py:122, face_cofw_dataset.py:121,
+# face_wflw_dataset.py:121, animal_horse10_dataset.py:105). AFLW and other
+# datasets normalize by the per-record `box_size` instead
+# (face_aflw_dataset.py:130; the base class default factor is 1).
+_NME_LANDMARKS = {'300w': (36, 45), 'coco_wholebody_face': (36, 45),
+                  'cofw': (8, 9), 'wflw': (60, 72), 'horse10': (0, 1)}
 
 
 class TopDownDataset:
@@ -140,7 +150,7 @@ class TopDownDataset:
                 visible = np.zeros((k, 3), np.float32)
                 joints[:, :2] = kp[:, :2]
                 visible[:, :2] = np.minimum(1, kp[:, 2:3])
-                db.append(dict(
+                rec = dict(
                     image_file=os.path.join(self.img_prefix,
                                             self.id2name[img_id]),
                     bbox=np.array([x1, y1, x2 - x1, y2 - y1], np.float32),
@@ -151,7 +161,13 @@ class TopDownDataset:
                     dataset_idx=self.dataset_idx,
                     bbox_score=1.0,
                     bbox_id=bbox_id,
-                ))
+                )
+                # PCKh / AFLW-NME normalizers when annotated
+                if 'head_size' in ann:
+                    rec['head_size'] = float(ann['head_size'])
+                if 'box_size' in ann:
+                    rec['box_size'] = float(ann['box_size'])
+                db.append(rec)
                 bbox_id += 1
         return db
 
@@ -188,15 +204,102 @@ class TopDownDataset:
     # evaluation (reference: topdown_coco_dataset.py:406 `evaluate`)
     # ------------------------------------------------------------------
     def evaluate(self, results, res_folder=None, metric='mAP',
-                 rle_score=False):
+                 rle_score=False, pck_thr=0.2, pckh_thr=0.7, auc_nor=30):
         """results: list of dicts with
           preds [N, K, 3], boxes [N, 6] (c0, c1, s0, s1, area, score),
           image_paths (list[str]), bbox_ids (list[int]).
+
+        metric: 'mAP' (COCO OKS AP via rescoring+NMS+COCOeval) and/or the
+        reference _report_metric protocols 'PCK'/'PCKh'/'AUC'/'EPE'/'NME'
+        serving the face/hand/fashion/animal zoo
+        (kpt_2d_sview_rgb_img_top_down_dataset.py:191). A string or list.
+
         rle_score: RLE-style rescoring box + mean + max keypoint confidence
         (reference topdown_coco_dataset.py:483-486) instead of the default
         mean-over-visible rescoring.
-        Returns OrderedDict of COCO keypoint stats.
+        Returns OrderedDict of metric values.
         """
+        metrics = list(metric) if isinstance(metric, (list, tuple)) \
+            else [metric]
+        allowed = {'mAP', 'PCK', 'PCKh', 'AUC', 'EPE', 'NME'}
+        for m in metrics:
+            if m not in allowed:
+                raise KeyError(f'metric {m} is not supported')
+        stats = OrderedDict()
+        if 'mAP' in metrics:
+            stats.update(self._evaluate_map(results, res_folder, rle_score))
+        kp_metrics = [m for m in metrics if m != 'mAP']
+        if kp_metrics:
+            stats.update(self._report_metric(
+                results, kp_metrics, pck_thr=pck_thr, pckh_thr=pckh_thr,
+                auc_nor=auc_nor))
+        return stats
+
+    def _path_to_id(self, path):
+        rel = path[len(self.img_prefix):].lstrip('/')
+        base = os.path.basename(rel)
+        return (self.name2id[base] if base in self.name2id
+                else self.name2id[rel])
+
+    def _report_metric(self, results, metrics, pck_thr=0.2, pckh_thr=0.7,
+                       auc_nor=30):
+        """PCK/PCKh/AUC/EPE/NME over db-ordered predictions (reference
+        kpt_2d_sview_rgb_img_top_down_dataset.py:191-268)."""
+        by_key = {}
+        for result in results:
+            preds = np.asarray(result['preds'])
+            for i, (path, bid) in enumerate(zip(result['image_paths'],
+                                                result['bbox_ids'])):
+                by_key[(self._path_to_id(path), int(bid))] = preds[i]
+
+        outputs, gts, masks = [], [], []
+        thr_bbox, thr_head, box_sizes = [], [], []
+        for rec in self.db:
+            key = (self._path_to_id(rec['image_file']), int(rec['bbox_id']))
+            pred = by_key[key]
+            outputs.append(pred[:, :2])
+            gts.append(rec['joints_3d'][:, :2])
+            masks.append(rec['joints_3d_visible'][:, 0] > 0)
+            if 'PCK' in metrics:
+                t = np.max(rec['bbox'][2:4])
+                thr_bbox.append([t, t])
+            if 'PCKh' in metrics:
+                t = rec['head_size']
+                thr_head.append([t, t])
+            box_sizes.append(rec.get('box_size', 1))
+        outputs = np.asarray(outputs, np.float32)
+        gts = np.asarray(gts, np.float32)
+        masks = np.asarray(masks, bool)
+        box_sizes = np.asarray(box_sizes, np.float32).reshape(-1, 1)
+
+        info = OrderedDict()
+        if 'PCK' in metrics:
+            _, pck, _ = keypoint_pck_accuracy(
+                outputs, gts, masks, pck_thr, np.asarray(thr_bbox))
+            info['PCK'] = float(pck)
+        if 'PCKh' in metrics:
+            _, pckh, _ = keypoint_pck_accuracy(
+                outputs, gts, masks, pckh_thr, np.asarray(thr_head))
+            info['PCKh'] = float(pckh)
+        if 'AUC' in metrics:
+            info['AUC'] = float(keypoint_auc(outputs, gts, masks, auc_nor))
+        if 'EPE' in metrics:
+            info['EPE'] = float(keypoint_epe(outputs, gts, masks))
+        if 'NME' in metrics:
+            name = self.info.dataset_name
+            if name in _NME_LANDMARKS:
+                a, b = _NME_LANDMARKS[name]
+                inter = np.linalg.norm(gts[:, a] - gts[:, b], axis=1,
+                                       keepdims=True)
+                factor = np.tile(inter, [1, 2])
+            else:
+                factor = np.tile(box_sizes, [1, 2])
+            info['NME'] = float(keypoint_nme(outputs, gts, masks, factor))
+        return info
+
+    def _collect_detections(self, results, res_folder=None, rle_score=False):
+        """results -> rescoring + oks-nms'd detection dicts (the shared
+        front half of the reference evaluate, topdown_coco_dataset.py:449)."""
         kpts = defaultdict(list)
         for result in results:
             preds = np.asarray(result['preds'])
@@ -258,7 +361,10 @@ class TopDownDataset:
             with open(os.path.join(res_folder,
                                    'result_keypoints.json'), 'w') as f:
                 json.dump(detections, f)
+        return detections
 
+    def _evaluate_map(self, results, res_folder=None, rle_score=False):
+        detections = self._collect_detections(results, res_folder, rle_score)
         if 'annotations' not in self.coco.dataset:
             return OrderedDict()
         coco_dt = self.coco.loadRes(detections)

@@ -63,10 +63,20 @@ class CocoKeypointEval:
     """Evaluate keypoint detections against a CocoIndex ground truth."""
 
     def __init__(self, coco_gt, sigmas=None,
-                 area_rngs=None, max_dets=20, use_area=True):
+                 area_rngs=None, max_dets=20, use_area=True,
+                 kpt_slice=None):
         # use_area=False: datasets without an 'area' field (CrowdPose, AIC)
         # normalize OKS by bbox w*h*0.53 (xtcocotools convention)
+        #
+        # kpt_slice=(start, end): evaluate only that keypoint range, the
+        # WholeBody per-part protocol (reference _cocoeval.py:136-232,
+        # 360-404 — gt/dt part slices, gt ignored when the PART has no
+        # visible keypoints, dt dropped when the part prediction is
+        # all-zero; OKS still normalizes by the full person area). WholeBody
+        # gt anns split parts across foot/face/lefthand/righthand fields,
+        # which are concatenated onto 'keypoints' before slicing.
         self.use_area = use_area
+        self.kpt_slice = kpt_slice
         self.coco_gt = coco_gt
         self.sigmas = (np.asarray(sigmas, np.float64)
                        if sigmas is not None else _DEFAULT_SIGMAS)
@@ -94,13 +104,39 @@ class CocoKeypointEval:
             dts = [d for d in coco_dt.loadAnns(
                 coco_dt.getAnnIds(imgIds=img_id))
                 if d.get('category_id', cat) == cat]
+            if self.kpt_slice is not None:
+                gts = [self._slice_ann(g) for g in gts]
+                dts = [self._slice_ann(d) for d in dts]
+                # a dt whose part prediction is all-zero is dropped
+                # (reference _cocoeval.py:222-224)
+                dts = [d for d in dts if np.count_nonzero(
+                    np.asarray(d['keypoints'])[2::3] > 0)]
             for g in gts:
-                g['_ignore'] = (g.get('iscrowd', 0) == 1
-                                or g.get('num_keypoints', 1) == 0)
+                if self.kpt_slice is not None:
+                    # part protocol: ignore gts with no visible PART kpts
+                    vis = np.count_nonzero(
+                        np.asarray(g['keypoints'])[2::3] > 0)
+                    g['_ignore'] = (g.get('iscrowd', 0) == 1 or vis == 0)
+                else:
+                    g['_ignore'] = (g.get('iscrowd', 0) == 1
+                                    or g.get('num_keypoints', 1) == 0)
                 if not self.use_area or 'area' not in g:
                     g['area'] = g['bbox'][2] * g['bbox'][3] * 0.53
             per_img[img_id] = (gts, dts)
         return per_img
+
+    def _slice_ann(self, ann):
+        """Copy `ann` with 'keypoints' = the kpt_slice range of the full
+        (body+foot+face+lefthand+righthand) keypoint vector."""
+        kp = list(ann.get('keypoints', []))
+        for part in ('foot_kpts', 'face_kpts', 'lefthand_kpts',
+                     'righthand_kpts'):
+            if part in ann:
+                kp = kp + list(ann[part])
+        s, e = self.kpt_slice
+        out = dict(ann)
+        out['keypoints'] = kp[s * 3:e * 3]
+        return out
 
     def _match_image(self, gts, dts, area_rng):
         """Greedy per-image matching over all OKS thresholds at once.
