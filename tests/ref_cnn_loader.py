@@ -1,0 +1,460 @@
+"""Load reference CNN backbones (hrnet, litehrnet, hourglass, mspn, rsn,
+scnet, vipnas, hrformer, resnext, seresnext, hourglass_ae, ...) as
+standalone torch modules for conversion-parity golden tests.
+
+Extends tests/ref_loader.py with a faithful mmcv.cnn stub (ConvModule,
+DepthwiseSeparableConvModule, ContextBlock, builders, activations) so the
+genuine reference model code executes unmodified.
+"""
+import importlib.util
+import sys
+import types
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+REF = "/root/reference"
+
+_cache = {}
+
+
+# ---------------------------------------------------------------------------
+# mmcv.cnn stub — faithful to the pieces the reference backbones use
+# ---------------------------------------------------------------------------
+
+class HSigmoid(nn.Module):
+    def __init__(self, bias=1.0, divisor=2.0, min_value=0.0, max_value=1.0):
+        super().__init__()
+        self.bias, self.divisor = bias, divisor
+        self.min_value, self.max_value = min_value, max_value
+
+    def forward(self, x):
+        return ((x + self.bias) / self.divisor).clamp_(
+            self.min_value, self.max_value)
+
+
+class HSwish(nn.Module):
+    def __init__(self, inplace=False):
+        super().__init__()
+        self.act = nn.ReLU6(inplace)
+
+    def forward(self, x):
+        return x * self.act(x + 3) / 6
+
+
+_ACTS = {
+    'ReLU': lambda cfg: nn.ReLU(inplace=cfg.get('inplace', True)),
+    'ReLU6': lambda cfg: nn.ReLU6(inplace=cfg.get('inplace', True)),
+    'Sigmoid': lambda cfg: nn.Sigmoid(),
+    'GELU': lambda cfg: nn.GELU(),
+    'HSigmoid': lambda cfg: HSigmoid(**{k: v for k, v in cfg.items()
+                                        if k != 'type'}),
+    'HSwish': lambda cfg: HSwish(),
+    'PReLU': lambda cfg: nn.PReLU(**{k: v for k, v in cfg.items()
+                                     if k != 'type'}),
+}
+
+
+def build_activation_layer(cfg):
+    cfg = dict(cfg)
+    return _ACTS[cfg['type']](cfg)
+
+
+def build_conv_layer(cfg, *args, **kwargs):
+    return nn.Conv2d(*args, **kwargs)
+
+
+def build_norm_layer(cfg, num_features, postfix=''):
+    cfg = dict(cfg or dict(type='BN'))
+    t = cfg.get('type', 'BN')
+    if t == 'LN':
+        return f'ln{postfix}', nn.LayerNorm(
+            num_features, eps=cfg.get('eps', 1e-5))
+    assert t in ('BN', 'BN2d', 'SyncBN'), cfg
+    layer = nn.BatchNorm2d(num_features,
+                           **{k: v for k, v in cfg.items()
+                              if k in ('eps', 'momentum')})
+    return f'bn{postfix}', layer
+
+
+def build_upsample_layer(cfg, **kw):
+    cfg = dict(cfg)
+    t = cfg.pop('type', 'deconv')
+    if t == 'deconv':
+        kw = {**cfg, **kw}
+        return nn.ConvTranspose2d(**kw)
+    if t in ('nearest', 'bilinear'):
+        return nn.Upsample(**{**cfg, **kw}, mode=t)
+    raise ValueError(t)
+
+
+class ConvModule(nn.Module):
+    """conv -> norm -> act block (mmcv.cnn.bricks.conv_module)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias='auto',
+                 conv_cfg=None, norm_cfg=None, act_cfg=dict(type='ReLU'),
+                 inplace=True, padding_mode='zeros',
+                 order=('conv', 'norm', 'act')):
+        super().__init__()
+        self.order = order
+        self.with_norm = norm_cfg is not None
+        self.with_activation = act_cfg is not None
+        if bias == 'auto':
+            bias = not self.with_norm
+        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                              stride, padding, dilation, groups, bias=bias)
+        if self.with_norm:
+            norm_ch = out_channels if order.index('norm') > \
+                order.index('conv') else in_channels
+            self.norm_name, norm = build_norm_layer(norm_cfg, norm_ch)
+            self.add_module(self.norm_name, norm)
+        if self.with_activation:
+            self.activate = build_activation_layer(act_cfg)
+
+    @property
+    def norm(self):
+        return getattr(self, self.norm_name) if self.with_norm else None
+
+    def forward(self, x, activate=True, norm=True):
+        for layer in self.order:
+            if layer == 'conv':
+                x = self.conv(x)
+            elif layer == 'norm' and norm and self.with_norm:
+                x = self.norm(x)
+            elif layer == 'act' and activate and self.with_activation:
+                x = self.activate(x)
+        return x
+
+
+class DepthwiseSeparableConvModule(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, norm_cfg=None,
+                 act_cfg=dict(type='ReLU'), dw_norm_cfg='default',
+                 dw_act_cfg='default', pw_norm_cfg='default',
+                 pw_act_cfg='default', **kwargs):
+        super().__init__()
+        dw_norm_cfg = dw_norm_cfg if dw_norm_cfg != 'default' else norm_cfg
+        dw_act_cfg = dw_act_cfg if dw_act_cfg != 'default' else act_cfg
+        pw_norm_cfg = pw_norm_cfg if pw_norm_cfg != 'default' else norm_cfg
+        pw_act_cfg = pw_act_cfg if pw_act_cfg != 'default' else act_cfg
+        self.depthwise_conv = ConvModule(
+            in_channels, in_channels, kernel_size, stride, padding, dilation,
+            groups=in_channels, norm_cfg=dw_norm_cfg, act_cfg=dw_act_cfg,
+            **kwargs)
+        self.pointwise_conv = ConvModule(
+            in_channels, out_channels, 1, norm_cfg=pw_norm_cfg,
+            act_cfg=pw_act_cfg, **kwargs)
+
+    def forward(self, x):
+        return self.pointwise_conv(self.depthwise_conv(x))
+
+
+def _last_zero_init(m):
+    pass
+
+
+class ContextBlock(nn.Module):
+    """mmcv.cnn.bricks.context_block (GCNet) — att pooling + channel_add."""
+
+    def __init__(self, in_channels, ratio, pooling_type='att',
+                 fusion_types=('channel_add', )):
+        super().__init__()
+        self.in_channels = in_channels
+        self.ratio = ratio
+        self.planes = int(in_channels * ratio)
+        self.pooling_type = pooling_type
+        self.fusion_types = fusion_types
+        if pooling_type == 'att':
+            self.conv_mask = nn.Conv2d(in_channels, 1, kernel_size=1)
+            self.softmax = nn.Softmax(dim=2)
+        else:
+            self.avg_pool = nn.AdaptiveAvgPool2d(1)
+        if 'channel_add' in fusion_types:
+            self.channel_add_conv = nn.Sequential(
+                nn.Conv2d(self.in_channels, self.planes, kernel_size=1),
+                nn.LayerNorm([self.planes, 1, 1]),
+                nn.ReLU(inplace=True),
+                nn.Conv2d(self.planes, self.in_channels, kernel_size=1))
+        else:
+            self.channel_add_conv = None
+        if 'channel_mul' in fusion_types:
+            self.channel_mul_conv = nn.Sequential(
+                nn.Conv2d(self.in_channels, self.planes, kernel_size=1),
+                nn.LayerNorm([self.planes, 1, 1]),
+                nn.ReLU(inplace=True),
+                nn.Conv2d(self.planes, self.in_channels, kernel_size=1))
+        else:
+            self.channel_mul_conv = None
+
+    def spatial_pool(self, x):
+        batch, channel, height, width = x.size()
+        if self.pooling_type == 'att':
+            input_x = x.view(batch, channel, height * width).unsqueeze(1)
+            context_mask = self.conv_mask(x).view(batch, 1, height * width)
+            context_mask = self.softmax(context_mask).unsqueeze(-1)
+            context = torch.matmul(input_x, context_mask)
+            context = context.view(batch, channel, 1, 1)
+        else:
+            context = self.avg_pool(x)
+        return context
+
+    def forward(self, x):
+        context = self.spatial_pool(x)
+        out = x
+        if self.channel_mul_conv is not None:
+            out = out * torch.sigmoid(self.channel_mul_conv(context))
+        if self.channel_add_conv is not None:
+            out = out + self.channel_add_conv(context)
+        return out
+
+
+class DropPath(nn.Module):
+    def __init__(self, drop_prob=0.0):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        keep = 1 - self.drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+        mask.floor_()
+        return x.div(keep) * mask
+
+
+def build_dropout(cfg):
+    cfg = dict(cfg or {})
+    t = cfg.pop('type', 'Dropout')
+    if t == 'DropPath':
+        return DropPath(**cfg)
+    return nn.Dropout(**{k: v for k, v in cfg.items() if k == 'p'})
+
+
+class BaseModule(nn.Module):
+    def __init__(self, init_cfg=None):
+        super().__init__()
+        self.init_cfg = init_cfg
+
+    def init_weights(self):
+        pass
+
+
+def _noop_init(*a, **k):
+    pass
+
+
+def _build_mmcv_stub():
+    mmcv = types.ModuleType('mmcv')
+    mmcv.is_tuple_of = lambda seq, t: (isinstance(seq, tuple)
+                                       and all(isinstance(s, t) for s in seq))
+    cnn = types.ModuleType('mmcv.cnn')
+    for name, obj in (
+            ('ConvModule', ConvModule),
+            ('DepthwiseSeparableConvModule', DepthwiseSeparableConvModule),
+            ('ContextBlock', ContextBlock),
+            ('MaxPool2d', nn.MaxPool2d),
+            ('build_conv_layer', build_conv_layer),
+            ('build_norm_layer', build_norm_layer),
+            ('build_activation_layer', build_activation_layer),
+            ('build_upsample_layer', build_upsample_layer),
+            ('constant_init', _noop_init), ('normal_init', _noop_init),
+            ('kaiming_init', _noop_init), ('trunc_normal_init', _noop_init)):
+        setattr(cnn, name, obj)
+    bricks = types.ModuleType('mmcv.cnn.bricks')
+    bricks.ContextBlock = ContextBlock
+    transformer = types.ModuleType('mmcv.cnn.bricks.transformer')
+    transformer.build_dropout = build_dropout
+    runner = types.ModuleType('mmcv.runner')
+    runner.BaseModule = BaseModule
+    runner_ckpt = types.ModuleType('mmcv.runner.checkpoint')
+    runner_ckpt.load_state_dict = lambda *a, **k: None
+    runner_ckpt._load_checkpoint = lambda *a, **k: {}
+    runner.checkpoint = runner_ckpt
+    runner.load_checkpoint = lambda *a, **k: None
+    utils_mod = types.ModuleType('mmcv.utils')
+    pw = types.ModuleType('mmcv.utils.parrots_wrapper')
+    pw._BatchNorm = nn.modules.batchnorm._BatchNorm
+    utils_mod.parrots_wrapper = pw
+    mmcv.cnn = cnn
+    return [
+        ('mmcv', mmcv), ('mmcv.cnn', cnn), ('mmcv.cnn.bricks', bricks),
+        ('mmcv.cnn.bricks.transformer', transformer),
+        ('mmcv.runner', runner), ('mmcv.runner.checkpoint', runner_ckpt),
+        ('mmcv.utils', utils_mod), ('mmcv.utils.parrots_wrapper', pw),
+    ]
+
+
+def _build_mmpose_stub():
+    class _Registry:
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    root = types.ModuleType('mmpose')
+    utils = types.ModuleType('mmpose.utils')
+    utils.get_root_logger = lambda *a, **k: types.SimpleNamespace(
+        info=lambda *aa, **kk: None, warning=lambda *aa, **kk: None)
+    models = types.ModuleType('mmpose.models')
+    builder = types.ModuleType('mmpose.models.builder')
+    builder.BACKBONES = _Registry()
+    builder.HEADS = _Registry()
+    builder.NECKS = _Registry()
+    backbones = types.ModuleType('mmpose.models.backbones')
+    backbones.__path__ = [f'{REF}/mmpose/models/backbones']
+
+    base_backbone = types.ModuleType(
+        'mmpose.models.backbones.base_backbone')
+
+    class BaseBackbone(nn.Module):
+        def init_weights(self, pretrained=None, **kw):
+            pass
+
+    base_backbone.BaseBackbone = BaseBackbone
+    return [
+        ('mmpose', root), ('mmpose.utils', utils),
+        ('mmpose.models', models), ('mmpose.models.builder', builder),
+        ('mmpose.models.backbones', backbones),
+        ('mmpose.models.backbones.base_backbone', base_backbone),
+    ]
+
+
+def _install_stubs():
+    if 'mmcv' in sys.modules and hasattr(sys.modules['mmcv'], 'cnn') \
+            and hasattr(sys.modules['mmcv'].cnn, 'ConvModule'):
+        return
+    for name, mod in _build_mmcv_stub() + _build_mmpose_stub():
+        sys.modules[name] = mod
+
+
+def _load_as(dotted, relpath):
+    """Load a reference file under its real dotted name (so relative
+    imports hit the stub tree / previously loaded reference modules)."""
+    if dotted in sys.modules:
+        return sys.modules[dotted]
+    spec = importlib.util.spec_from_file_location(dotted, f'{REF}/{relpath}')
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_backbone_utils():
+    """Load the genuine mmpose backbones.utils package pieces."""
+    _install_stubs()
+    if 'mmpose.models.backbones.utils' in sys.modules:
+        return sys.modules['mmpose.models.backbones.utils']
+    pkg = types.ModuleType('mmpose.models.backbones.utils')
+    pkg.__path__ = [f'{REF}/mmpose/models/backbones/utils']
+    sys.modules['mmpose.models.backbones.utils'] = pkg
+    cs = _load_as('mmpose.models.backbones.utils.channel_shuffle',
+                  'mmpose/models/backbones/utils/channel_shuffle.py')
+    md = _load_as('mmpose.models.backbones.utils.make_divisible',
+                  'mmpose/models/backbones/utils/make_divisible.py')
+    se = _load_as('mmpose.models.backbones.utils.se_layer',
+                  'mmpose/models/backbones/utils/se_layer.py')
+    ir = _load_as('mmpose.models.backbones.utils.inverted_residual',
+                  'mmpose/models/backbones/utils/inverted_residual.py')
+    uu = _load_as('mmpose.models.backbones.utils.utils',
+                  'mmpose/models/backbones/utils/utils.py')
+    pkg.channel_shuffle = cs.channel_shuffle
+    pkg.make_divisible = md.make_divisible
+    pkg.SELayer = se.SELayer
+    pkg.InvertedResidual = ir.InvertedResidual
+    pkg.load_checkpoint = lambda *a, **k: None
+    pkg.get_state_dict = uu.get_state_dict
+    return pkg
+
+
+def _ref_backbone(name):
+    key = f'bb_{name}'
+    if key not in _cache:
+        _install_stubs()
+        _load_backbone_utils()
+        if name in ('hrnet', 'scnet', 'resnext', 'seresnext', 'hrformer',
+                    'vipnas_resnet'):
+            _load_as('mmpose.models.backbones.resnet',
+                     'mmpose/models/backbones/resnet.py')
+        if name == 'seresnext':
+            _load_as('mmpose.models.backbones.seresnet',
+                     'mmpose/models/backbones/seresnet.py')
+        if name == 'hrformer':
+            _load_as('mmpose.models.backbones.hrnet',
+                     'mmpose/models/backbones/hrnet.py')
+        if name in ('hourglass', 'mspn'):
+            _load_as('mmpose.models.backbones.resnet',
+                     'mmpose/models/backbones/resnet.py')
+        _cache[key] = _load_as(f'mmpose.models.backbones.{name}',
+                               f'mmpose/models/backbones/{name}.py')
+    return _cache[key]
+
+
+def ref_hrnet():
+    return _ref_backbone('hrnet')
+
+
+def ref_litehrnet():
+    return _ref_backbone('litehrnet')
+
+
+def ref_hourglass():
+    return _ref_backbone('hourglass')
+
+
+def ref_hourglass_ae():
+    return _ref_backbone('hourglass_ae')
+
+
+def ref_mspn():
+    return _ref_backbone('mspn')
+
+
+def ref_rsn():
+    return _ref_backbone('rsn')
+
+
+def ref_scnet():
+    return _ref_backbone('scnet')
+
+
+def ref_resnet():
+    _install_stubs()
+    _load_backbone_utils()
+    return _load_as('mmpose.models.backbones.resnet',
+                    'mmpose/models/backbones/resnet.py')
+
+
+def ref_resnext():
+    return _ref_backbone('resnext')
+
+
+def ref_seresnext():
+    return _ref_backbone('seresnext')
+
+
+def ref_seresnet():
+    _install_stubs()
+    _load_backbone_utils()
+    _load_as('mmpose.models.backbones.resnet',
+             'mmpose/models/backbones/resnet.py')
+    return _load_as('mmpose.models.backbones.seresnet',
+                    'mmpose/models/backbones/seresnet.py')
+
+
+def ref_vipnas_mbv3():
+    return _ref_backbone('vipnas_mbv3')
+
+
+def ref_vipnas_resnet():
+    return _ref_backbone('vipnas_resnet')
+
+
+def ref_hrformer():
+    return _ref_backbone('hrformer')
+
+
+def ref_litehrnet_module():
+    return ref_litehrnet()

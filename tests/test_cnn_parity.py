@@ -1,0 +1,135 @@
+"""Conversion-parity goldens for the CNN backbone zoo: random-init reference
+torch backbones -> cnn_ckpt converters -> our flax models must match outputs
+(the test pattern of test_model_parity.py, extended to the CNN families)."""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from vitpose_tpu.utils import cnn_ckpt as CK
+
+import ref_cnn_loader as L
+
+
+def _sd(net):
+    return {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+
+def _run_flax(model, params, stats, x_nchw):
+    var = {'params': params}
+    if stats:
+        var['batch_stats'] = stats
+    out = model.apply(var, jnp.asarray(x_nchw.transpose(0, 2, 3, 1)),
+                      train=False)
+    return np.asarray(out).transpose(0, 3, 1, 2)
+
+
+def _assert_close(ours, ref, tol=1e-4):
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    np.testing.assert_allclose(ours, ref, rtol=tol, atol=tol)
+
+
+def test_resnext_parity():
+    torch.manual_seed(0)
+    net = L.ref_resnext().ResNeXt(depth=50, groups=32, width_per_group=4)
+    net.eval()
+    x = np.random.RandomState(0).randn(2, 3, 64, 48).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.resnext import ResNeXt
+    params, stats = CK.convert_resnext(_sd(net))
+    _assert_close(_run_flax(ResNeXt(depth=50), params, stats, x), ref)
+
+
+def test_seresnext_parity():
+    torch.manual_seed(1)
+    net = L.ref_seresnext().SEResNeXt(depth=50)
+    net.eval()
+    x = np.random.RandomState(1).randn(2, 3, 64, 48).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.resnext import SEResNeXt
+    params, stats = CK.convert_resnext(_sd(net))
+    _assert_close(_run_flax(SEResNeXt(depth=50), params, stats, x), ref)
+
+
+def test_seresnet_parity():
+    torch.manual_seed(2)
+    net = L.ref_seresnet().SEResNet(depth=50)
+    net.eval()
+    x = np.random.RandomState(2).randn(2, 3, 64, 48).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.classic_cnns import SEResNet
+    params, stats = CK.convert_seresnet(_sd(net))
+    _assert_close(_run_flax(SEResNet(depth=50), params, stats, x), ref)
+
+
+def test_hourglass_parity():
+    torch.manual_seed(4)
+    net = L.ref_hourglass().HourglassNet(
+        downsample_times=3, num_stacks=2, stage_channels=(256, 64, 96, 96),
+        stage_blocks=(1, 1, 1, 2), feat_channel=32)
+    net.eval()
+    x = np.random.RandomState(4).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        refs = [t.numpy() for t in net(torch.from_numpy(x))]
+    from vitpose_tpu.models.lightweight import Hourglass
+    model = Hourglass(downsample_times=3, num_stacks=2,
+                      stage_channels=(256, 64, 96, 96),
+                      stage_blocks=(1, 1, 1, 2), feat_channel=32)
+    params, stats = CK.convert_hourglass(_sd(net), downsample_times=3)
+    var = {'params': params, 'batch_stats': stats}
+    outs = model.apply(var, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+    assert len(outs) == len(refs)
+    for o, r in zip(outs, refs):
+        _assert_close(np.asarray(o).transpose(0, 3, 1, 2), r)
+
+
+def test_hourglass_ae_parity():
+    torch.manual_seed(5)
+    net = L.ref_hourglass_ae().HourglassAENet(
+        downsample_times=3, num_stacks=2, out_channels=10,
+        stage_channels=(32, 48, 64, 64), feat_channels=32)
+    net.eval()
+    x = np.random.RandomState(5).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        refs = [t.numpy() for t in net(torch.from_numpy(x))]
+    from vitpose_tpu.models.lightweight import HourglassAE
+    model = HourglassAE(downsample_times=3, num_stacks=2, out_channels=10,
+                        stage_channels=(32, 48, 64, 64), feat_channels=32)
+    params, stats = CK.convert_hourglass_ae(_sd(net), downsample_times=3)
+    var = {'params': params, 'batch_stats': stats}
+    outs = model.apply(var, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+    assert len(outs) == len(refs)
+    for o, r in zip(outs, refs):
+        _assert_close(np.asarray(o).transpose(0, 3, 1, 2), r)
+
+
+def test_hrnet_parity():
+    torch.manual_seed(3)
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(4,), num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                    num_blocks=(4, 4), num_channels=(16, 32)),
+        stage3=dict(num_modules=1, num_branches=3, block='BASIC',
+                    num_blocks=(4, 4, 4), num_channels=(16, 32, 64)),
+        stage4=dict(num_modules=1, num_branches=4, block='BASIC',
+                    num_blocks=(4, 4, 4, 4), num_channels=(16, 32, 64, 128)))
+    net = L.ref_hrnet().HRNet(extra, in_channels=3)
+    net.eval()
+    x = np.random.RandomState(3).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.hrnet import HRNet, HRNetConfig
+    cfg = HRNetConfig(width=16, stage_modules=(1, 1, 1), stage_blocks=4)
+    params, stats = CK.convert_hrnet(_sd(net))
+    _assert_close(_run_flax(HRNet(cfg), params, stats, x), ref)

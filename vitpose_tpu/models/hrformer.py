@@ -40,9 +40,21 @@ def _window_merge(x, ws, padded_hw, orig_hw, n):
     return x[:, :h, :w]
 
 
+def _rel_position_index(wh, ww):
+    """Swin-style relative-position lookup indices [Wh*Ww, Wh*Ww]
+    (reference hrformer.py:100-104 double_step_seq + flip)."""
+    import numpy as np
+    seq1 = np.arange(wh) * (2 * ww - 1)
+    seq2 = np.arange(ww)
+    coords = (seq1[:, None] + seq2[None, :]).reshape(1, -1)
+    idx = coords + coords.T
+    return idx[:, ::-1].copy()
+
+
 class WindowAttention(nn.Module):
     num_heads: int
     window_size: int = 7
+    with_rpe: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,6 +68,15 @@ class WindowAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum('bqhd,bkhd->bhqk', q * hd ** -0.5, k,
                           preferred_element_type=jnp.float32)
+        if self.with_rpe:
+            ws = self.window_size
+            table = self.param(
+                'rel_pos_bias_table',
+                nn.initializers.truncated_normal(0.02),
+                ((2 * ws - 1) * (2 * ws - 1), self.num_heads), self.dtype)
+            idx = jnp.asarray(_rel_position_index(ws, ws).flatten())
+            bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
+            attn = attn + bias.transpose(2, 0, 1)[None].astype(jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum('bhqk,bkhd->bqhd', attn, v,
                          preferred_element_type=jnp.float32)

@@ -37,9 +37,14 @@ class HRNetConfig:
 
 
 class ExchangeModule(nn.Module):
-    """One HR module: per-branch basic blocks, then all-to-all fusion."""
+    """One HR module: per-branch basic blocks, then all-to-all fusion.
+
+    multiscale=False builds fusion only for the highest-resolution branch
+    (the reference's multiscale_output=False final module, hrnet.py
+    HRModule._make_fuse_layers)."""
     channels: Sequence[int]
     num_blocks: int = 4
+    multiscale: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,7 +58,7 @@ class ExchangeModule(nn.Module):
             outs.append(x)
         # fusion: target branch i receives from every branch j
         fused = []
-        for i in range(n_br):
+        for i in range(n_br if self.multiscale else 1):
             acc = None
             for j in range(n_br):
                 y = outs[j]
@@ -113,11 +118,13 @@ class HRNet(nn.Module):
                     name='tr1_conv1')(x)))
         xs = [b0, b1]
 
+        n_stages = len(c.stage_modules)
         for stage, n_mod in enumerate(c.stage_modules):
             n_br = stage + 2
             for m in range(n_mod):
+                last = stage == n_stages - 1 and m == n_mod - 1
                 xs = ExchangeModule(chans[:n_br], c.stage_blocks,
-                                    dtype=dtype,
+                                    multiscale=not last, dtype=dtype,
                                     name=f'stage{stage + 2}_mod{m}')(
                                         xs, train=train)
             if stage < len(c.stage_modules) - 1:

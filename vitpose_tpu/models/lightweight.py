@@ -145,69 +145,176 @@ class ShuffleNetV2(nn.Module):
         return nn.relu(x)
 
 
+def _res_layer(x, train, num_blocks, in_ch, out_ch, name, stride=1,
+               downsample_first=True, dtype=jnp.float32):
+    """mmpose ResLayer of BasicBlocks (resnet.py:310): the stride/channel
+    change happens in the FIRST block (ResNet) or LAST (downsample_first=
+    False, Hourglass low3)."""
+    from .resnet import BasicBlock
+    for k in range(num_blocks):
+        if downsample_first:
+            first = k == 0
+            ch = out_ch
+            s = stride if first else 1
+            ds = first and (stride != 1 or in_ch != out_ch)
+        else:
+            last = k == num_blocks - 1
+            ch = out_ch if last else in_ch
+            s = stride if last else 1
+            ds = last and (stride != 1 or in_ch != out_ch)
+        x = BasicBlock(ch, stride=s, downsample=ds, dtype=dtype,
+                       name=f'{name}_{k}')(x, train=train)
+    return x
+
+
+def _conv_bn(x, train, out_ch, k, name, stride=1, act=True, norm=True,
+             dtype=jnp.float32):
+    """mmcv ConvModule: conv (bias iff no norm) + BN + optional ReLU."""
+    p = k // 2
+    x = nn.Conv(out_ch, (k, k), strides=(stride, stride),
+                padding=((p, p), (p, p)), use_bias=not norm, dtype=dtype,
+                name=f'{name}_conv')(x)
+    if norm:
+        x = _bn(train, dtype, f'{name}_bn')(x)
+    return nn.relu(x) if act else x
+
+
 class HourglassModule(nn.Module):
-    """Recursive hourglass (down/up with skip), depth levels."""
+    """Recursive hourglass with per-depth channels/blocks (reference
+    hourglass.py:15 HourglassModule)."""
     depth: int
-    channels: int
+    stage_channels: Sequence[int]
+    stage_blocks: Sequence[int]
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        from .resnet import BasicBlock
-        up1 = BasicBlock(self.channels, dtype=self.dtype,
-                         name='up1')(x, train=train)
-        low = nn.max_pool(x, (2, 2), strides=(2, 2))
-        low = BasicBlock(self.channels, dtype=self.dtype,
-                         name='low1')(low, train=train)
+        cur_b, next_b = self.stage_blocks[0], self.stage_blocks[1]
+        cur_c, next_c = self.stage_channels[0], self.stage_channels[1]
+        up1 = _res_layer(x, train, cur_b, cur_c, cur_c, 'up1',
+                         dtype=self.dtype)
+        low = _res_layer(x, train, cur_b, cur_c, next_c, 'low1', stride=2,
+                         dtype=self.dtype)
         if self.depth > 1:
-            low = HourglassModule(self.depth - 1, self.channels,
-                                  dtype=self.dtype,
-                                  name='inner')(low, train=train)
+            low = HourglassModule(self.depth - 1, self.stage_channels[1:],
+                                  self.stage_blocks[1:], dtype=self.dtype,
+                                  name='low2')(low, train=train)
         else:
-            low = BasicBlock(self.channels, dtype=self.dtype,
-                             name='low2')(low, train=train)
-        low = BasicBlock(self.channels, dtype=self.dtype,
-                         name='low3')(low, train=train)
+            low = _res_layer(low, train, next_b, next_c, next_c, 'low2',
+                             dtype=self.dtype)
+        low = _res_layer(low, train, cur_b, next_c, cur_c, 'low3',
+                         downsample_first=False, dtype=self.dtype)
         import jax
-        up2 = jax.image.resize(low, up1.shape, method='nearest')
+        up2 = jax.image.resize(
+            low, (low.shape[0], low.shape[1] * 2, low.shape[2] * 2,
+                  low.shape[3]), method='nearest')
         return up1 + up2
 
 
 class Hourglass(nn.Module):
-    """Stacked hourglass (Newell et al.) -> list of per-stack features.
+    """Stacked hourglass -> list of per-stack features [N, H/4, W/4, feat].
 
-    reference hourglass.py `HourglassNet`; classic bottom-up/CPM backbone.
+    Faithful counterpart of reference hourglass.py:89 `HourglassNet`
+    (Hourglass-52/104): ConvModule+ResLayer stem, per-depth stage channels,
+    out/remap/1x1 inter-stack convs.
     """
+    downsample_times: int = 5
     num_stacks: int = 2
-    depth: int = 4
-    channels: int = 256
+    stage_channels: Sequence[int] = (256, 256, 384, 384, 384, 512)
+    stage_blocks: Sequence[int] = (2, 2, 2, 2, 2, 4)
+    feat_channel: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from .resnet import BasicBlock
-        x = nn.Conv(128, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name='stem')(x)
-        x = _bn(train, self.dtype, 'stem_bn')(x)
-        x = nn.relu(x)
-        x = BasicBlock(128, dtype=self.dtype, name='stem_res')(x,
-                                                               train=train)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = BasicBlock(self.channels, downsample=True, dtype=self.dtype,
-                       name='stem_res2')(x, train=train)
+        cur = self.stage_channels[0]
+        x = _conv_bn(x, train, 128, 7, 'stem', stride=2, dtype=self.dtype)
+        x = _res_layer(x, train, 1, 128, 256, 'stem_res', stride=2,
+                       dtype=self.dtype)
 
         outs = []
         for si in range(self.num_stacks):
-            y = HourglassModule(self.depth, self.channels, dtype=self.dtype,
-                                name=f'hg{si}')(x, train=train)
-            y = BasicBlock(self.channels, dtype=self.dtype,
-                           name=f'res{si}')(y, train=train)
-            y = nn.Conv(self.channels, (1, 1), use_bias=False,
-                        dtype=self.dtype, name=f'fc{si}')(y)
-            y = _bn(train, self.dtype, f'fc{si}_bn')(y)
-            y = nn.relu(y)
-            outs.append(y)
+            hg = HourglassModule(self.downsample_times, self.stage_channels,
+                                 self.stage_blocks, dtype=self.dtype,
+                                 name=f'hg{si}')(x, train=train)
+            out = _conv_bn(hg, train, self.feat_channel, 3, f'out_conv{si}',
+                           dtype=self.dtype)
+            outs.append(out)
             if si < self.num_stacks - 1:
-                x = x + nn.Conv(self.channels, (1, 1), dtype=self.dtype,
-                                name=f'merge{si}')(y)
+                a = _conv_bn(x, train, cur, 1, f'conv1x1_{si}', act=False,
+                             dtype=self.dtype)
+                b = _conv_bn(out, train, cur, 1, f'remap{si}', act=False,
+                             dtype=self.dtype)
+                x = _res_layer(nn.relu(a + b), train, 1, cur, cur,
+                               f'inters_{si}', dtype=self.dtype)
+        return outs
+
+
+class HourglassAEModule(nn.Module):
+    """Recursive AE hourglass of plain ConvModules (reference
+    hourglass_ae.py:12)."""
+    depth: int
+    stage_channels: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        cur_c, next_c = self.stage_channels[0], self.stage_channels[1]
+        up1 = _conv_bn(x, train, cur_c, 3, 'up1', dtype=self.dtype)
+        low = nn.max_pool(x, (2, 2), strides=(2, 2))
+        low = _conv_bn(low, train, next_c, 3, 'low1', dtype=self.dtype)
+        if self.depth > 1:
+            low = HourglassAEModule(self.depth - 1, self.stage_channels[1:],
+                                    dtype=self.dtype,
+                                    name='low2')(low, train=train)
+        else:
+            low = _conv_bn(low, train, next_c, 3, 'low2', dtype=self.dtype)
+        low = _conv_bn(low, train, cur_c, 3, 'low3', dtype=self.dtype)
+        import jax
+        up2 = jax.image.resize(
+            low, (low.shape[0], low.shape[1] * 2, low.shape[2] * 2,
+                  low.shape[3]), method='nearest')
+        return up1 + up2
+
+
+class HourglassAE(nn.Module):
+    """Hourglass-AE (Newell et al., associative embedding) -> list of
+    per-stack OUTPUT maps [N, H/4, W/4, out_channels] (the backbone itself
+    emits prediction maps; reference hourglass_ae.py:70 HourglassAENet)."""
+    downsample_times: int = 4
+    num_stacks: int = 1
+    out_channels: int = 34
+    stage_channels: Sequence[int] = (256, 384, 512, 640, 768)
+    feat_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _conv_bn(x, train, 64, 7, 'stem0', stride=2, dtype=self.dtype)
+        x = _conv_bn(x, train, 128, 3, 'stem1', dtype=self.dtype)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _conv_bn(x, train, 128, 3, 'stem2', dtype=self.dtype)
+        x = _conv_bn(x, train, self.feat_channels, 3, 'stem3',
+                     dtype=self.dtype)
+
+        outs = []
+        for si in range(self.num_stacks):
+            hg = HourglassAEModule(self.downsample_times,
+                                   self.stage_channels, dtype=self.dtype,
+                                   name=f'hg{si}')(x, train=train)
+            hg = _conv_bn(hg, train, self.feat_channels, 3, f'hgc{si}_0',
+                          dtype=self.dtype)
+            hg = _conv_bn(hg, train, self.feat_channels, 3, f'hgc{si}_1',
+                          dtype=self.dtype)
+            out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                          name=f'out_conv{si}_conv')(hg)
+            outs.append(out)
+            if si < self.num_stacks - 1:
+                x = (x
+                     + _conv_bn(out, train, self.feat_channels, 1,
+                                f'remap_out{si}', act=False,
+                                dtype=self.dtype)
+                     + _conv_bn(hg, train, self.feat_channels, 1,
+                                f'remap_feat{si}', act=False,
+                                dtype=self.dtype))
         return outs

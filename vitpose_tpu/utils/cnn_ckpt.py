@@ -1,0 +1,241 @@
+"""Torch->flax checkpoint converters for the CNN backbone zoo.
+
+Name-mapping converters from the reference torch layouts
+(mmpose/models/backbones/*.py) to our NHWC flax parameter trees. Every
+converter returns (params, batch_stats) dicts ready for `model.apply`.
+Conversion rules:
+  * conv [O, I/g, kh, kw] -> kernel [kh, kw, I/g, O]  (plain/grouped/dw)
+  * deconv [I, O, kh, kw] -> kernel [kh, kw, O, I]
+  * linear [O, I] -> kernel [I, O]
+  * BN weight/bias/running_mean/running_var -> scale/bias + mean/var
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class Cv:
+    """Mapping helper bound to a flat torch state dict."""
+
+    def __init__(self, sd, prefix=''):
+        self.sd = sd
+        self.prefix = prefix
+        self.params = {}
+        self.stats = {}
+
+    def _put(self, tree, path, v):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(v)
+
+    def has(self, tname):
+        return self.prefix + tname in self.sd
+
+    def get(self, tname):
+        return self.sd[self.prefix + tname]
+
+    def conv(self, tname, fpath, bias=False):
+        if not self.has(tname + '.weight'):
+            return False
+        fpath = tuple(fpath.split('/'))
+        self._put(self.params, fpath + ('kernel',),
+                  self.get(tname + '.weight').transpose(2, 3, 1, 0))
+        if bias or self.has(tname + '.bias'):
+            if self.has(tname + '.bias'):
+                self._put(self.params, fpath + ('bias',),
+                          self.get(tname + '.bias'))
+        return True
+
+    def linear(self, tname, fpath):
+        if not self.has(tname + '.weight'):
+            return False
+        fpath = tuple(fpath.split('/'))
+        w = self.get(tname + '.weight')
+        # allow 1x1 convs to land on Dense params
+        if w.ndim == 4:
+            w = w[:, :, 0, 0]
+        self._put(self.params, fpath + ('kernel',), w.T)
+        if self.has(tname + '.bias'):
+            self._put(self.params, fpath + ('bias',),
+                      self.get(tname + '.bias'))
+        return True
+
+    def bn(self, tname, fpath):
+        if not self.has(tname + '.weight'):
+            return False
+        fpath = tuple(fpath.split('/'))
+        self._put(self.params, fpath + ('scale',),
+                  self.get(tname + '.weight'))
+        self._put(self.params, fpath + ('bias',), self.get(tname + '.bias'))
+        self._put(self.stats, fpath + ('mean',),
+                  self.get(tname + '.running_mean'))
+        self._put(self.stats, fpath + ('var',),
+                  self.get(tname + '.running_var'))
+        return True
+
+    def ln(self, tname, fpath):
+        if not self.has(tname + '.weight'):
+            return False
+        fpath = tuple(fpath.split('/'))
+        self._put(self.params, fpath + ('scale',),
+                  self.get(tname + '.weight'))
+        self._put(self.params, fpath + ('bias',), self.get(tname + '.bias'))
+        return True
+
+    def raw(self, tname, fpath):
+        if not self.has(tname):
+            return False
+        fpath = tuple(fpath.split('/'))
+        self._put(self.params, fpath, self.get(tname))
+        return True
+
+    def conv_module(self, tname, fpath):
+        """mmcv ConvModule: {t}.conv + optional {t}.bn."""
+        ok = self.conv(tname + '.conv', fpath + '_conv')
+        self.bn(tname + '.bn', fpath + '_bn')
+        return ok
+
+    def out(self):
+        return self.params, self.stats
+
+
+def _resnet_block(cv, tname, fname):
+    """conv1..3/bn1..3 + downsample -> our BasicBlock/Bottleneck names."""
+    for ci in (1, 2, 3):
+        cv.conv(f'{tname}.conv{ci}', f'{fname}/conv{ci}')
+        cv.bn(f'{tname}.bn{ci}', f'{fname}/bn{ci}')
+    cv.conv(f'{tname}.downsample.0', f'{fname}/ds_conv')
+    cv.bn(f'{tname}.downsample.1', f'{fname}/ds_bn')
+    # SE gate (seresnet/seresnext): ConvModule fc convs -> Dense
+    cv.linear(f'{tname}.se_layer.conv1.conv', f'{fname}/se/fc1')
+    cv.linear(f'{tname}.se_layer.conv2.conv', f'{fname}/se/fc2')
+
+
+def convert_resnext(sd, prefix=''):
+    """ResNeXt / SE-ResNeXt (reference resnext.py / seresnext.py)."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1', 'conv1')
+    cv.bn('bn1', 'bn1')
+    for li in range(1, 5):
+        bi = 0
+        while cv.has(f'layer{li}.{bi}.conv1.weight'):
+            _resnet_block(cv, f'layer{li}.{bi}', f'layer{li}_{bi}')
+            bi += 1
+    return cv.out()
+
+
+convert_seresnet = convert_resnext      # identical naming (se handled above)
+
+
+def convert_hrnet(sd, prefix=''):
+    """HRNet (reference hrnet.py): stem + layer1 + transitions + staged
+    exchange modules with fuse layers."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1', 'stem_conv1')
+    cv.bn('bn1', 'stem_bn1')
+    cv.conv('conv2', 'stem_conv2')
+    cv.bn('bn2', 'stem_bn2')
+    bi = 0
+    while cv.has(f'layer1.{bi}.conv1.weight'):
+        _resnet_block(cv, f'layer1.{bi}', f'layer1_{bi}')
+        bi += 1
+    # transition1: branch0 Sequential(conv, bn), branch1 nested Sequential
+    cv.conv('transition1.0.0', 'tr1_conv0')
+    cv.bn('transition1.0.1', 'tr1_bn0')
+    cv.conv('transition1.1.0.0', 'tr1_conv1')
+    cv.bn('transition1.1.0.1', 'tr1_bn1')
+    for s in (2, 3, 4):                       # stages
+        m = 0
+        while cv.has(f'stage{s}.{m}.branches.0.0.conv1.weight'):
+            for b in range(4):
+                k = 0
+                while cv.has(f'stage{s}.{m}.branches.{b}.{k}.conv1.weight'):
+                    _resnet_block(
+                        cv, f'stage{s}.{m}.branches.{b}.{k}',
+                        f'stage{s}_mod{m}/branch{b}_block{k}')
+                    k += 1
+            for i in range(4):
+                for j in range(4):
+                    t = f'stage{s}.{m}.fuse_layers.{i}.{j}'
+                    f = f'stage{s}_mod{m}'
+                    if j > i:
+                        cv.conv(f'{t}.0', f'{f}/fuse{i}_{j}_conv')
+                        cv.bn(f'{t}.1', f'{f}/fuse{i}_{j}_bn')
+                    elif j < i:
+                        for d in range(i - j):
+                            cv.conv(f'{t}.{d}.0',
+                                    f'{f}/fuse{i}_{j}_down{d}_conv')
+                            cv.bn(f'{t}.{d}.1',
+                                  f'{f}/fuse{i}_{j}_down{d}_bn')
+            m += 1
+        # transition to the new branch (applied to the last existing one);
+        # reference transition{s}.{s} follows our tr{s} naming
+        if s < 4:
+            cv.conv(f'transition{s}.{s}.0.0', f'tr{s}_conv')
+            cv.bn(f'transition{s}.{s}.0.1', f'tr{s}_bn')
+    return cv.out()
+
+
+def _res_layer_blocks(cv, tname, fname):
+    k = 0
+    while cv.has(f'{tname}.{k}.conv1.weight'):
+        _resnet_block(cv, f'{tname}.{k}', f'{fname}_{k}')
+        k += 1
+
+
+def _hourglass_module(cv, tname, fname, depth):
+    _res_layer_blocks(cv, f'{tname}.up1', f'{fname}/up1')
+    _res_layer_blocks(cv, f'{tname}.low1', f'{fname}/low1')
+    if depth > 1:
+        _hourglass_module(cv, f'{tname}.low2', f'{fname}/low2', depth - 1)
+    else:
+        _res_layer_blocks(cv, f'{tname}.low2', f'{fname}/low2')
+    _res_layer_blocks(cv, f'{tname}.low3', f'{fname}/low3')
+
+
+def convert_hourglass(sd, downsample_times=5, prefix=''):
+    """HourglassNet (reference hourglass.py:89)."""
+    cv = Cv(sd, prefix)
+    cv.conv_module('stem.0', 'stem')
+    _res_layer_blocks(cv, 'stem.1', 'stem_res')
+    i = 0
+    while cv.has(f'hourglass_modules.{i}.up1.0.conv1.weight'):
+        _hourglass_module(cv, f'hourglass_modules.{i}', f'hg{i}',
+                          downsample_times)
+        cv.conv_module(f'out_convs.{i}', f'out_conv{i}')
+        cv.conv_module(f'conv1x1s.{i}', f'conv1x1_{i}')
+        cv.conv_module(f'remap_convs.{i}', f'remap{i}')
+        if cv.has(f'inters.{i}.conv1.weight'):
+            _resnet_block(cv, f'inters.{i}', f'inters_{i}_0')
+        i += 1
+    return cv.out()
+
+
+def _hourglass_ae_module(cv, tname, fname, depth):
+    cv.conv_module(f'{tname}.up1', f'{fname}/up1')
+    cv.conv_module(f'{tname}.low1', f'{fname}/low1')
+    if depth > 1:
+        _hourglass_ae_module(cv, f'{tname}.low2', f'{fname}/low2',
+                             depth - 1)
+    else:
+        cv.conv_module(f'{tname}.low2', f'{fname}/low2')
+    cv.conv_module(f'{tname}.low3', f'{fname}/low3')
+
+
+def convert_hourglass_ae(sd, downsample_times=4, prefix=''):
+    """HourglassAENet (reference hourglass_ae.py:70)."""
+    cv = Cv(sd, prefix)
+    for i, t in enumerate((0, 1, 3, 4)):        # index 2 is the maxpool
+        cv.conv_module(f'stem.{t}', f'stem{i}')
+    i = 0
+    while cv.has(f'hourglass_modules.{i}.0.up1.conv.weight'):
+        _hourglass_ae_module(cv, f'hourglass_modules.{i}.0', f'hg{i}',
+                             downsample_times)
+        cv.conv_module(f'hourglass_modules.{i}.1', f'hgc{i}_0')
+        cv.conv_module(f'hourglass_modules.{i}.2', f'hgc{i}_1')
+        cv.conv(f'out_convs.{i}.conv', f'out_conv{i}_conv')
+        cv.conv_module(f'remap_out_convs.{i}', f'remap_out{i}')
+        cv.conv_module(f'remap_feature_convs.{i}', f'remap_feat{i}')
+        i += 1
+    return cv.out()
