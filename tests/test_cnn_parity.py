@@ -133,3 +133,70 @@ def test_hrnet_parity():
     cfg = HRNetConfig(width=16, stage_modules=(1, 1, 1), stage_blocks=4)
     params, stats = CK.convert_hrnet(_sd(net))
     _assert_close(_run_flax(HRNet(cfg), params, stats, x), ref)
+
+
+def test_scnet_parity():
+    torch.manual_seed(6)
+    net = L.ref_scnet().SCNet(depth=50)
+    net.eval()
+    x = np.random.RandomState(6).randn(1, 3, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.more_cnns import SCNet
+    params, stats = CK.convert_scnet(_sd(net))
+    _assert_close(_run_flax(SCNet(depth=50), params, stats, x), ref)
+
+
+def test_mspn_parity():
+    torch.manual_seed(7)
+    net = L.ref_mspn().MSPN(unit_channels=32, num_stages=2, num_units=4,
+                            num_blocks=[1, 1, 1, 1])
+    net.eval()
+    x = np.random.RandomState(7).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        refs = net(torch.from_numpy(x))
+    from vitpose_tpu.models.multistage_nets import MSPN
+    model = MSPN(num_stages=2, num_units=4, num_blocks=(1, 1, 1, 1),
+                 unit_channels=32)
+    params, stats = CK.convert_mspn(_sd(net))
+    outs = model.apply({'params': params, 'batch_stats': stats},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert len(outs) == len(refs)
+    for stage_o, stage_r in zip(outs, refs):
+        assert len(stage_o) == len(stage_r)
+        for o, r in zip(stage_o, stage_r):
+            _assert_close(np.asarray(o).transpose(0, 3, 1, 2), r.numpy())
+
+
+def test_rsn_parity():
+    torch.manual_seed(8)
+    net = L.ref_rsn().RSN(unit_channels=32, num_stages=2, num_units=4,
+                          num_blocks=[1, 1, 1, 1], num_steps=2)
+    net.eval()
+    x = np.random.RandomState(8).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        refs = net(torch.from_numpy(x))
+    from vitpose_tpu.models.multistage_nets import RSN
+    model = RSN(num_stages=2, unit_channels=32, num_units=4,
+                num_blocks=(1, 1, 1, 1), num_steps=2)
+    params, stats = CK.convert_mspn(_sd(net))
+    outs = model.apply({'params': params, 'batch_stats': stats},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert len(outs) == len(refs)
+    for stage_o, stage_r in zip(outs, refs):
+        for o, r in zip(stage_o, stage_r):
+            _assert_close(np.asarray(o).transpose(0, 3, 1, 2), r.numpy())
+
+
+def test_vipnas_mbv3_parity():
+    torch.manual_seed(9)
+    net = L.ref_vipnas_mbv3().ViPNAS_MobileNetV3()
+    net.eval()
+    x = np.random.RandomState(9).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.more_cnns import ViPNASMobileNetV3
+    params, stats = CK.convert_vipnas_mbv3(_sd(net))
+    _assert_close(_run_flax(ViPNASMobileNetV3(), params, stats, x), ref)

@@ -19,7 +19,9 @@ def test_mspn_msmu_pipeline():
     hv = head.init(jax.random.PRNGKey(1), feats, train=False)
     outs = head.apply(hv, feats, train=False)
     assert len(outs) == 8
-    assert outs[0].shape == (2, 17, 16, 12)
+    # reference unit order: LOWEST resolution first (mspn.py docstring)
+    assert outs[0].shape == (2, 17, 2, 2)
+    assert outs[3].shape == (2, 17, 16, 12)
     # all units supervisable with the standard loss
     loss = sum(joints_mse_loss(o, jnp.zeros_like(o),
                                jnp.ones(o.shape[:2])) for o in outs)
@@ -34,7 +36,7 @@ def test_rsn_differs_from_mspn():
     # RSB blocks exist in the param tree
     flat = jax.tree_util.tree_flatten_with_path(v['params'])[0]
     names = {'/'.join(str(k) for k in path) for path, _ in flat}
-    assert any('step' in n for n in names)        # RSB dense steps
+    assert any('conv_bn_relu2' in n for n in names)    # RSB dense steps
 
 
 def test_litehrnet():

@@ -62,17 +62,24 @@ class AlexNet(nn.Module):
 
 
 class SELayer(nn.Module):
-    """Squeeze-and-excitation channel gating."""
+    """Squeeze-and-excitation channel gating (reference utils/se_layer.py:
+    avgpool -> 1x1 conv + ReLU -> 1x1 conv + gate). gate='hsigmoid' uses
+    mmcv HSigmoid(bias=3, divisor=6) as in MobileNetV3/ViPNAS SE configs."""
     ratio: int = 16
+    gate: str = 'sigmoid'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2))
-        s = nn.relu(nn.Dense(max(ch // self.ratio, 1), dtype=self.dtype,
+        s = nn.relu(nn.Dense(max(int(ch / self.ratio), 1), dtype=self.dtype,
                              name='fc1')(s))
-        s = nn.sigmoid(nn.Dense(ch, dtype=self.dtype, name='fc2')(s))
+        s = nn.Dense(ch, dtype=self.dtype, name='fc2')(s)
+        if self.gate == 'hsigmoid':
+            s = jnp.clip((s + 3.0) / 6.0, 0.0, 1.0)
+        else:
+            s = nn.sigmoid(s)
         return x * s[:, None, None, :]
 
 

@@ -32,7 +32,9 @@ class SCConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        # calibration path: avgpool -> conv -> upsample -> sigmoid gate
+        # calibration path: avgpool -> conv -> nearest upsample -> sigmoid
+        # gate at FULL resolution; the stride lives in k4 (reference
+        # scnet.py:41-75: k2 pooled, k3 stride 1, k4 stride=stride + relu).
         # (pool size clamped so tiny feature maps don't collapse to zero)
         r = max(1, min(self.pooling_r, x.shape[1], x.shape[2]))
         down = nn.avg_pool(x, (r, r), strides=(r, r))
@@ -40,18 +42,16 @@ class SCConv(nn.Module):
                        use_bias=False, dtype=self.dtype, name='k2')(down)
         down = _bn(train, self.dtype, 'k2_bn')(down)
         up = jax.image.resize(down, x.shape[:3] + (self.channels,),
-                              method='bilinear')
-        gate = nn.sigmoid(x[..., :self.channels] + up)
+                              method='nearest')
+        gate = nn.sigmoid(x + up)
+        y = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name='k3')(x)
+        y = _bn(train, self.dtype, 'k3_bn')(y)
+        y = y * gate
         y = nn.Conv(self.channels, (3, 3), strides=(self.stride,) * 2,
                     padding=((1, 1), (1, 1)), use_bias=False,
-                    dtype=self.dtype, name='k3')(x)
-        y = _bn(train, self.dtype, 'k3_bn')(y)
-        if self.stride > 1:
-            gate = gate[:, ::self.stride, ::self.stride]
-        y = y * gate
-        y = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, name='k4')(y)
-        return _bn(train, self.dtype, 'k4_bn')(y)
+                    dtype=self.dtype, name='k4')(y)
+        return nn.relu(_bn(train, self.dtype, 'k4_bn')(y))
 
 
 class SCBottleneck(nn.Module):
@@ -72,12 +72,12 @@ class SCBottleneck(nn.Module):
             nn.Conv(half, (3, 3), strides=(self.stride,) * 2,
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name='a2')(a)))
-        # branch b: self-calibrated path
+        # branch b: self-calibrated path (relu lives inside SCConv's k4)
         b = nn.relu(_bn(train, self.dtype, 'b1_bn')(
             nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype,
                     name='b1')(x)))
-        b = nn.relu(SCConv(half, stride=self.stride, dtype=self.dtype,
-                           name='scconv')(b, train=train))
+        b = SCConv(half, stride=self.stride, dtype=self.dtype,
+                   name='scconv')(b, train=train)
         y = jnp.concatenate([a, b], axis=-1)
         y = _bn(train, self.dtype, 'out_bn')(
             nn.Conv(self.planes * 4, (1, 1), use_bias=False,
@@ -347,9 +347,7 @@ class ViPNASMobileNetV3(nn.Module):
             mid = self.wid[i] * self.expan[i]
             k = self.ks[i]
             g = max(1, self.group[i])
-            # depthwise-ish grouped conv needs mid % groups == 0
-            while mid % g:
-                g -= 1
+            assert mid % g == 0, (mid, g)
             for j in range(self.dep[i]):
                 stride = self.stride[i] if j == 0 else 1
                 inp = x
@@ -367,7 +365,8 @@ class ViPNASMobileNetV3(nn.Module):
                 y = activate(_bn(train, self.dtype,
                                  f's{i}b{j}_dw_bn')(y), self.act[i])
                 if self.att[i]:
-                    y = SELayer(ratio=4, dtype=self.dtype,
+                    # mmpose InvertedResidual SE: ReLU squeeze + HSigmoid
+                    y = SELayer(ratio=4, gate='hsigmoid', dtype=self.dtype,
                                 name=f's{i}b{j}_se')(y)
                 y = nn.Conv(self.wid[i], (1, 1), use_bias=False,
                             dtype=self.dtype, name=f's{i}b{j}_proj')(y)

@@ -177,6 +177,120 @@ def convert_hrnet(sd, prefix=''):
     return cv.out()
 
 
+def convert_scnet(sd, prefix=''):
+    """SCNet (reference scnet.py): self-calibrated bottlenecks."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1', 'conv1')
+    cv.bn('bn1', 'bn1')
+    for li in range(1, 5):
+        bi = 0
+        while cv.has(f'layer{li}.{bi}.conv1.weight'):
+            t = f'layer{li}.{bi}'
+            f = f'layer{li}_{bi}'
+            cv.conv(f'{t}.conv1', f'{f}/a1')
+            cv.bn(f'{t}.bn1', f'{f}/a1_bn')
+            cv.conv(f'{t}.k1.0', f'{f}/a2')
+            cv.bn(f'{t}.k1.1', f'{f}/a2_bn')
+            cv.conv(f'{t}.conv2', f'{f}/b1')
+            cv.bn(f'{t}.bn2', f'{f}/b1_bn')
+            cv.conv(f'{t}.scconv.k2.1', f'{f}/scconv/k2')
+            cv.bn(f'{t}.scconv.k2.2', f'{f}/scconv/k2_bn')
+            cv.conv(f'{t}.scconv.k3.0', f'{f}/scconv/k3')
+            cv.bn(f'{t}.scconv.k3.1', f'{f}/scconv/k3_bn')
+            cv.conv(f'{t}.scconv.k4.0', f'{f}/scconv/k4')
+            cv.bn(f'{t}.scconv.k4.1', f'{f}/scconv/k4_bn')
+            cv.conv(f'{t}.conv3', f'{f}/out')
+            cv.bn(f'{t}.bn3', f'{f}/out_bn')
+            cv.conv(f'{t}.downsample.0', f'{f}/ds')
+            cv.bn(f'{t}.downsample.1', f'{f}/ds_bn')
+            bi += 1
+    return cv.out()
+
+
+def _mspn_bottleneck(cv, tname, fname):
+    """MSPN Bottleneck: conv1..3/bn1..3 + ConvModule downsample."""
+    for ci in (1, 2, 3):
+        cv.conv(f'{tname}.conv{ci}', f'{fname}/conv{ci}')
+        cv.bn(f'{tname}.bn{ci}', f'{fname}/bn{ci}')
+    cv.conv(f'{tname}.downsample.conv', f'{fname}/ds_conv')
+    cv.bn(f'{tname}.downsample.bn', f'{fname}/ds_bn')
+
+
+def _rsb_block(cv, tname, fname):
+    """RSN Residual Steps Block (rsn.py:12)."""
+    cv.conv_module(f'{tname}.conv_bn_relu1', f'{fname}/conv_bn_relu1')
+    i = 1
+    while cv.has(f'{tname}.conv_bn_relu2_{i}_1.conv.weight'):
+        for j in range(1, i + 1):
+            cv.conv_module(f'{tname}.conv_bn_relu2_{i}_{j}',
+                           f'{fname}/conv_bn_relu2_{i}_{j}')
+        i += 1
+    cv.conv_module(f'{tname}.conv_bn3', f'{fname}/conv_bn3')
+    cv.conv_module(f'{tname}.downsample', f'{fname}/downsample')
+
+
+def convert_mspn(sd, prefix=''):
+    """MSPN / RSN (reference mspn.py:385 / rsn.py:512): ResNetTop + staged
+    downsample/upsample hourglasses with skip/cross convs."""
+    cv = Cv(sd, prefix)
+    cv.conv_module('top.top.0', 'top')
+    stage_key = ('multi_stage_mspn'
+                 if any(k.startswith(prefix + 'multi_stage_mspn')
+                        for k in sd) else 'multi_stage_rsn')
+    st = 0
+    while any(k.startswith(f'{prefix}{stage_key}.{st}.') for k in sd):
+        t0 = f'{stage_key}.{st}'
+        f0 = f'stage{st}'
+        for u in range(1, 10):
+            b = 0
+            while True:
+                t = f'{t0}.downsample.layer{u}.{b}'
+                f = f'{f0}/downsample/layer{u}_{b}'
+                if cv.has(f'{t}.conv1.weight'):
+                    _mspn_bottleneck(cv, t, f)
+                elif cv.has(f'{t}.conv_bn_relu1.conv.weight'):
+                    _rsb_block(cv, t, f)
+                else:
+                    break
+                b += 1
+        for u in range(1, 10):
+            t = f'{t0}.upsample.up{u}'
+            f = f'{f0}/up{u}'
+            if not cv.has(f'{t}.in_skip.conv.weight'):
+                break
+            for part in ('in_skip', 'up_conv', 'out_skip1', 'out_skip2',
+                         'cross_conv'):
+                cv.conv_module(f'{t}.{part}', f'{f}/{part}')
+        st += 1
+    return cv.out()
+
+
+convert_rsn = convert_mspn
+
+
+def convert_vipnas_mbv3(sd, dep=(0, 1, 4, 4, 4, 4, 4), prefix=''):
+    """ViPNAS_MobileNetV3 (reference vipnas_mbv3.py): flat layer{n}
+    InvertedResiduals in stage-major order -> our s{i}b{j} names."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1.conv', 'stem')
+    cv.bn('conv1.bn', 'stem_bn')
+    n = 1
+    for i in range(1, len(dep)):
+        for j in range(dep[i]):
+            t = f'layer{n}'
+            f = f's{i}b{j}'
+            cv.conv(f'{t}.expand_conv.conv', f'{f}_expand')
+            cv.bn(f'{t}.expand_conv.bn', f'{f}_expand_bn')
+            cv.conv(f'{t}.depthwise_conv.conv', f'{f}_dw')
+            cv.bn(f'{t}.depthwise_conv.bn', f'{f}_dw_bn')
+            cv.linear(f'{t}.se.conv1.conv', f'{f}_se/fc1')
+            cv.linear(f'{t}.se.conv2.conv', f'{f}_se/fc2')
+            cv.conv(f'{t}.linear_conv.conv', f'{f}_proj')
+            cv.bn(f'{t}.linear_conv.bn', f'{f}_proj_bn')
+            n += 1
+    return cv.out()
+
+
 def _res_layer_blocks(cv, tname, fname):
     k = 0
     while cv.has(f'{tname}.{k}.conv1.weight'):
