@@ -200,3 +200,76 @@ def test_vipnas_mbv3_parity():
     from vitpose_tpu.models.more_cnns import ViPNASMobileNetV3
     params, stats = CK.convert_vipnas_mbv3(_sd(net))
     _assert_close(_run_flax(ViPNASMobileNetV3(), params, stats, x), ref)
+
+
+def test_vipnas_resnet_parity():
+    torch.manual_seed(10)
+    net = L.ref_vipnas_resnet().ViPNAS_ResNet(depth=50)
+    net.eval()
+    x = np.random.RandomState(10).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.more_cnns import ViPNASResNet
+    params, stats = CK.convert_vipnas_resnet(_sd(net))
+    _assert_close(_run_flax(ViPNASResNet(), params, stats, x), ref)
+
+
+def test_hrformer_parity():
+    torch.manual_seed(11)
+    extra = dict(
+        drop_path_rate=0.0, with_rpe=True,
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(2,), num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, block='HRFORMERBLOCK',
+                    window_sizes=(7, 7), num_heads=(1, 2),
+                    mlp_ratios=(4, 4), num_blocks=(2, 2),
+                    num_channels=(32, 64)),
+        stage3=dict(num_modules=1, num_branches=3, block='HRFORMERBLOCK',
+                    window_sizes=(7, 7, 7), num_heads=(1, 2, 4),
+                    mlp_ratios=(4, 4, 4), num_blocks=(2, 2, 2),
+                    num_channels=(32, 64, 128)),
+        stage4=dict(num_modules=1, num_branches=4, block='HRFORMERBLOCK',
+                    window_sizes=(7, 7, 7, 7), num_heads=(1, 2, 4, 8),
+                    mlp_ratios=(4, 4, 4, 4), num_blocks=(2, 2, 2, 2),
+                    num_channels=(32, 64, 128, 256)))
+    net = L.ref_hrformer().HRFormer(extra, in_channels=3)
+    # the rel-pos tables are zero-init in the reference constructor; give
+    # them real values so the bias path is actually tested
+    with torch.no_grad():
+        for n, p in net.named_parameters():
+            if 'relative_position_bias_table' in n:
+                p.normal_(0, 0.5)
+    net.eval()
+    x = np.random.RandomState(11).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.hrformer import HRFormer
+    model = HRFormer(width=32, stage_modules=(1, 1, 1),
+                     blocks_per_module=2)
+    params, stats = CK.convert_hrformer(_sd(net))
+    _assert_close(_run_flax(model, params, stats, x), ref, tol=2e-4)
+
+
+def test_litehrnet_parity():
+    torch.manual_seed(12)
+    extra = dict(
+        stem=dict(stem_channels=32, out_channels=32, expand_ratio=1),
+        num_stages=3,
+        stages_spec=dict(
+            num_modules=(1, 1, 1), num_branches=(2, 3, 4),
+            num_blocks=(2, 2, 2), module_type=('LITE', 'LITE', 'LITE'),
+            with_fuse=(True, True, True), reduce_ratios=(8, 8, 8),
+            num_channels=((40, 80), (40, 80, 160), (40, 80, 160, 320))),
+        with_head=False)
+    net = L.ref_litehrnet().LiteHRNet(extra, in_channels=3)
+    net.eval()
+    x = np.random.RandomState(12).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.multistage_nets import LiteHRNet
+    model = LiteHRNet(num_modules=(1, 1, 1))
+    params, stats = CK.convert_litehrnet(_sd(net))
+    _assert_close(_run_flax(model, params, stats, x), ref)

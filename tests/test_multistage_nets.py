@@ -41,10 +41,10 @@ def test_rsn_differs_from_mspn():
 
 def test_litehrnet():
     from vitpose_tpu.models.multistage_nets import LiteHRNet
-    x = jnp.ones((1, 64, 48, 3))
-    m = LiteHRNet(width=18, stage_modules=(1, 1, 1))
+    x = jnp.ones((1, 64, 64, 3))
+    m = LiteHRNet(num_modules=(1, 1, 1))
     v = m.init(jax.random.PRNGKey(0), x, train=False)
-    assert m.apply(v, x, train=False).shape == (1, 16, 12, 18)
+    assert m.apply(v, x, train=False).shape == (1, 16, 16, 40)
 
 
 def test_vipnas_head_grouped():

@@ -1,10 +1,12 @@
 """HRFormer backbone: HRNet topology with local-window transformer blocks.
 
-Counterpart of reference mmpose/models/backbones/hrformer.py (746 LoC
-torch): parallel multi-resolution branches where each branch's unit is a
-window-attention transformer block (LSA) followed by a depthwise-conv FFN,
-fused across branches HRNet-style. Compact NHWC flax implementation
-preserving the architecture (window attention, dw-FFN, exchange fusion).
+Faithful counterpart of reference mmpose/models/backbones/hrformer.py:
+stem + bottleneck stage1, then parallel branches of HRFormerBlocks — LN ->
+window attention (center-padded windows, Swin-style relative position
+bias, hrformer.py:53 WindowMSA) and LN -> CrossFFN (1x1 -> BN -> GELU ->
+depthwise 3x3 -> BN -> GELU -> 1x1 -> BN -> GELU, hrformer.py:260) — fused
+HRNet-style with depthwise-separable downsample chains and bilinear
+(align_corners=False) upsample (hrformer.py:504 _make_fuse_layers).
 """
 from __future__ import annotations
 
@@ -15,29 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from .resnet import Bottleneck, _bn
-from .hrnet import ExchangeModule
-
-
-def _window_partition(x, ws):
-    """[N, H, W, C] -> [N*nw, ws*ws, C] (pads to multiples of ws)."""
-    n, h, w, c = x.shape
-    ph = (ws - h % ws) % ws
-    pw = (ws - w % ws) % ws
-    if ph or pw:
-        x = jnp.pad(x, [(0, 0), (0, ph), (0, pw), (0, 0)])
-    hp, wp = h + ph, w + pw
-    x = x.reshape(n, hp // ws, ws, wp // ws, ws, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
-    return x, (hp, wp), (h, w)
-
-
-def _window_merge(x, ws, padded_hw, orig_hw, n):
-    hp, wp = padded_hw
-    h, w = orig_hw
-    c = x.shape[-1]
-    x = x.reshape(n, hp // ws, wp // ws, ws, ws, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, c)
-    return x[:, :h, :w]
 
 
 def _rel_position_index(wh, ww):
@@ -51,6 +30,31 @@ def _rel_position_index(wh, ww):
     return idx[:, ::-1].copy()
 
 
+def _window_partition(x, ws):
+    """[N, H, W, C] -> [N*nw, ws*ws, C]; CENTER-pads to multiples of ws
+    (reference LocalWindowSelfAttention.forward, hrformer.py:215-230)."""
+    n, h, w, c = x.shape
+    ph = (ws - h % ws) % ws
+    pw = (ws - w % ws) % ws
+    if ph or pw:
+        x = jnp.pad(x, [(0, 0), (ph // 2, ph - ph // 2),
+                        (pw // 2, pw - pw // 2), (0, 0)])
+    hp, wp = h + ph, w + pw
+    x = x.reshape(n, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+    return x, (hp, wp), (h, w), (ph, pw)
+
+
+def _window_merge(x, ws, padded_hw, orig_hw, pads, n):
+    hp, wp = padded_hw
+    h, w = orig_hw
+    ph, pw = pads
+    c = x.shape[-1]
+    x = x.reshape(n, hp // ws, wp // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp, wp, c)
+    return x[:, ph // 2:h + ph // 2, pw // 2:w + pw // 2]
+
+
 class WindowAttention(nn.Module):
     num_heads: int
     window_size: int = 7
@@ -60,7 +64,7 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         n = x.shape[0]
-        win, padded, orig = _window_partition(x, self.window_size)
+        win, padded, orig, pads = _window_partition(x, self.window_size)
         b, t, c = win.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name='qkv')(win)
@@ -82,11 +86,11 @@ class WindowAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, t, c).astype(self.dtype)
         out = nn.Dense(c, dtype=self.dtype, name='proj')(out)
-        return _window_merge(out, self.window_size, padded, orig, n)
+        return _window_merge(out, self.window_size, padded, orig, pads, n)
 
 
 class HRFormerBlock(nn.Module):
-    """Window attention + depthwise-conv FFN with layer norms."""
+    """LN -> window attention; LN -> CrossFFN (reference HRFormerBlock)."""
     num_heads: int
     window_size: int = 7
     mlp_ratio: float = 4.0
@@ -95,30 +99,84 @@ class HRFormerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         c = x.shape[-1]
-        y = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
         x = x + WindowAttention(self.num_heads, self.window_size,
                                 dtype=self.dtype, name='attn')(y)
-        y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
         hidden = int(c * self.mlp_ratio)
-        # conv-FFN: pw -> dw 3x3 -> pw (the HRFormer FFN)
-        y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name='ffn_pw1')(y)
+        # CrossFFN: conv -> BN -> GELU three times (1x1, dw3x3, 1x1)
+        y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name='ffn_fc1')(y)
+        y = _bn(train, self.dtype, 'ffn_bn1')(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Conv(hidden, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=hidden, dtype=self.dtype,
                     name='ffn_dw')(y)
+        y = _bn(train, self.dtype, 'ffn_bn2')(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name='ffn_pw2')(y)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name='ffn_fc2')(y)
+        y = _bn(train, self.dtype, 'ffn_bn3')(y)
+        y = nn.gelu(y, approximate=False)
         return x + y
 
 
+class HRFormerFuse(nn.Module):
+    """HRFormer fuse layers: depthwise-separable stride-2 chains down,
+    1x1 conv + BN + bilinear up (reference _make_fuse_layers)."""
+    channels: Sequence[int]
+    multiscale: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train=False):
+        n_br = len(xs)
+        fused = []
+        for i in range(n_br if self.multiscale else 1):
+            acc = None
+            for j in range(n_br):
+                y = xs[j]
+                if j > i:
+                    y = nn.Conv(self.channels[i], (1, 1), use_bias=False,
+                                dtype=self.dtype,
+                                name=f'fuse{i}_{j}_conv')(y)
+                    y = _bn(train, self.dtype, f'fuse{i}_{j}_bn')(y)
+                    th, tw = xs[i].shape[1:3]
+                    y = jax.image.resize(
+                        y, (y.shape[0], th, tw, y.shape[-1]),
+                        method='bilinear')
+                elif j < i:
+                    for s in range(i - j):
+                        last = s == i - j - 1
+                        ch_in = self.channels[j]
+                        ch_out = self.channels[i] if last \
+                            else self.channels[j]
+                        y = nn.Conv(ch_in, (3, 3), strides=(2, 2),
+                                    padding=((1, 1), (1, 1)),
+                                    feature_group_count=ch_in,
+                                    use_bias=False, dtype=self.dtype,
+                                    name=f'fuse{i}_{j}_d{s}_dw')(y)
+                        y = _bn(train, self.dtype,
+                                f'fuse{i}_{j}_d{s}_dwbn')(y)
+                        y = nn.Conv(ch_out, (1, 1), use_bias=False,
+                                    dtype=self.dtype,
+                                    name=f'fuse{i}_{j}_d{s}_pw')(y)
+                        y = _bn(train, self.dtype,
+                                f'fuse{i}_{j}_d{s}_pwbn')(y)
+                        if not last:
+                            y = nn.relu(y)
+                acc = y if acc is None else acc + y
+            fused.append(nn.relu(acc))
+        return fused
+
+
 class HRFormer(nn.Module):
-    """Stem + stage1 bottlenecks, then transformer branches with HRNet
+    """Stem + stage1 bottlenecks, then transformer branches with HRFormer
     fusion; returns the high-resolution branch [N, H/4, W/4, width]."""
     width: int = 32
     num_heads: Sequence[int] = (1, 2, 4, 8)
     window_size: int = 7
     stage_modules: Sequence[int] = (1, 2, 2)
     blocks_per_module: int = 2
+    mlp_ratios: Sequence[int] = (4, 4, 4, 4)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -134,34 +192,30 @@ class HRFormer(nn.Module):
             x = Bottleneck(64, downsample=(k == 0), dtype=self.dtype,
                            name=f'layer1_{k}')(x, train=train)
 
-        b0 = nn.relu(_bn(train, self.dtype, 'tr0_bn')(
+        b0 = nn.relu(_bn(train, self.dtype, 'tr1_bn0')(
             nn.Conv(chans[0], (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, name='tr0')(x)))
-        b1 = nn.relu(_bn(train, self.dtype, 'tr1_bn')(
+                    use_bias=False, dtype=self.dtype, name='tr1_conv0')(x)))
+        b1 = nn.relu(_bn(train, self.dtype, 'tr1_bn1')(
             nn.Conv(chans[1], (3, 3), strides=(2, 2),
                     padding=((1, 1), (1, 1)), use_bias=False,
-                    dtype=self.dtype, name='tr1')(x)))
+                    dtype=self.dtype, name='tr1_conv1')(x)))
         xs = [b0, b1]
+        n_stages = len(self.stage_modules)
         for stage, n_mod in enumerate(self.stage_modules):
             n_br = stage + 2
             for m in range(n_mod):
-                xs = [
-                    HRFormerBlock(self.num_heads[bi], self.window_size,
-                                  dtype=self.dtype,
-                                  name=f's{stage}_m{m}_b{bi}_t0')(
-                        xi, train=train)
-                    for bi, xi in enumerate(xs)]
-                if self.blocks_per_module > 1:
-                    xs = [HRFormerBlock(self.num_heads[bi],
-                                        self.window_size, dtype=self.dtype,
-                                        name=f's{stage}_m{m}_b{bi}_t1')(
-                        xi, train=train)
+                for t in range(self.blocks_per_module):
+                    xs = [HRFormerBlock(
+                        self.num_heads[bi], self.window_size,
+                        mlp_ratio=self.mlp_ratios[bi], dtype=self.dtype,
+                        name=f's{stage}_m{m}_b{bi}_t{t}')(xi, train=train)
                         for bi, xi in enumerate(xs)]
-                xs = ExchangeModule(chans[:n_br], num_blocks=0,
-                                    dtype=self.dtype,
-                                    name=f's{stage}_m{m}_fuse')(
-                                        xs, train=train)
-            if stage < len(self.stage_modules) - 1:
+                last = stage == n_stages - 1 and m == n_mod - 1
+                xs = HRFormerFuse(chans[:n_br], multiscale=not last,
+                                  dtype=self.dtype,
+                                  name=f's{stage}_m{m}_fuse')(
+                                      xs, train=train)
+            if stage < n_stages - 1:
                 y = nn.Conv(chans[n_br], (3, 3), strides=(2, 2),
                             padding=((1, 1), (1, 1)), use_bias=False,
                             dtype=self.dtype, name=f'tr{stage + 2}')(xs[-1])

@@ -90,6 +90,105 @@ class SCBottleneck(nn.Module):
         return nn.relu(y + identity)
 
 
+class ContextBlock(nn.Module):
+    """GCNet global-context block (mmcv context_block.py, used by
+    ViPNAS_Bottleneck attention): attention-pooled context + channel-add
+    bottleneck with LayerNorm."""
+    ratio: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        planes = int(c * self.ratio)
+        mask = nn.Conv(1, (1, 1), dtype=self.dtype, name='conv_mask')(x)
+        mask = jax.nn.softmax(mask.reshape(n, h * w, 1), axis=1)
+        ctx = jnp.einsum('npc,np->nc', x.reshape(n, h * w, c),
+                         mask[..., 0])
+        y = nn.Dense(planes, dtype=self.dtype, name='add_fc1')(ctx)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='add_ln')(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, dtype=self.dtype, name='add_fc2')(y)
+        return x + y[:, None, None, :]
+
+
+class ViPNASBottleneck(nn.Module):
+    """ViPNAS_Bottleneck (reference vipnas_resnet.py:14): searched conv2
+    kernel/groups + optional GCNet attention; expansion 1 by default."""
+    out_ch: int
+    expansion: int = 1
+    stride: int = 1
+    downsample: bool = False
+    kernel_size: int = 3
+    groups: int = 1
+    attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        identity = x
+        mid = self.out_ch // self.expansion
+        k = self.kernel_size
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)
+        y = nn.relu(_bn(train, self.dtype, 'bn1')(y))
+        y = nn.Conv(mid, (k, k), strides=(self.stride,) * 2,
+                    padding=((k // 2,) * 2,) * 2,
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, name='conv2')(y)
+        y = nn.relu(_bn(train, self.dtype, 'bn2')(y))
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='conv3')(y)
+        y = _bn(train, self.dtype, 'bn3')(y)
+        if self.attention:
+            ratio = max(1.0 / 16, 16.0 / self.out_ch)
+            y = ContextBlock(ratio, dtype=self.dtype, name='attention')(y)
+        if self.downsample:
+            identity = nn.Conv(self.out_ch, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype, name='ds_conv')(x)
+            identity = _bn(train, self.dtype, 'ds_bn')(identity)
+        return nn.relu(y + identity)
+
+
+class ViPNASResNet(nn.Module):
+    """ViPNAS-searched ResNet (reference vipnas_resnet.py:343
+    ViPNAS_ResNet-50): per-stage searched widths/depths/kernels/groups/
+    attention with expansion-1 bottlenecks."""
+    wid: Sequence[int] = (48, 80, 160, 304, 608)
+    expan: Sequence[int] = (0, 1, 1, 1, 1)
+    dep: Sequence[int] = (0, 4, 6, 7, 3)
+    ks: Sequence[int] = (7, 3, 5, 5, 5)
+    group: Sequence[int] = (0, 16, 16, 16, 16)
+    att: Sequence[bool] = (False, True, False, True, True)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k0 = self.ks[0]
+        x = nn.Conv(self.wid[0], (k0, k0), strides=(2, 2),
+                    padding=((k0 // 2,) * 2,) * 2, use_bias=False,
+                    dtype=self.dtype, name='conv1')(x)
+        x = nn.relu(_bn(train, self.dtype, 'bn1')(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        in_ch = self.wid[0]
+        for i in range(1, len(self.wid)):
+            out_ch = self.wid[i] * self.expan[i]
+            stride = self.strides[i - 1]
+            for b in range(self.dep[i]):
+                s = stride if b == 0 else 1
+                ds = b == 0 and (s != 1 or in_ch != out_ch)
+                x = ViPNASBottleneck(
+                    out_ch, expansion=self.expan[i], stride=s,
+                    downsample=ds, kernel_size=self.ks[i],
+                    groups=self.group[i], attention=self.att[i],
+                    dtype=self.dtype,
+                    name=f'layer{i}_{b}')(x, train=train)
+                in_ch = out_ch
+        return x
+
+
 class SplitAttention(nn.Module):
     """ResNeSt split-attention over `radix` feature splits."""
     channels: int

@@ -18,6 +18,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .resnet import BasicBlock, _bn
 
@@ -260,78 +261,263 @@ def RSN(num_stages=2, unit_channels=256, num_units=4,
                 expand_times=expand_times, dtype=dtype)
 
 
-class CCWBlock(nn.Module):
-    """LiteHRNet conditional channel weighting: cheap cross-resolution
-    channel attention replacing per-branch residual convs."""
+def _channel_shuffle(x, groups=2):
+    """NHWC channel shuffle (reference utils/channel_shuffle.py)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, groups, c // groups)
+    x = x.transpose(0, 1, 2, 4, 3)
+    return x.reshape(n, h, w, c)
+
+
+def _adaptive_avg_pool(x, out_hw):
+    """Exact adaptive average pool for integer-ratio downsizes."""
+    n, h, w, c = x.shape
+    th, tw = out_hw
+    assert h % th == 0 and w % tw == 0, (h, w, th, tw)
+    x = x.reshape(n, th, h // th, tw, w // tw, c)
+    return x.mean(axis=(2, 4))
+
+
+class SpatialWeighting(nn.Module):
+    """SE-style gating (reference litehrnet.py:21): avgpool -> 1x1 ReLU ->
+    1x1 Sigmoid."""
+    ratio: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.relu(nn.Dense(int(c / self.ratio), dtype=self.dtype,
+                             name='fc1')(s))
+        s = nn.sigmoid(nn.Dense(c, dtype=self.dtype, name='fc2')(s))
+        return x * s[:, None, None, :]
+
+
+class CrossResolutionWeighting(nn.Module):
+    """reference litehrnet.py:72: pool all branches to the smallest
+    resolution, 1x1 ReLU -> 1x1 Sigmoid over the concat, split and gate
+    each branch (nearest-upsampled)."""
+    channels: Sequence[int]
+    ratio: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train=False):
+        mini = xs[-1].shape[1:3]
+        pooled = [_adaptive_avg_pool(s, mini) for s in xs[:-1]] + [xs[-1]]
+        out = jnp.concatenate(pooled, axis=-1)
+        total = out.shape[-1]
+        # CCW passes norm_cfg=BN, so both ConvModules are conv+BN+act
+        out = nn.Conv(int(total / self.ratio), (1, 1), use_bias=False,
+                      dtype=self.dtype, name='conv1')(out)
+        out = nn.relu(_bn(train, self.dtype, 'conv1_bn')(out))
+        out = nn.Conv(total, (1, 1), use_bias=False, dtype=self.dtype,
+                      name='conv2')(out)
+        out = nn.sigmoid(_bn(train, self.dtype, 'conv2_bn')(out))
+        gates = jnp.split(out, np.cumsum(self.channels)[:-1].tolist(),
+                          axis=-1)
+        outs = []
+        for s, a in zip(xs, gates):
+            a = jax.image.resize(a, (a.shape[0],) + s.shape[1:3]
+                                 + (a.shape[-1],), method='nearest')
+            outs.append(s * a)
+        return outs
+
+
+class ConditionalChannelWeighting(nn.Module):
+    """reference litehrnet.py:132: split channels; the second half goes
+    through cross-resolution weighting, per-branch depthwise conv and
+    spatial weighting; concat + channel shuffle."""
+    in_channels: Sequence[int]
+    reduce_ratio: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train=False):
+        halves = [c // 2 for c in self.in_channels]
+        x1 = [s[..., :h] for s, h in zip(xs, halves)]
+        x2 = [s[..., h:] for s, h in zip(xs, halves)]
+        x2 = CrossResolutionWeighting(halves, self.reduce_ratio,
+                                      dtype=self.dtype,
+                                      name='crw')(x2, train=train)
+        outs = []
+        for b, s in enumerate(x2):
+            ch = halves[b]
+            s = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=ch, use_bias=False,
+                        dtype=self.dtype, name=f'dw{b}')(s)
+            s = _bn(train, self.dtype, f'dw{b}_bn')(s)
+            s = SpatialWeighting(ratio=4, dtype=self.dtype,
+                                 name=f'sw{b}')(s)
+            outs.append(s)
+        return [_channel_shuffle(jnp.concatenate([a, b], axis=-1))
+                for a, b in zip(x1, outs)]
+
+
+class LiteHRNetStem(nn.Module):
+    """reference litehrnet.py:208 Stem: conv s2 then a ShuffleNetV2-style
+    split block with another /2."""
+    stem_channels: int = 32
+    out_channels: int = 32
+    expand_ratio: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Conv(self.stem_channels, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name='conv1')(x)
+        x = nn.relu(_bn(train, self.dtype, 'conv1_bn')(x))
+        half = self.stem_channels // 2
+        mid = int(round(self.stem_channels * self.expand_ratio))
+        inc = (self.out_channels - half
+               if self.stem_channels == self.out_channels
+               else self.out_channels - self.stem_channels)
+        lin_out = (half if self.stem_channels == self.out_channels
+                   else self.stem_channels)
+        x1, x2 = x[..., :half], x[..., half:]
+        b1 = nn.Conv(half, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                     feature_group_count=half, use_bias=False,
+                     dtype=self.dtype, name='b1_dw')(x1)
+        b1 = _bn(train, self.dtype, 'b1_dw_bn')(b1)
+        b1 = nn.Conv(inc, (1, 1), use_bias=False, dtype=self.dtype,
+                     name='b1_pw')(b1)
+        b1 = nn.relu(_bn(train, self.dtype, 'b1_pw_bn')(b1))
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='expand')(x2)
+        y = nn.relu(_bn(train, self.dtype, 'expand_bn')(y))
+        y = nn.Conv(mid, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    feature_group_count=mid, use_bias=False,
+                    dtype=self.dtype, name='dw')(y)
+        y = _bn(train, self.dtype, 'dw_bn')(y)
+        y = nn.Conv(lin_out, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='linear')(y)
+        y = nn.relu(_bn(train, self.dtype, 'linear_bn')(y))
+        return _channel_shuffle(jnp.concatenate([b1, y], axis=-1))
+
+
+class LiteFuse(nn.Module):
+    """LiteHRModule fuse (reference litehrnet.py:629): dw-separable
+    downsample chains, 1x1+bn+nearest up."""
     channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs, train=False):
-        # cross-resolution weighting from pooled concat
-        pooled = [jnp.mean(x, axis=(1, 2)) for x in xs]     # [N, C_i]
-        cat = jnp.concatenate(pooled, axis=-1)
-        total = cat.shape[-1]
-        z = nn.relu(nn.Dense(max(total // 8, 4), dtype=self.dtype,
-                             name='fc1')(cat))
-        gates = nn.sigmoid(nn.Dense(total, dtype=self.dtype,
-                                    name='fc2')(z))
-        outs = []
-        off = 0
-        for bi, x in enumerate(xs):
-            c = x.shape[-1]
-            g = gates[:, off:off + c][:, None, None, :]
-            off += c
-            y = x * g
-            # depthwise 3x3 + pointwise (shuffle-style cheap conv)
-            y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
-                        feature_group_count=c, use_bias=False,
-                        dtype=self.dtype, name=f'dw{bi}')(y)
-            y = _bn(train, self.dtype, f'dw{bi}_bn')(y)
-            y = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
-                        name=f'pw{bi}')(y)
-            y = nn.relu(_bn(train, self.dtype, f'pw{bi}_bn')(y))
-            outs.append(x + y)
-        return outs
+        n_br = len(xs)
+        fused = []
+        # reference quirks (litehrnet.py:720-729): (1) branch 0's
+        # contribution seeds y AND is added again in the loop (counted
+        # twice); (2) for i == 0 that seed ALIASES out[0] and `y +=`
+        # mutates it in place, so every later i consumes the PRE-RELU
+        # fused sum of branch 0, not the original branch-0 features.
+        xs = list(xs)
+        for i in range(n_br):
+            contribs = []
+            for j in range(n_br):
+                y = xs[j]
+                if j > i:
+                    y = nn.Conv(self.channels[i], (1, 1), use_bias=False,
+                                dtype=self.dtype,
+                                name=f'fuse{i}_{j}_conv')(y)
+                    y = _bn(train, self.dtype, f'fuse{i}_{j}_bn')(y)
+                    th, tw = xs[i].shape[1:3]
+                    y = jax.image.resize(y, (y.shape[0], th, tw,
+                                             y.shape[-1]), method='nearest')
+                elif j < i:
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        cj = self.channels[j]
+                        co = self.channels[i] if last else cj
+                        y = nn.Conv(cj, (3, 3), strides=(2, 2),
+                                    padding=((1, 1), (1, 1)),
+                                    feature_group_count=cj, use_bias=False,
+                                    dtype=self.dtype,
+                                    name=f'fuse{i}_{j}_d{k}_dw')(y)
+                        y = _bn(train, self.dtype,
+                                f'fuse{i}_{j}_d{k}_dwbn')(y)
+                        y = nn.Conv(co, (1, 1), use_bias=False,
+                                    dtype=self.dtype,
+                                    name=f'fuse{i}_{j}_d{k}_pw')(y)
+                        y = _bn(train, self.dtype,
+                                f'fuse{i}_{j}_d{k}_pwbn')(y)
+                        if not last:
+                            y = nn.relu(y)
+                contribs.append(y)
+            acc = contribs[0] + sum(contribs)
+            if i == 0:
+                xs[0] = acc                # in-place mutation of out[0]
+            fused.append(nn.relu(acc))
+        return fused
 
 
 class LiteHRNet(nn.Module):
-    """Lightweight HRNet: stem -> parallel branches with CCW blocks and
-    HRNet-style fusion; returns the high-resolution branch."""
-    width: int = 18
-    stage_modules: Sequence[int] = (1, 2, 2)
+    """Lite-HRNet (reference litehrnet.py:738): shuffle stem, staged
+    conditional-channel-weighting modules with dw-separable transitions and
+    fusion; returns the high-resolution branch."""
+    stem_channels: int = 32
+    stem_out_channels: int = 32
+    expand_ratio: int = 1
+    num_modules: Sequence[int] = (2, 4, 2)
+    num_blocks: Sequence[int] = (2, 2, 2)
+    reduce_ratios: Sequence[int] = (8, 8, 8)
+    stage_channels: Sequence[Sequence[int]] = ((40, 80), (40, 80, 160),
+                                               (40, 80, 160, 320))
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from .hrnet import ExchangeModule
-        w = self.width
-        chans = (w, w * 2, w * 4, w * 8)
-        for i in (1, 2):
-            x = nn.Conv(32, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        use_bias=False, dtype=self.dtype,
-                        name=f'stem{i}')(x)
-            x = nn.relu(_bn(train, self.dtype, f'stem{i}_bn')(x))
-        b0 = nn.Conv(chans[0], (1, 1), use_bias=False, dtype=self.dtype,
-                     name='tr0')(x)
-        b1 = nn.Conv(chans[1], (3, 3), strides=(2, 2),
-                     padding=((1, 1), (1, 1)), use_bias=False,
-                     dtype=self.dtype, name='tr1')(x)
-        xs = [nn.relu(_bn(train, self.dtype, 'tr0_bn')(b0)),
-              nn.relu(_bn(train, self.dtype, 'tr1_bn')(b1))]
-        for stage, n_mod in enumerate(self.stage_modules):
-            n_br = stage + 2
-            for m in range(n_mod):
-                xs = CCWBlock(chans[:n_br], dtype=self.dtype,
-                              name=f's{stage}_ccw{m}')(xs, train=train)
-            # HRNet-style fusion at the end of each stage
-            xs = ExchangeModule(chans[:n_br], num_blocks=0,
-                                dtype=self.dtype,
-                                name=f's{stage}_fuse')(xs, train=train)
-            if stage < len(self.stage_modules) - 1:
-                y = nn.Conv(chans[n_br], (3, 3), strides=(2, 2),
-                            padding=((1, 1), (1, 1)), use_bias=False,
-                            dtype=self.dtype, name=f'tr{stage + 2}')(xs[-1])
-                xs = xs + [nn.relu(_bn(train, self.dtype,
-                                       f'tr{stage + 2}_bn')(y))]
-        return xs[0]
+        x = LiteHRNetStem(self.stem_channels, self.stem_out_channels,
+                          self.expand_ratio, dtype=self.dtype,
+                          name='stem')(x, train=train)
+        ys = [x]
+        prev_ch = [self.stem_out_channels]
+        for si in range(len(self.num_modules)):
+            cur_ch = list(self.stage_channels[si])
+            xs = []
+            for b, c in enumerate(cur_ch):
+                if b < len(prev_ch):
+                    if c != prev_ch[b]:
+                        y = nn.Conv(prev_ch[b], (3, 3),
+                                    padding=((1, 1), (1, 1)),
+                                    feature_group_count=prev_ch[b],
+                                    use_bias=False, dtype=self.dtype,
+                                    name=f'tr{si}_{b}_dw')(ys[b])
+                        y = _bn(train, self.dtype, f'tr{si}_{b}_dwbn')(y)
+                        y = nn.Conv(c, (1, 1), use_bias=False,
+                                    dtype=self.dtype,
+                                    name=f'tr{si}_{b}_pw')(y)
+                        y = nn.relu(_bn(train, self.dtype,
+                                        f'tr{si}_{b}_pwbn')(y))
+                        xs.append(y)
+                    else:
+                        xs.append(ys[b])
+                else:
+                    y = ys[-1]
+                    for k in range(b + 1 - len(prev_ch)):
+                        cin = prev_ch[-1]
+                        cout = c if k == b - len(prev_ch) else cin
+                        y = nn.Conv(cin, (3, 3), strides=(2, 2),
+                                    padding=((1, 1), (1, 1)),
+                                    feature_group_count=cin, use_bias=False,
+                                    dtype=self.dtype,
+                                    name=f'tr{si}_{b}_c{k}_dw')(y)
+                        y = _bn(train, self.dtype,
+                                f'tr{si}_{b}_c{k}_dwbn')(y)
+                        y = nn.Conv(cout, (1, 1), use_bias=False,
+                                    dtype=self.dtype,
+                                    name=f'tr{si}_{b}_c{k}_pw')(y)
+                        y = nn.relu(_bn(train, self.dtype,
+                                        f'tr{si}_{b}_c{k}_pwbn')(y))
+                    xs.append(y)
+            for m in range(self.num_modules[si]):
+                for k in range(self.num_blocks[si]):
+                    xs = ConditionalChannelWeighting(
+                        cur_ch, self.reduce_ratios[si], dtype=self.dtype,
+                        name=f'stage{si}_m{m}_blk{k}')(xs, train=train)
+                xs = LiteFuse(cur_ch, dtype=self.dtype,
+                              name=f'stage{si}_m{m}_fuse')(xs, train=train)
+            ys = xs
+            prev_ch = cur_ch
+        return ys[0]

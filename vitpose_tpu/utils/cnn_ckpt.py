@@ -291,6 +291,183 @@ def convert_vipnas_mbv3(sd, dep=(0, 1, 4, 4, 4, 4, 4), prefix=''):
     return cv.out()
 
 
+def convert_vipnas_resnet(sd, prefix=''):
+    """ViPNAS_ResNet (reference vipnas_resnet.py): resnet naming + GCNet
+    attention blocks."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1', 'conv1')
+    cv.bn('bn1', 'bn1')
+    for li in range(1, 5):
+        bi = 0
+        while cv.has(f'layer{li}.{bi}.conv1.weight'):
+            t = f'layer{li}.{bi}'
+            f = f'layer{li}_{bi}'
+            for ci in (1, 2, 3):
+                cv.conv(f'{t}.conv{ci}', f'{f}/conv{ci}')
+                cv.bn(f'{t}.bn{ci}', f'{f}/bn{ci}')
+            cv.conv(f'{t}.downsample.0', f'{f}/ds_conv')
+            cv.bn(f'{t}.downsample.1', f'{f}/ds_bn')
+            # GCNet ContextBlock: conv_mask + channel_add Sequential
+            # (0: 1x1 conv, 1: LayerNorm([planes,1,1]), 3: 1x1 conv)
+            cv.conv(f'{t}.attention.conv_mask', f'{f}/attention/conv_mask')
+            cv.linear(f'{t}.attention.channel_add_conv.0',
+                      f'{f}/attention/add_fc1')
+            a = f'{t}.attention.channel_add_conv.1'
+            if cv.has(a + '.weight'):
+                cv._put(cv.params,
+                        (*f'{f}/attention/add_ln'.split('/'), 'scale'),
+                        cv.get(a + '.weight').reshape(-1))
+                cv._put(cv.params,
+                        (*f'{f}/attention/add_ln'.split('/'), 'bias'),
+                        cv.get(a + '.bias').reshape(-1))
+            cv.linear(f'{t}.attention.channel_add_conv.3',
+                      f'{f}/attention/add_fc2')
+            bi += 1
+    return cv.out()
+
+
+def convert_hrformer(sd, prefix=''):
+    """HRFormer (reference hrformer.py): HRNet stem/stage1 + transformer
+    branches with window attention (rel-pos bias) and CrossFFN, DW-sep
+    fuse layers."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1', 'stem1')
+    cv.bn('bn1', 'stem1_bn')
+    cv.conv('conv2', 'stem2')
+    cv.bn('bn2', 'stem2_bn')
+    bi = 0
+    while cv.has(f'layer1.{bi}.conv1.weight'):
+        _resnet_block(cv, f'layer1.{bi}', f'layer1_{bi}')
+        bi += 1
+    cv.conv('transition1.0.0', 'tr1_conv0')
+    cv.bn('transition1.0.1', 'tr1_bn0')
+    cv.conv('transition1.1.0.0', 'tr1_conv1')
+    cv.bn('transition1.1.0.1', 'tr1_bn1')
+    for s in (2, 3, 4):
+        st = s - 2                                   # our 0-based stage
+        m = 0
+        while cv.has(f'stage{s}.{m}.branches.0.0.norm1.weight'):
+            for b in range(4):
+                t = 0
+                while cv.has(f'stage{s}.{m}.branches.{b}.{t}.norm1.weight'):
+                    tb = f'stage{s}.{m}.branches.{b}.{t}'
+                    fb = f's{st}_m{m}_b{b}_t{t}'
+                    cv.ln(f'{tb}.norm1', f'{fb}/norm1')
+                    cv.ln(f'{tb}.norm2', f'{fb}/norm2')
+                    cv.linear(f'{tb}.attn.attn.qkv', f'{fb}/attn/qkv')
+                    cv.linear(f'{tb}.attn.attn.proj', f'{fb}/attn/proj')
+                    cv.raw(f'{tb}.attn.attn.relative_position_bias_table',
+                           f'{fb}/attn/rel_pos_bias_table')
+                    cv.conv(f'{tb}.ffn.fc1', f'{fb}/ffn_fc1')
+                    cv.bn(f'{tb}.ffn.norm1', f'{fb}/ffn_bn1')
+                    cv.conv(f'{tb}.ffn.dw3x3', f'{fb}/ffn_dw')
+                    cv.bn(f'{tb}.ffn.norm2', f'{fb}/ffn_bn2')
+                    cv.conv(f'{tb}.ffn.fc2', f'{fb}/ffn_fc2')
+                    cv.bn(f'{tb}.ffn.norm3', f'{fb}/ffn_bn3')
+                    t += 1
+            f0 = f's{st}_m{m}_fuse'
+            for i in range(4):
+                for j in range(4):
+                    tf = f'stage{s}.{m}.fuse_layers.{i}.{j}'
+                    if j > i:
+                        cv.conv(f'{tf}.0', f'{f0}/fuse{i}_{j}_conv')
+                        cv.bn(f'{tf}.1', f'{f0}/fuse{i}_{j}_bn')
+                    elif j < i:
+                        for d in range(i - j):
+                            cv.conv(f'{tf}.{d}.0',
+                                    f'{f0}/fuse{i}_{j}_d{d}_dw')
+                            cv.bn(f'{tf}.{d}.1',
+                                  f'{f0}/fuse{i}_{j}_d{d}_dwbn')
+                            cv.conv(f'{tf}.{d}.2',
+                                    f'{f0}/fuse{i}_{j}_d{d}_pw')
+                            cv.bn(f'{tf}.{d}.3',
+                                  f'{f0}/fuse{i}_{j}_d{d}_pwbn')
+            m += 1
+        if s < 4:
+            cv.conv(f'transition{s}.{s}.0.0', f'tr{s}')
+            cv.bn(f'transition{s}.{s}.0.1', f'tr{s}_bn')
+    return cv.out()
+
+
+def convert_litehrnet(sd, prefix=''):
+    """Lite-HRNet (reference litehrnet.py:738)."""
+    cv = Cv(sd, prefix)
+    cv.conv('stem.conv1.conv', 'stem/conv1')
+    cv.bn('stem.conv1.bn', 'stem/conv1_bn')
+    cv.conv('stem.branch1.0.conv', 'stem/b1_dw')
+    cv.bn('stem.branch1.0.bn', 'stem/b1_dw_bn')
+    cv.conv('stem.branch1.1.conv', 'stem/b1_pw')
+    cv.bn('stem.branch1.1.bn', 'stem/b1_pw_bn')
+    for t, f in (('expand_conv', 'expand'), ('depthwise_conv', 'dw'),
+                 ('linear_conv', 'linear')):
+        cv.conv(f'stem.{t}.conv', f'stem/{f}')
+        cv.bn(f'stem.{t}.bn', f'stem/{f}_bn')
+    si = 0
+    while any(k.startswith(f'{prefix}stage{si}.') for k in sd):
+        # transitions
+        for b in range(8):
+            t = f'transition{si}.{b}'
+            if cv.has(f'{t}.0.weight'):            # existing-branch remap
+                cv.conv(f'{t}.0', f'tr{si}_{b}_dw')
+                cv.bn(f'{t}.1', f'tr{si}_{b}_dwbn')
+                cv.conv(f'{t}.2', f'tr{si}_{b}_pw')
+                cv.bn(f'{t}.3', f'tr{si}_{b}_pwbn')
+            else:                                  # new-branch chains
+                k = 0
+                while cv.has(f'{t}.{k}.0.weight'):
+                    cv.conv(f'{t}.{k}.0', f'tr{si}_{b}_c{k}_dw')
+                    cv.bn(f'{t}.{k}.1', f'tr{si}_{b}_c{k}_dwbn')
+                    cv.conv(f'{t}.{k}.2', f'tr{si}_{b}_c{k}_pw')
+                    cv.bn(f'{t}.{k}.3', f'tr{si}_{b}_c{k}_pwbn')
+                    k += 1
+        m = 0
+        while cv.has(f'stage{si}.{m}.layers.0.cross_resolution_weighting'
+                     '.conv1.conv.weight'):
+            for k in range(8):
+                t = f'stage{si}.{m}.layers.{k}'
+                f = f'stage{si}_m{m}_blk{k}'
+                if not cv.has(f'{t}.cross_resolution_weighting'
+                              '.conv1.conv.weight'):
+                    break
+                cv.conv(f'{t}.cross_resolution_weighting.conv1.conv',
+                        f'{f}/crw/conv1')
+                cv.bn(f'{t}.cross_resolution_weighting.conv1.bn',
+                      f'{f}/crw/conv1_bn')
+                cv.conv(f'{t}.cross_resolution_weighting.conv2.conv',
+                        f'{f}/crw/conv2')
+                cv.bn(f'{t}.cross_resolution_weighting.conv2.bn',
+                      f'{f}/crw/conv2_bn')
+                for b in range(8):
+                    if not cv.has(f'{t}.depthwise_convs.{b}.conv.weight'):
+                        break
+                    cv.conv(f'{t}.depthwise_convs.{b}.conv', f'{f}/dw{b}')
+                    cv.bn(f'{t}.depthwise_convs.{b}.bn', f'{f}/dw{b}_bn')
+                    cv.linear(f'{t}.spatial_weighting.{b}.conv1.conv',
+                              f'{f}/sw{b}/fc1')
+                    cv.linear(f'{t}.spatial_weighting.{b}.conv2.conv',
+                              f'{f}/sw{b}/fc2')
+            f0 = f'stage{si}_m{m}_fuse'
+            for i in range(8):
+                for j in range(8):
+                    tf = f'stage{si}.{m}.fuse_layers.{i}.{j}'
+                    if j > i:
+                        cv.conv(f'{tf}.0', f'{f0}/fuse{i}_{j}_conv')
+                        cv.bn(f'{tf}.1', f'{f0}/fuse{i}_{j}_bn')
+                    elif j < i:
+                        for d in range(i - j):
+                            cv.conv(f'{tf}.{d}.0',
+                                    f'{f0}/fuse{i}_{j}_d{d}_dw')
+                            cv.bn(f'{tf}.{d}.1',
+                                  f'{f0}/fuse{i}_{j}_d{d}_dwbn')
+                            cv.conv(f'{tf}.{d}.2',
+                                    f'{f0}/fuse{i}_{j}_d{d}_pw')
+                            cv.bn(f'{tf}.{d}.3',
+                                  f'{f0}/fuse{i}_{j}_d{d}_pwbn')
+            m += 1
+        si += 1
+    return cv.out()
+
+
 def _res_layer_blocks(cv, tname, fname):
     k = 0
     while cv.has(f'{tname}.{k}.conv1.weight'):
