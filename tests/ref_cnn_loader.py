@@ -303,6 +303,7 @@ def _build_mmpose_stub():
     builder.BACKBONES = _Registry()
     builder.HEADS = _Registry()
     builder.NECKS = _Registry()
+    builder.build_loss = lambda cfg: None
     backbones = types.ModuleType('mmpose.models.backbones')
     backbones.__path__ = [f'{REF}/mmpose/models/backbones']
 
@@ -458,3 +459,40 @@ def ref_hrformer():
 
 def ref_litehrnet_module():
     return ref_litehrnet()
+
+
+def ref_ae_higher_head():
+    """Reference AEHigherResolutionHead (torch)."""
+    if 'ae_higher' not in _cache:
+        _install_stubs()
+        _load_backbone_utils()
+        _load_as('mmpose.models.backbones.resnet',
+                 'mmpose/models/backbones/resnet.py')
+        heads_pkg = types.ModuleType('mmpose.models.heads')
+        heads_pkg.__path__ = [f'{REF}/mmpose/models/heads']
+        sys.modules.setdefault('mmpose.models.heads', heads_pkg)
+        _cache['ae_higher'] = _load_as(
+            'mmpose.models.heads.ae_higher_resolution_head',
+            'mmpose/models/heads/ae_higher_resolution_head.py')
+    return _cache['ae_higher']
+
+
+def ref_bottom_up_eval():
+    """Reference bottom_up_eval aggregation functions (torch)."""
+    if 'bu_eval' not in _cache:
+        import importlib.util as iu
+        sys.path.insert(0, '/root/repo/tests')
+        from ref_loader import ref_post_transforms
+        pt = ref_post_transforms()
+        pp = types.ModuleType('mmpose.core.post_processing')
+        for name in ('get_warp_matrix', 'transform_preds',
+                     'warp_affine_joints'):
+            setattr(pp, name, getattr(pt, name))
+        sys.modules.setdefault('mmpose', types.ModuleType('mmpose'))
+        sys.modules.setdefault('mmpose.core',
+                               types.ModuleType('mmpose.core'))
+        sys.modules['mmpose.core.post_processing'] = pp
+        _cache['bu_eval'] = _load_as(
+            'mmpose.core.evaluation.bottom_up_eval',
+            'mmpose/core/evaluation/bottom_up_eval.py')
+    return _cache['bu_eval']

@@ -88,3 +88,31 @@ def test_batched_targets_vectorize():
     t, w = T.generate_udp_heatmaps(joints, vis, (192, 256), (48, 64))
     assert t.shape == (4, 17, 64, 48)
     assert w.shape == (4, 17)
+
+
+def test_megvii_target_golden():
+    """generate_megvii_heatmaps vs the reference _megvii_generate_target."""
+    import numpy as np
+    from ref_loader import ref_top_down_transform
+    from vitpose_tpu.ops.target import generate_megvii_heatmaps
+    tdt = ref_top_down_transform()
+    gen = tdt.TopDownGenerateTarget(kernel=(11, 11), encoding='Megvii')
+    rng = np.random.RandomState(3)
+    K = 17
+    cfg = dict(num_joints=K, image_size=np.array([192, 256]),
+               heatmap_size=np.array([48, 64]),
+               joint_weights=np.ones((K, 1), np.float32),
+               use_different_joint_weights=False)
+    joints = np.zeros((K, 3), np.float32)
+    joints[:, 0] = rng.uniform(-10, 200, K)
+    joints[:, 1] = rng.uniform(-10, 266, K)
+    vis = np.zeros((K, 3), np.float32)
+    vis[:, 0] = (rng.rand(K) > 0.2).astype(np.float32)
+    results = dict(joints_3d=joints, joints_3d_visible=vis, ann_info=cfg)
+    out = gen(dict(results))
+    ref_t, ref_w = out['target'], out['target_weight']
+    ours_t, ours_w = generate_megvii_heatmaps(
+        joints[:, :2], vis[:, 0], (192, 256), (48, 64), kernel=11)
+    np.testing.assert_allclose(np.asarray(ours_w)[:, None], ref_w)
+    np.testing.assert_allclose(np.asarray(ours_t), ref_t, rtol=1e-4,
+                               atol=1e-3)

@@ -84,3 +84,22 @@ def test_adversarial_training_step():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert float(metrics['gen_loss']) <= metrics0['gen_loss'] * 1.5
+
+
+def test_imshow_mesh_3d_renders():
+    """The z-buffer rasterizer paints the projected mesh region and
+    respects occlusion ordering."""
+    import numpy as np
+    from vitpose_tpu.api.inference import imshow_mesh_3d
+    img = np.zeros((64, 64, 3), np.uint8)
+    # two triangles at different depths covering the image center
+    near = np.array([[-0.2, -0.2, 2.0], [0.2, -0.2, 2.0], [0.0, 0.3, 2.0]],
+                    np.float32)
+    far = near.copy()
+    far[:, 2] = 4.0
+    faces = np.array([[0, 1, 2]])
+    out = imshow_mesh_3d(img, [far, near], [faces, faces], (32, 32),
+                         (64, 64), colors=[(255, 0, 0), (0, 255, 0)])
+    center = out[32, 32]
+    assert center[1] > 100 and center[0] < 50, center   # near (green) wins
+    assert (out != 0).any()

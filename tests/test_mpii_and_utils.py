@@ -51,3 +51,28 @@ def test_logger(tmp_path):
                           name='vtp_test_logger')
     log.info('hello')
     assert (tmp_path / 'x.log').read_text().strip().endswith('hello')
+
+
+def test_weight_norm_clip():
+    """weight_norm_clip matches the reference WeightNormClipHook math."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vitpose_tpu.train.optim import weight_norm_clip
+    rng = np.random.RandomState(0)
+    params = {'conv': {'kernel': jnp.asarray(rng.randn(3, 3, 8, 8) * 2,
+                                             jnp.float32),
+                       'bias': jnp.asarray(rng.randn(8), jnp.float32)},
+              'small': {'kernel': jnp.asarray(rng.randn(2, 2) * 1e-3,
+                                              jnp.float32)}}
+    out = weight_norm_clip(params, max_norm=1.0)
+    n = float(np.linalg.norm(np.asarray(out['conv']['kernel'])))
+    assert abs(n - 1.0) < 1e-3, n
+    m = float(np.linalg.norm(np.asarray(params['conv']['kernel'])))
+    np.testing.assert_allclose(
+        np.asarray(out['conv']['kernel']),
+        np.asarray(params['conv']['kernel']) * (1.0 / (m + 1e-6)), rtol=1e-5)
+    # untouched: bias and under-norm kernels
+    np.testing.assert_array_equal(np.asarray(out['conv']['bias']),
+                                  np.asarray(params['conv']['bias']))
+    np.testing.assert_array_equal(np.asarray(out['small']['kernel']),
+                                  np.asarray(params['small']['kernel']))

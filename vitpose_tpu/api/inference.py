@@ -335,3 +335,82 @@ def vis_pose_result_3d(pose_results_3d, skeleton=None, out_file=None,
         fig.savefig(out_file, dpi=100)
         plt.close(fig)
     return fig
+
+
+def imshow_mesh_3d(img, vertices, faces, camera_center, focal_length,
+                   colors=((76, 76, 204),)):
+    """Render 3D meshes onto a background image.
+
+    Counterpart of the reference `imshow_mesh_3d`
+    (core/visualization/image.py:353), which depends on pyrender/trimesh
+    and silently returns the input image when they are missing. This
+    implementation is a self-contained numpy z-buffer rasterizer with
+    Lambertian flat shading — no GL/renderer dependency.
+
+    Args:
+      img: [H, W, 3] uint8 background.
+      vertices: list of [V, 3] camera-space vertex arrays in the CV
+        convention (x right, y down, z positive in front of the camera) —
+        what the reference feeds before its pyrender 180-degree x-flip.
+      faces: list of [F, 3] int arrays.
+      camera_center: (cx, cy) pixels.
+      focal_length: (fx, fy) pixels.
+      colors: list of per-mesh (r, g, b).
+
+    Returns: [H, W, 3] uint8 composite.
+    """
+    import numpy as np
+    h, w = img.shape[:2]
+    out = img.astype(np.float32).copy()
+    zbuf = np.full((h, w), np.inf, np.float32)
+    cx, cy = float(camera_center[0]), float(camera_center[1])
+    fx, fy = float(focal_length[0]), float(focal_length[1])
+    if not isinstance(colors, (list, tuple)) or (
+            len(colors) and np.isscalar(colors[0])):
+        colors = [colors]
+    light = np.array([0.0, 0.0, 1.0], np.float32)
+
+    for mi, (verts, fcs) in enumerate(zip(vertices, faces)):
+        v = np.asarray(verts, np.float32)
+        z = np.maximum(v[:, 2], 1e-6)          # depth in front of camera
+        px = cx + fx * v[:, 0] / z
+        py = cy + fy * v[:, 1] / z
+        color = np.asarray(colors[mi % len(colors)], np.float32)
+        tri = np.asarray(fcs, np.int64)
+        p0, p1, p2 = px[tri[:, 0]], px[tri[:, 1]], px[tri[:, 2]]
+        q0, q1, q2 = py[tri[:, 0]], py[tri[:, 1]], py[tri[:, 2]]
+        z0, z1, z2 = z[tri[:, 0]], z[tri[:, 1]], z[tri[:, 2]]
+        # flat normals for shading
+        e1 = v[tri[:, 1]] - v[tri[:, 0]]
+        e2 = v[tri[:, 2]] - v[tri[:, 0]]
+        nrm = np.cross(e1, e2)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+        shade = 0.5 + 0.5 * np.abs(nrm @ light)
+        for t in range(len(tri)):
+            xmin = max(int(np.floor(min(p0[t], p1[t], p2[t]))), 0)
+            xmax = min(int(np.ceil(max(p0[t], p1[t], p2[t]))) + 1, w)
+            ymin = max(int(np.floor(min(q0[t], q1[t], q2[t]))), 0)
+            ymax = min(int(np.ceil(max(q0[t], q1[t], q2[t]))) + 1, h)
+            if xmin >= xmax or ymin >= ymax:
+                continue
+            xs, ys = np.meshgrid(np.arange(xmin, xmax),
+                                 np.arange(ymin, ymax))
+            d = ((q1[t] - q2[t]) * (p0[t] - p2[t])
+                 + (p2[t] - p1[t]) * (q0[t] - q2[t]))
+            if abs(d) < 1e-9:
+                continue
+            l0 = ((q1[t] - q2[t]) * (xs - p2[t])
+                  + (p2[t] - p1[t]) * (ys - q2[t])) / d
+            l1 = ((q2[t] - q0[t]) * (xs - p2[t])
+                  + (p0[t] - p2[t]) * (ys - q2[t])) / d
+            l2 = 1.0 - l0 - l1
+            inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            if not inside.any():
+                continue
+            depth = l0 * z0[t] + l1 * z1[t] + l2 * z2[t]
+            sub = zbuf[ymin:ymax, xmin:xmax]
+            upd = inside & (depth < sub)
+            sub[upd] = depth[upd]
+            region = out[ymin:ymax, xmin:xmax]
+            region[upd] = color * shade[t]
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -112,3 +112,99 @@ class BottomUpEstimator:
         preds = get_group_preds(results[0], center, scale, (w, h),
                                 use_udp=use_udp)
         return preds, scores
+
+
+# ---------------------------------------------------------------------------
+# multi-stage / multi-scale aggregation (reference bottom_up_eval.py)
+# ---------------------------------------------------------------------------
+
+def split_ae_outputs(outputs, num_joints, with_heatmaps, with_ae,
+                     select_output_index):
+    """NCHW outputs -> (heatmap list, tag list)
+    (reference bottom_up_eval.py:9)."""
+    heatmaps, tags = [], []
+    for i, out in enumerate(outputs):
+        if i not in select_output_index:
+            continue
+        if with_heatmaps[i]:
+            heatmaps.append(out[:, :num_joints])
+        if with_ae[i]:
+            off = num_joints if with_heatmaps[i] else 0
+            tags.append(out[:, off:])
+    return heatmaps, tags
+
+
+def flip_feature_maps(feature_maps, flip_index=None):
+    """Horizontal flip (+ channel swap) of NCHW maps
+    (reference bottom_up_eval.py:46)."""
+    out = []
+    for fm in feature_maps:
+        fm = fm[..., ::-1]
+        if flip_index is not None:
+            fm = fm[:, jnp.asarray(flip_index)]
+        out.append(fm)
+    return out
+
+
+def _resize_nchw(fm, size_hw, align_corners):
+    if fm.shape[2:] == tuple(size_hw):
+        return fm
+    if align_corners:
+        from .multistage_nets import resize_bilinear_ac
+        x = fm.transpose(0, 2, 3, 1)
+        x = resize_bilinear_ac(x, size_hw)
+        return x.transpose(0, 3, 1, 2)
+    return jax.image.resize(
+        fm, fm.shape[:2] + tuple(size_hw), method='bilinear')
+
+
+def _resize_list(feature_maps, align_corners, index=-1, resize_size=None):
+    if resize_size is None:
+        resize_size = feature_maps[index].shape[2:]
+    return [_resize_nchw(fm, resize_size, align_corners)
+            for fm in feature_maps]
+
+
+def aggregate_stage_flip(feature_maps, feature_maps_flip, index=-1,
+                         project2image=True, size_projected=None,
+                         align_corners=False, aggregate_stage='concat',
+                         aggregate_flip='average'):
+    """reference bottom_up_eval.py:165 — resize multi-stage maps to a base
+    size, then average/concat the original and flipped passes."""
+    if feature_maps_flip is None:
+        aggregate_flip = 'none'
+    size = ((size_projected[1], size_projected[0])
+            if project2image and size_projected else None)
+
+    def agg(maps):
+        if maps is None:
+            return None
+        resized = _resize_list(maps, align_corners, index=index,
+                               resize_size=size)
+        if aggregate_stage == 'average':
+            s = resized[0]
+            for r in resized[1:]:
+                s = s + r
+            return [s / len(resized)]
+        return resized                     # 'concat'
+
+    origin = agg(feature_maps)
+    flipped = agg(feature_maps_flip)
+    if aggregate_flip == 'average':
+        return [(o + f) / 2.0 for o, f in zip(origin, flipped)]
+    if aggregate_flip == 'concat':
+        return list(origin) + list(flipped)
+    return list(origin)
+
+
+def aggregate_scale(feature_maps_list, align_corners=False,
+                    aggregate_scale_mode='average'):
+    """reference bottom_up_eval.py:254 — combine per-scale maps at the
+    first scale's size: 'average' heatmaps or 'unsqueeze_concat' tags."""
+    resized = _resize_list(feature_maps_list, align_corners, index=0)
+    if aggregate_scale_mode == 'average':
+        s = resized[0]
+        for r in resized[1:]:
+            s = s + r
+        return s / len(resized)
+    return jnp.stack(resized, axis=-1)     # [N, K, H, W, L]

@@ -191,3 +191,53 @@ class Interhand3DHead(nn.Module):
                               name='type_fc1')(pooled))
         hand_type = nn.Dense(2, dtype=self.dtype, name='type_fc2')(ht)
         return heatmaps3d, root_depth, hand_type
+
+
+class AEHigherResolutionHead(nn.Module):
+    """HigherHRNet associative-embedding head (reference
+    ae_higher_resolution_head.py:13): a final conv on the input features
+    plus deconv stages — each optionally concatenating the previous
+    prediction — of [deconv+BN+ReLU, num_basic_blocks BasicBlocks], every
+    stage emitting its own prediction map. Returns a list of NHWC maps at
+    increasing resolution."""
+    num_joints: int
+    tag_per_joint: bool = True
+    num_deconv_layers: int = 1
+    deconv_filters: Sequence[int] = (32,)
+    deconv_kernels: Sequence[int] = (4,)
+    num_basic_blocks: int = 4
+    cat_output: Sequence[bool] = (True,)
+    with_ae_loss: Sequence[bool] = (True, False)
+    final_kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .resnet import BasicBlock, _bn
+        k = self.num_joints
+        dim_tag = k if self.tag_per_joint else 1
+        pad = (self.final_kernel - 1) // 2
+
+        def final(idx, feat):
+            ch = k + dim_tag if self.with_ae_loss[idx] else k
+            return nn.Conv(ch, (self.final_kernel,) * 2,
+                           padding=((pad, pad), (pad, pad)),
+                           dtype=self.dtype, name=f'final_{idx}')(feat)
+
+        outs = [final(0, x)]
+        for i in range(self.num_deconv_layers):
+            inp = (jnp.concatenate([x, outs[-1]], axis=-1)
+                   if self.cat_output[i] else x)
+            y = nn.ConvTranspose(self.deconv_filters[i],
+                                 (self.deconv_kernels[i],) * 2,
+                                 strides=(2, 2), padding='SAME',
+                                 use_bias=False, transpose_kernel=True,
+                                 dtype=self.dtype, name=f'deconv_{i}')(inp)
+            y = _bn(train, self.dtype, f'deconv_{i}_bn')(y)
+            y = nn.relu(y)
+            for b in range(self.num_basic_blocks):
+                y = BasicBlock(self.deconv_filters[i], dtype=self.dtype,
+                               name=f'deconv_{i}_blk{b}')(y, train=train)
+            x = y
+            outs.append(final(i + 1, x))
+        return outs

@@ -152,3 +152,42 @@ def generate_combined_target(joints, visible, image_size, heatmap_size,
     y_map = jnp.where(keep & vis, y_off, 0.0)
     target = jnp.stack([resp, x_map, y_map], axis=-3)  # [..., K, 3, H, W]
     return target.astype(jnp.float32), visible
+
+
+def generate_megvii_heatmaps(joints, visible, image_size, heatmap_size,
+                             kernel=11):
+    """Megvii target encoding (reference top_down_transform.py:496
+    `_megvii_generate_target`): a delta at the truncated-int target pixel,
+    cv2 GaussianBlur(kernel, sigma=0), rescaled so the peak equals 255.
+
+    Args:
+      joints:  [..., K, 2] keypoints in input-image pixels.
+      visible: [..., K] visibility.
+      kernel:  odd blur kernel size (per-joint kernels in the reference's
+               multi-stage configs are just repeated calls).
+
+    Returns: target [..., K, H, W] float32 (peak 255), weight [..., K].
+    """
+    from .decode import gaussian_blur_reflect
+    joints = jnp.asarray(joints, jnp.float32)
+    visible = jnp.asarray(visible, jnp.float32)
+    w, h = int(heatmap_size[0]), int(heatmap_size[1])
+    tx = _trunc_int(joints[..., 0] * w / image_size[0])      # [..., K]
+    ty = _trunc_int(joints[..., 1] * h / image_size[1])
+    inb = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+    weight = jnp.where(visible >= 1, jnp.where(inb, visible, 0.0), visible)
+    paint = (visible >= 1) & inb
+    txc = jnp.clip(tx, 0, w - 1)
+    tyc = jnp.clip(ty, 0, h - 1)
+    xs, ys = _grid(heatmap_size)
+    onehot = ((xs[None, :] == txc[..., None, None])
+              & (ys[:, None] == tyc[..., None, None])).astype(jnp.float32)
+    onehot = jnp.where(paint[..., None, None], onehot, 0.0)
+    blurred = gaussian_blur_reflect(onehot, kernel)
+    # peak value at the target pixel (the delta blurred = kernel center,
+    # possibly boosted by border reflection)
+    maxi = jnp.take_along_axis(
+        jnp.take_along_axis(blurred, tyc[..., None, None], axis=-2),
+        txc[..., None, None], axis=-1)[..., 0, 0]
+    scale = jnp.where(paint, 255.0 / jnp.maximum(maxi, 1e-20), 0.0)
+    return blurred * scale[..., None, None], weight

@@ -124,3 +124,26 @@ def _scale_by_tree(scales):
         return jax.tree.map(lambda u, s: u * s, updates, scales), state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def weight_norm_clip(params, max_norm=1.0, key_names=('kernel',)):
+    """Clip matched parameter tensors to a maximum L2 norm.
+
+    Functional counterpart of the reference WeightNormClipHook
+    (core/utils/regularizations.py:56), which rescales each conv weight to
+    ``max_norm`` before every forward; applied after each optimizer update
+    it enforces the same invariant at every training forward (used by the
+    VideoPose3D-style TCN/TemporalRegressionHead with max_norm=1).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def clip(path, leaf):
+        last = getattr(path[-1], 'key', str(path[-1]))
+        if last in key_names and getattr(leaf, 'ndim', 0) >= 2:
+            n = jnp.linalg.norm(leaf)
+            scale = jnp.where(n > max_norm, max_norm / (n + 1e-6), 1.0)
+            return leaf * scale
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(clip, params)

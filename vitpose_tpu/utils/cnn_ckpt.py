@@ -468,6 +468,33 @@ def convert_litehrnet(sd, prefix=''):
     return cv.out()
 
 
+def convert_ae_higher_head(sd, prefix=''):
+    """AEHigherResolutionHead (reference ae_higher_resolution_head.py:13)."""
+    cv = Cv(sd, prefix)
+    i = 0
+    while cv.has(f'final_layers.{i}.weight'):
+        # plain conv with bias
+        cv._put(cv.params, (f'final_{i}', 'kernel'),
+                cv.get(f'final_layers.{i}.weight').transpose(2, 3, 1, 0))
+        cv._put(cv.params, (f'final_{i}', 'bias'),
+                cv.get(f'final_layers.{i}.bias'))
+        i += 1
+    d = 0
+    while cv.has(f'deconv_layers.{d}.0.0.weight'):
+        # torch ConvTranspose2d [I, O, kh, kw] -> flax transpose_kernel
+        cv._put(cv.params, (f'deconv_{d}', 'kernel'),
+                cv.get(f'deconv_layers.{d}.0.0.weight')
+                .transpose(2, 3, 1, 0))
+        cv.bn(f'deconv_layers.{d}.0.1', f'deconv_{d}_bn')
+        b = 0
+        while cv.has(f'deconv_layers.{d}.{b + 1}.0.conv1.weight'):
+            _resnet_block(cv, f'deconv_layers.{d}.{b + 1}.0',
+                          f'deconv_{d}_blk{b}')
+            b += 1
+        d += 1
+    return cv.out()
+
+
 def _res_layer_blocks(cv, tname, fname):
     k = 0
     while cv.has(f'{tname}.{k}.conv1.weight'):
