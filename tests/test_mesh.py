@@ -103,3 +103,96 @@ def test_imshow_mesh_3d_renders():
     center = out[32, 32]
     assert center[1] > 100 and center[0] < 50, center   # near (green) wins
     assert (out != 0).any()
+
+
+def test_flip_rotate_smpl_golden():
+    """flip/rotate SMPL pose + 3D joints vs the reference mesh_transform."""
+    import importlib.util, sys, types
+    import numpy as np
+    spec = importlib.util.find_spec('cv2')
+    # load reference mesh_transform with stubs
+    from ref_loader import ref_post_transforms, _load
+    pt = ref_post_transforms()
+    fake_pp = types.ModuleType('mmpose.core.post_processing')
+    for n in ('affine_transform', 'fliplr_joints', 'get_affine_transform'):
+        setattr(fake_pp, n, getattr(pt, n))
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+    fb = types.ModuleType('mmpose.datasets.builder'); fb.PIPELINES = _Reg()
+    mt = _load('/root/reference/mmpose/datasets/pipelines/mesh_transform.py',
+               '_ref_mesh_transform',
+               pre_modules=[('mmcv', types.ModuleType('mmcv')),
+                            ('mmpose', types.ModuleType('mmpose')),
+                            ('mmpose.core', types.ModuleType('mmpose.core')),
+                            ('mmpose.core.post_processing', fake_pp),
+                            ('mmpose.datasets',
+                             types.ModuleType('mmpose.datasets')),
+                            ('mmpose.datasets.builder', fb)])
+    from vitpose_tpu.data.mesh import (flip_smpl_pose, rotate_smpl_pose,
+                                       flip_joints_3d, rotate_joints_3d)
+    rng = np.random.RandomState(0)
+    pose = rng.randn(72).astype(np.float32)
+    np.testing.assert_allclose(flip_smpl_pose(pose),
+                               mt._flip_smpl_pose(pose.copy()), rtol=1e-6)
+    np.testing.assert_allclose(rotate_smpl_pose(pose, 33.0),
+                               mt._rotate_smpl_pose(pose.copy(), 33.0),
+                               rtol=1e-4, atol=1e-5)
+    j = rng.randn(24, 3).astype(np.float32)
+    v = (rng.rand(24, 1) > 0.3).astype(np.float32)
+    ours_j, ours_v = flip_joints_3d(j, v)
+    ref_j, ref_v = mt._flip_joints_3d(
+        j.copy(), v.copy(),
+        [[0, 5], [1, 4], [2, 3], [6, 11], [7, 10], [8, 9], [20, 21],
+         [22, 23]])
+    np.testing.assert_allclose(ours_j, ref_j, rtol=1e-6)
+    np.testing.assert_allclose(ours_v, ref_v)
+    np.testing.assert_allclose(rotate_joints_3d(j, 17.0),
+                               mt._rotate_joints_3d(j.copy(), 17.0),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mesh_adv_training_through_datasets():
+    """Fixture-driven adversarial epoch: Mixed(H36M) + Mosh through the
+    loader into the single-jit adversarial step; losses finite and
+    generator loss decreases while overfitting."""
+    import optax
+    from vitpose_tpu.data.mesh import (MeshDataset, MoshDataset,
+                                       MeshMixDataset, MeshAdvLoader)
+    ds = MeshDataset('/root/reference/tests/data/h36m/test_h36m.npz',
+                     '/root/reference/tests/data/h36m',
+                     image_size=(64, 64))
+    mix = MeshMixDataset([ds, ds], partition=[0.6, 0.4])
+    mosh = MoshDataset('/root/reference/tests/data/mosh/test_mosh.npz')
+    loader = MeshAdvLoader(mix, mosh, batch_size=2, image_size=(64, 64),
+                           seed=0)
+    batch = next(iter(loader))
+    assert batch['imgs'].shape == (2, 64, 64, 3)
+    assert batch['joints_2d'].shape == (2, 24, 2)
+    assert batch['real_pose'].shape == (2, 72)
+
+    rng = jax.random.PRNGKey(0)
+    mesh = ParametricMesh(ResNet(depth=18), mock_smpl, num_iters=2)
+    disc = SMPLDiscriminator(hidden=32)
+    imgs = jnp.asarray(batch['imgs'], jnp.float32)
+    gen_vars = mesh.init(rng, imgs)
+    disc_vars = disc.init(rng, jnp.zeros((2, 72)), jnp.zeros((2, 10)))
+    gen_tx, disc_tx = optax.adam(1e-3), optax.adam(1e-4)
+    gen_opt = gen_tx.init(gen_vars)
+    disc_opt = disc_tx.init(disc_vars)
+    step = jax.jit(make_adversarial_train_step(mesh, disc, gen_tx, disc_tx))
+
+    first = last = None
+    for ep in range(4):
+        loader.set_epoch(ep)
+        for batch in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ('pose', 'beta', 'has_smpl')}
+            gen_vars, disc_vars, gen_opt, disc_opt, metrics = step(
+                gen_vars, disc_vars, gen_opt, disc_opt, jb)
+            val = float(metrics['loss_2d'])
+            assert np.isfinite(val)
+            first = val if first is None else first
+            last = val
+    assert last < first, (first, last)

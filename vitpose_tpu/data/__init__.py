@@ -3,3 +3,5 @@ from .coco_index import CocoIndex
 from .topdown import TopDownDataset
 from .wholebody import WholeBodyDataset
 from .loader import TopDownLoader
+from .posetrack import PoseTrackDataset
+from .jhmdb import JhmdbDataset
