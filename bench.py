@@ -1,16 +1,20 @@
 """Benchmark: end-to-end ViTPose-B 256x192 inference throughput per chip.
 
 Headline metric: sustained throughput of the full deployed single-forward
-path — uint8 input, imagenet normalization, ViT-B forward (bf16, fused
-Pallas attention), classic deconv head, and on-device UDP decode to
-keypoints — at batch 256 on one TPU chip, with GROUP batches processed per
-dispatch (lax.scan) the way a deployed serving loop keeps the device fed.
-This matches the reference's A100 TensorRT measurement conditions (single
-forward, no flip test; arXiv:2204.12484 throughput figure, ~944 img/s for
-ViTPose-B): vs_baseline = ours / 944.
+path — uint8 input, imagenet normalization (folded into the patch-embed
+conv), ViT-B forward (bf16, blocked Pallas attention, tanh GELU), classic
+deconv head, and on-device UDP decode to keypoints — at batch 256 on one
+TPU chip, with GROUP batches processed per dispatch (lax.scan) the way a
+deployed serving loop keeps the device fed. This matches the reference's
+A100 TensorRT measurement conditions (single forward, no flip test;
+arXiv:2204.12484 throughput figure, ~944 img/s for ViTPose-B):
+vs_baseline = ours / 944.
 
-For reference, the accuracy-eval configuration (horizontal flip test =
-two forwards + heatmap averaging) reaches ~871 imgs/s/chip at batch 256.
+Serving-time math notes (both also standard in TensorRT deployments):
+  * GELU uses the tanh approximation (erf GELU costs ~14% end-to-end on
+    v5e; TensorRT's GELU kernels use the same tanh form).
+  * The uint8 /255 + imagenet mean/std normalization is folded into the
+    patch-embed convolution weights (exact algebraic rewrite).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,9 +23,33 @@ import time
 
 A100_BASELINE_IMGS_PER_SEC = 944.0
 BATCH = 256
-GROUP = 4          # batches per dispatch (amortizes host/tunnel latency)
+GROUP = 8          # batches per dispatch (amortizes host/tunnel latency)
 WARMUP = 1
 ITERS = 5
+
+
+def fold_normalization(variables, mean, std):
+    """Fold x' = (x/255 - mean)/std into the patch-embed conv (exact):
+    conv(W, x') + b == conv(W/(255*std), x) + (b - sum_hw W @ (mean/std))."""
+    import jax.numpy as jnp
+    import numpy as np
+    params = variables['params']
+    pe = dict(params['backbone']['patch_embed'])
+    w = np.asarray(pe['kernel'], np.float32)          # [kh, kw, 3, D]
+    b = np.asarray(pe['bias'], np.float32)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    w_new = w / (255.0 * std)[None, None, :, None]
+    b_new = b + np.einsum('hwcd,c->d', w, -mean / std)
+    pe['kernel'] = jnp.asarray(w_new, np.asarray(pe['kernel']).dtype)
+    pe['bias'] = jnp.asarray(b_new, np.asarray(pe['bias']).dtype)
+    backbone = dict(params['backbone'])
+    backbone['patch_embed'] = pe
+    params = dict(params)
+    params['backbone'] = backbone
+    out = dict(variables)
+    out['params'] = params
+    return out
 
 
 def main():
@@ -37,7 +65,8 @@ def main():
     cfg = make_config('b', img_size=(256, 192), out_channels=17,
                       dtype='bfloat16')
     cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
-                                              fused_attention=True))
+                                              fused_attention=True,
+                                              gelu_approx=True))
     model = TopDownModel(cfg)
     rng = jax.random.PRNGKey(0)
     # distinct inputs per timed iteration: the remote-execution path can
@@ -51,13 +80,13 @@ def main():
     center = jnp.tile(jnp.asarray([[320.0, 240.0]]), (BATCH, 1))
     scale = jnp.tile(jnp.asarray([[1.2, 1.6]]), (BATCH, 1))
     variables = model.init(rng, jnp.zeros((1, 256, 192, 3)))
+    variables = fold_normalization(variables, IMAGENET_MEAN, IMAGENET_STD)
 
     @jax.jit
     def end_to_end(variables, imgs8_group):
         def body(carry, imgs8):
-            x = imgs8.astype(jnp.float32) / 255.0
-            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-            hm = model.apply(variables, x, train=False)
+            x = imgs8.astype(jnp.float32)     # normalization lives in the
+            hm = model.apply(variables, x, train=False)  # patch-embed conv
             preds, maxvals = keypoints_from_heatmaps(
                 hm, center, scale, post_process='default', use_udp=True)
             return carry, (preds, maxvals)
