@@ -24,7 +24,10 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
     """Build the jitted val step: canvas uint8 batch -> decoded keypoints.
 
     `head_idx` selects an associate head for ViTPose+ multi-dataset eval
-    (0/None = main head)."""
+    (0/None = main head). Returns (val_step, val_step_grouped): the grouped
+    variant scans a [G, ...] stack of batches in ONE dispatch, amortizing
+    the per-dispatch launch latency (~27 ms on the sandbox tunnel) the way
+    the serving loop does."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -33,9 +36,8 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
 
     iw, ih = image_size
 
-    @jax.jit
-    def val_step(variables, imgs, center, scale, center_orig, scale_orig,
-                 expert_idx=None):
+    def val_step_fn(variables, imgs, center, scale, center_orig, scale_orig,
+                    expert_idx=None):
         # `center`/`scale` are CANVAS coords (the loader may downscale large
         # sources onto the fixed canvas) and drive the crop warp;
         # `center_orig`/`scale_orig` are ORIGINAL-image coords and drive the
@@ -56,7 +58,27 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
             kernel=modulate_kernel, use_udp=use_udp, target_type=target_type)
         return preds, maxvals
 
-    return val_step
+    val_step = jax.jit(val_step_fn)
+
+    @jax.jit
+    def val_step_grouped(variables, imgs, center, scale, center_orig,
+                         scale_orig, expert_idx=None):
+        """All args carry a leading group dim [G, ...]; one lax.scan."""
+        def body(carry, args):
+            if expert_idx is None:
+                im, c, s, co, so = args
+                out = val_step_fn(variables, im, c, s, co, so)
+            else:
+                im, c, s, co, so, ei = args
+                out = val_step_fn(variables, im, c, s, co, so, ei)
+            return carry, out
+        xs = (imgs, center, scale, center_orig, scale_orig)
+        if expert_idx is not None:
+            xs = xs + (expert_idx,)
+        _, outs = jax.lax.scan(body, 0, xs)
+        return outs
+
+    return val_step, val_step_grouped
 
 
 _val_step_cache = {}
@@ -65,12 +87,16 @@ _val_step_cache = {}
 def run_validation(model, variables, loader, use_udp=True,
                    post_process='default', modulate_kernel=11,
                    expert_idx: Optional[int] = None, progress=False,
-                   target_type='GaussianHeatmap', head_idx=None):
+                   target_type='GaussianHeatmap', head_idx=None,
+                   group_size: int = 4):
     """Run the val loop and return the results list consumed by
     TopDownDataset.evaluate (preds/boxes/image_paths/bbox_ids per batch).
 
-    The jitted val step is cached per (model, geometry, decode config) so
-    periodic in-training evaluation doesn't recompile every time."""
+    Batches are stacked `group_size` at a time and scanned in ONE device
+    dispatch (amortizes launch/tunnel latency); the remainder runs through
+    the single-batch step. The jitted steps are cached per (model,
+    geometry, decode config) so periodic in-training evaluation doesn't
+    recompile every time."""
     import jax.numpy as jnp
 
     flip_index = loader.ds.info.flip_index
@@ -83,36 +109,61 @@ def run_validation(model, variables, loader, use_udp=True,
             post_process=post_process, modulate_kernel=modulate_kernel,
             flip_index=flip_index, target_type=target_type,
             head_idx=head_idx)
-    val_step = _val_step_cache[key]
+    val_step, val_step_grouped = _val_step_cache[key]
+
+    def decode_group(batches):
+        n = batches[0]['imgs'].shape[0]
+        eidx = (np.full((len(batches), n), expert_idx, np.int32)
+                if expert_idx is not None else None)
+
+        def stack(key_):
+            return jnp.asarray(np.stack([b[key_] for b in batches]))
+
+        if len(batches) == 1:
+            b = batches[0]
+            preds, maxvals = val_step(
+                variables, jnp.asarray(b['imgs']), jnp.asarray(b['center']),
+                jnp.asarray(b['scale']), jnp.asarray(b['center_orig']),
+                jnp.asarray(b['scale_orig']),
+                jnp.asarray(eidx[0]) if eidx is not None else None)
+            preds, maxvals = np.asarray(preds)[None], np.asarray(maxvals)[None]
+        else:
+            # warp in canvas coords, decode in original-image coords (the
+            # two differ when the loader downscaled a large source image)
+            preds, maxvals = val_step_grouped(
+                variables, stack('imgs'), stack('center'), stack('scale'),
+                stack('center_orig'), stack('scale_orig'),
+                jnp.asarray(eidx) if eidx is not None else None)
+            preds, maxvals = np.asarray(preds), np.asarray(maxvals)
+        out = []
+        for gi, batch in enumerate(batches):
+            valid = batch['valid']
+            kp = np.concatenate([preds[gi], maxvals[gi]], axis=-1)[valid]
+            c = batch['center_orig'][valid]
+            s = batch['scale_orig'][valid]
+            area = np.prod(s * 200.0, axis=1, keepdims=True)
+            boxes = np.concatenate(
+                [c, s, area, batch['bbox_score'][valid][:, None]], axis=1)
+            out.append(dict(
+                preds=kp, boxes=boxes,
+                image_paths=[p for p, v in zip(batch['image_paths'], valid)
+                             if v],
+                bbox_ids=[int(b) for b, v in zip(batch['bbox_id'], valid)
+                          if v],
+            ))
+        return out
 
     results = []
+    pending = []
     for bi, batch in enumerate(loader):
-        n = batch['imgs'].shape[0]
-        eidx = (jnp.full((n,), expert_idx, jnp.int32)
-                if expert_idx is not None else None)
-        # warp in canvas coords, decode in original-image coords (the two
-        # differ when the loader downscaled a large source image)
-        preds, maxvals = val_step(variables, jnp.asarray(batch['imgs']),
-                                  jnp.asarray(batch['center']),
-                                  jnp.asarray(batch['scale']),
-                                  jnp.asarray(batch['center_orig']),
-                                  jnp.asarray(batch['scale_orig']),
-                                  eidx)
-        preds = np.asarray(preds)
-        maxvals = np.asarray(maxvals)
-        valid = batch['valid']
-        kp = np.concatenate([preds, maxvals], axis=-1)[valid]
-        c = batch['center_orig'][valid]
-        s = batch['scale_orig'][valid]
-        area = np.prod(s * 200.0, axis=1, keepdims=True)
-        boxes = np.concatenate(
-            [c, s, area, batch['bbox_score'][valid][:, None]], axis=1)
-        results.append(dict(
-            preds=kp, boxes=boxes,
-            image_paths=[p for p, v in zip(batch['image_paths'], valid)
-                         if v],
-            bbox_ids=[int(b) for b, v in zip(batch['bbox_id'], valid) if v],
-        ))
+        pending.append(batch)
+        if len(pending) == max(1, group_size):
+            results.extend(decode_group(pending))
+            pending = []
         if progress and bi % 50 == 0:
             print(f'  val batch {bi}/{len(loader)}')
+    # remainder: one batch at a time through the single-batch step (a
+    # partial group would recompile the scan for every remainder size)
+    for batch in pending:
+        results.extend(decode_group([batch]))
     return results
