@@ -20,8 +20,41 @@ def test_config_builds(path):
     cfg = load_config(path)
     assert 'model' in cfg and 'data' in cfg and 'optimizer' in cfg
     model = build_model_from_cfg(cfg['model'])
-    # building the model object must succeed and expose a valid backbone
-    assert model.cfg.backbone.depth > 0
+    # building the model object must succeed and expose a valid config
     assert model.cfg.out_channels > 0
     if 'num_extra_heads' in cfg['model']:
         assert model.cfg.num_extra_heads == cfg['model']['num_extra_heads']
+
+
+CNN_CONFIGS = [c for c in CONFIGS
+               if any(k in os.path.basename(c) for k in
+                      ('hrnet', 'litehrnet', 'hrformer', 'res50',
+                       'resnext', 'seresnext', 'scnet', 'vipnas'))]
+
+
+@pytest.mark.parametrize('path', CNN_CONFIGS,
+                         ids=[os.path.basename(c) for c in CNN_CONFIGS])
+def test_cnn_config_forwards(path):
+    """Generic-topdown configs must actually run a tiny forward."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    cfg = load_config(path)
+    mcfg = dict(cfg['model'])
+    mcfg['img_size'] = (64, 64)
+    mcfg['dtype'] = 'float32'
+    if 'backbone_overrides' in mcfg:
+        bo = dict(mcfg['backbone_overrides'])
+        bo.pop('dtype', None)
+        # shrink staged backbones for the smoke forward
+        if mcfg.get('backbone_type') in ('hrnet', 'hrformer'):
+            bo['stage_modules'] = (1, 1, 1)
+        if mcfg.get('backbone_type') == 'litehrnet':
+            bo['num_modules'] = (1, 1, 1)
+        mcfg['backbone_overrides'] = bo
+    model = build_model_from_cfg(mcfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x, train=False)
+    assert out.ndim == 4 and out.shape[1] == 17

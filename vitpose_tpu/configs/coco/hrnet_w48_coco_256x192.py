@@ -1,0 +1,21 @@
+# HRNet-W32 top-down COCO (reference:
+# configs/.../topdown_heatmap/coco/hrnet_w48_coco_256x192.py)
+_base_ = ['../base/default_runtime.py', '../base/coco_data.py']
+
+model = dict(
+    backbone_type='hrnet',
+    backbone_overrides=dict(width=48, stage_modules=(1, 4, 3),
+                            dtype='bfloat16'),
+    img_size=(256, 192),
+    out_channels=17,
+    head='heatmap',
+    deconv_filters=(),            # bare 1x1 prediction conv on the HR branch
+    dtype='bfloat16',
+    flip_test=True,
+    post_process='default',
+    use_udp=False,
+    shift_heatmap=True,
+)
+optimizer = dict(base_lr=5e-4, warmup_iters=500, decay_epochs=(170, 200),
+                 total_epochs=210)
+runtime = dict(work_dir='work_dirs/hrnet_w48_coco_256x192')

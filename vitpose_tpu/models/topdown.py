@@ -110,6 +110,41 @@ class TopDownModel(nn.Module):
         return out.transpose(0, 3, 1, 2).astype(jnp.float32)
 
 
+class GenericTopDown(nn.Module):
+    """TopDown estimator over an arbitrary NHWC feature backbone (HRNet,
+    LiteHRNet, HRFormer, ResNe(X)t, SCNet, ViPNAS, ...).
+
+    Mirrors TopDownModel's interface (cfg flags, NCHW float32 heatmaps, the
+    same `infer` flip-test helper works on it) so run_validation / train
+    steps are backbone-agnostic; `expert_idx` is accepted and ignored.
+    head='heatmap' is the SimpleBaseline deconv head; HRNet-family configs
+    use empty deconv_filters for the bare 1x1 prediction conv; 'vipnas'
+    selects the grouped-deconv ViPNAS head.
+    """
+    backbone: nn.Module
+    cfg: 'TopDownConfig'
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.backbone.dtype)
+        if c.head_type == 'vipnas':
+            from .heads_extra import ViPNASHead
+            self.head = ViPNASHead(c.out_channels, dtype=dtype, name='head')
+        else:
+            self.head = HeatmapHead(
+                c.out_channels, c.deconv_filters, c.deconv_kernels,
+                c.final_kernel, dtype=dtype, name='head')
+
+    def __call__(self, imgs, train: bool = False, expert_idx=None,
+                 head_idx=None, all_heads: bool = False):
+        feat = self.backbone(imgs, train=train)
+        if isinstance(feat, (list, tuple)):
+            feat = feat[0]
+        out = self.head(feat, train=train)
+        out = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+        return [out] if all_heads else out
+
+
 # ---------------------------------------------------------------------------
 # pure-function API
 # ---------------------------------------------------------------------------

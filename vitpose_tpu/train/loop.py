@@ -61,15 +61,63 @@ def _log_tensorboard(work_dir, record):
 
 def build_model_from_cfg(mcfg: dict):
     mcfg = dict(mcfg)
+    backbone_type = mcfg.pop('backbone_type', 'vit')
     variant = mcfg.pop('variant', 'b')
     wh = mcfg.pop('img_size', (256, 192))
     bb_over = mcfg.pop('backbone_overrides', None)
-    cfg = make_config(variant, img_size=tuple(wh), **mcfg)
-    if bb_over:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg,
-                          backbone=_dc.replace(cfg.backbone, **bb_over))
-    return TopDownModel(cfg)
+    if backbone_type == 'vit':
+        cfg = make_config(variant, img_size=tuple(wh), **mcfg)
+        if bb_over:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg,
+                              backbone=_dc.replace(cfg.backbone, **bb_over))
+        return TopDownModel(cfg)
+    return build_generic_topdown(backbone_type, tuple(wh), bb_over or {},
+                                 mcfg)
+
+
+def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
+                          mcfg: dict):
+    """CNN-backbone top-down estimators (HRNet/LiteHRNet/HRFormer/
+    ResNe(X)t/SCNet/ViPNAS...)."""
+    import dataclasses as _dc
+    from ..models.topdown import GenericTopDown, TopDownConfig
+
+    def _hrnet(**kw):
+        from ..models.hrnet import HRNet, HRNetConfig
+        return HRNet(HRNetConfig(**kw))
+
+    def _named(cls):
+        def make(**kw):
+            return cls(**kw)
+        return make
+
+    from ..models.resnet import ResNet
+    from ..models.resnext import ResNeXt, SEResNeXt
+    from ..models.more_cnns import (SCNet, ViPNASMobileNetV3, ViPNASResNet)
+    from ..models.multistage_nets import LiteHRNet
+    from ..models.hrformer import HRFormer
+    from ..models.classic_cnns import SEResNet
+    registry = {
+        'hrnet': _hrnet,
+        'resnet': _named(ResNet),
+        'resnext': _named(ResNeXt),
+        'seresnet': _named(SEResNet),
+        'seresnext': SEResNeXt,
+        'scnet': SCNet,
+        'litehrnet': _named(LiteHRNet),
+        'hrformer': _named(HRFormer),
+        'vipnas_mbv3': _named(ViPNASMobileNetV3),
+        'vipnas_resnet': _named(ViPNASResNet),
+    }
+    if backbone_type not in registry:
+        raise KeyError(f'unknown backbone_type {backbone_type}: '
+                       f'{sorted(registry)}')
+    backbone = registry[backbone_type](**bb_kwargs)
+    cfg = make_config('s', img_size=img_size, **mcfg)
+    # the ViT sub-config is a placeholder on the generic path (only its
+    # dtype field is consulted, for the head)
+    return GenericTopDown(backbone=backbone, cfg=cfg)
 
 
 def train_model(cfg: dict, work_dir: Optional[str] = None,
