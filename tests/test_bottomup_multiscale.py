@@ -167,3 +167,64 @@ def test_multiscale_flip_inference_groups_people():
                                    adjust=True, refine=True)
     assert isinstance(grouped, list) and len(grouped) == 1
     assert all(np.isfinite(s) for s in scores)
+
+
+def test_resize_align_golden():
+    """get_multi_scale_size / resize_align_multi_scale (plain + UDP) vs the
+    reference bottom_up_transform functions."""
+    import sys, types
+    import cv2
+    from ref_loader import ref_post_transforms, _load
+    from vitpose_tpu.data.bottomup import (get_multi_scale_size,
+                                           resize_align_multi_scale)
+    pt = ref_post_transforms()
+    fake_pp = types.ModuleType('mmpose.core.post_processing')
+    for n in ('get_affine_transform', 'get_warp_matrix',
+              'warp_affine_joints'):
+        setattr(fake_pp, n, getattr(pt, n))
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+    fb = types.ModuleType('mmpose.datasets.builder')
+    fb.PIPELINES = _Reg()
+    pipelines_pkg = types.ModuleType('mmpose.datasets.pipelines')
+    pipelines_pkg.__path__ = []
+    shared = types.ModuleType('mmpose.datasets.pipelines.shared_transform')
+    shared.Compose = lambda *a, **k: None
+    mt = _load(
+        '/root/reference/mmpose/datasets/pipelines/bottom_up_transform.py',
+        'mmpose.datasets.pipelines.bottom_up_transform',
+        pre_modules=[('mmcv', types.ModuleType('mmcv')),
+                     ('mmpose', types.ModuleType('mmpose')),
+                     ('mmpose.core', types.ModuleType('mmpose.core')),
+                     ('mmpose.core.post_processing', fake_pp),
+                     ('mmpose.datasets', types.ModuleType('mmpose.datasets')),
+                     ('mmpose.datasets.builder', fb),
+                     ('mmpose.datasets.pipelines', pipelines_pkg),
+                     ('mmpose.datasets.pipelines.shared_transform', shared)])
+    img = cv2.imread('/root/reference/tests/data/coco/000000000785.jpg')
+    for cur, use_udp in ((1.0, False), (2.0, False), (1.0, True),
+                         (0.5, True)):
+        ref_sz, ref_c, ref_s = mt._get_multi_scale_size(
+            img, np.array([512, 512]), cur, 0.5, use_udp)
+        sz, c, s = get_multi_scale_size(img, (512, 512), cur, 0.5, use_udp)
+        assert tuple(sz) == tuple(ref_sz)
+        np.testing.assert_allclose(c, np.asarray(ref_c, np.float32),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(s, ref_s, rtol=1e-6)
+        if use_udp:
+            ref_img, ref_c2, ref_s2 = mt._resize_align_multi_scale_udp(
+                img, np.array([512, 512]), cur, 0.5)
+        else:
+            ref_img, ref_c2, ref_s2 = mt._resize_align_multi_scale(
+                img, np.array([512, 512]), cur, 0.5)
+        got, c2, s2 = resize_align_multi_scale(img, (512, 512), cur, 0.5,
+                                               use_udp)
+        assert got.shape == ref_img.shape
+        diff = np.abs(got.astype(np.int32) - ref_img.astype(np.int32))
+        assert diff.max() <= 1, diff.max()      # cv2 rounding only
+        np.testing.assert_allclose(np.asarray(c2, np.float32),
+                                   np.asarray(ref_c2, np.float32),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(s2, ref_s2, rtol=1e-6)

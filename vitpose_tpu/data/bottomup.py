@@ -123,3 +123,94 @@ def generate_ae_targets(joints, mask, input_size, output_size, sigma=2.0,
     ae[..., 1] = ((vis > 0) & inside).astype(np.int32)
     return dict(heatmaps=heatmaps, mask=jnp.asarray(mask_s),
                 ae_joints=jnp.asarray(ae))
+
+
+# ---------------------------------------------------------------------------
+# test-time multi-scale input sizing (reference bottom_up_transform.py:16-131)
+# ---------------------------------------------------------------------------
+
+def _ceil_to_multiples_of(x, base=64):
+    return int(np.ceil(x / base) * base)
+
+
+def get_multi_scale_size(image, input_size, current_scale, min_scale,
+                         use_udp=False):
+    """Resized (w, h), center, and scale for one test scale (reference
+    `_get_multi_scale_size`): the short side lands on a multiple of 64 of
+    `min_scale * input_size`, the long side keeps aspect (ceil to 64)."""
+    h, w = image.shape[:2]
+    min_input_w = _ceil_to_multiples_of(min_scale * input_size[0], 64)
+    min_input_h = _ceil_to_multiples_of(min_scale * input_size[1], 64)
+    if w < h:
+        w_resized = int(min_input_w * current_scale / min_scale)
+        h_resized = int(_ceil_to_multiples_of(min_input_w / w * h, 64)
+                        * current_scale / min_scale)
+        if use_udp:
+            scale_w = w - 1.0
+            scale_h = (h_resized - 1.0) / (w_resized - 1.0) * (w - 1.0)
+        else:
+            scale_w = w / 200.0
+            scale_h = h_resized / w_resized * w / 200.0
+    else:
+        h_resized = int(min_input_h * current_scale / min_scale)
+        w_resized = int(_ceil_to_multiples_of(min_input_h / h * w, 64)
+                        * current_scale / min_scale)
+        if use_udp:
+            scale_h = h - 1.0
+            scale_w = (w_resized - 1.0) / (h_resized - 1.0) * (h - 1.0)
+        else:
+            scale_h = h / 200.0
+            scale_w = w_resized / h_resized * h / 200.0
+    if use_udp:
+        center = np.array([scale_w / 2.0, scale_h / 2.0], np.float32)
+    else:
+        center = np.array([round(w / 2.0), round(h / 2.0)], np.float32)
+    return (w_resized, h_resized), center, np.array([scale_w, scale_h],
+                                                    np.float32)
+
+
+def _udp_raw_warp_matrix(theta, size_input, size_dst, size_target):
+    """reference post_transforms.py:312 `get_warp_matrix` (numpy)."""
+    import math
+    theta = np.deg2rad(theta)
+    m = np.zeros((2, 3), np.float32)
+    sx = size_dst[0] / size_target[0]
+    sy = size_dst[1] / size_target[1]
+    m[0, 0] = math.cos(theta) * sx
+    m[0, 1] = -math.sin(theta) * sx
+    m[0, 2] = sx * (-0.5 * size_input[0] * math.cos(theta)
+                    + 0.5 * size_input[1] * math.sin(theta)
+                    + 0.5 * size_target[0])
+    m[1, 0] = math.sin(theta) * sy
+    m[1, 1] = math.cos(theta) * sy
+    m[1, 2] = sy * (-0.5 * size_input[0] * math.sin(theta)
+                    - 0.5 * size_input[1] * math.cos(theta)
+                    + 0.5 * size_target[1])
+    return m
+
+
+def resize_align_multi_scale(image, input_size, current_scale, min_scale,
+                             use_udp=False):
+    """Test-time resize for bottom-up inference, plain or UDP (reference
+    `_resize_align_multi_scale(_udp)`). Returns (resized, center, scale)
+    where (center, scale) feed get_group_preds with the same use_udp."""
+    import cv2
+    from ..ops.geometry import affine_matrix
+    if use_udp:
+        size_resized, _, _ = get_multi_scale_size(
+            image, input_size, current_scale, min_scale, True)
+        _, center, scale = get_multi_scale_size(
+            image, input_size, min_scale, min_scale, True)
+        trans = _udp_raw_warp_matrix(
+            0.0, np.array(scale, np.float32),
+            np.array(size_resized, np.float32) - 1.0,
+            np.array(scale, np.float32))
+        resized = cv2.warpAffine(image.copy(), trans, size_resized,
+                                 flags=cv2.INTER_LINEAR)
+    else:
+        size_resized, center, scale = get_multi_scale_size(
+            image, input_size, current_scale, min_scale)
+        trans = np.asarray(affine_matrix(center[None], scale[None],
+                                         np.zeros(1), size_resized))[0]
+        resized = cv2.warpAffine(image, trans, size_resized)
+    return resized, center, scale
