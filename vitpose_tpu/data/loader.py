@@ -228,3 +228,38 @@ class MultiDatasetLoader:
                 yield next(iters[i])
             except StopIteration:
                 continue
+
+
+class RepeatDataset:
+    """Repeat a dataset `times` times per epoch (reference
+    dataset_wrappers.py:6 RepeatDataset): the record db is tiled, so the
+    loader's deterministic shuffling sees `times` copies."""
+
+    def __init__(self, dataset, times):
+        self._ds = dataset
+        self.times = times
+        self.db = list(dataset.db) * times
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+    def __len__(self):
+        return len(self.db)
+
+
+class ConcatPoseDataset:
+    """Concatenate same-format datasets (reference builder.py:29
+    `_concat_dataset` for ann_file lists): records are merged; metadata
+    comes from the first dataset."""
+
+    def __init__(self, datasets):
+        assert datasets
+        self._ds = datasets[0]
+        self.datasets = list(datasets)
+        self.db = [r for d in datasets for r in d.db]
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+    def __len__(self):
+        return len(self.db)

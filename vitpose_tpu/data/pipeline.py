@@ -47,6 +47,8 @@ class AugmentConfig:
     rot_prob: float = 0.6
     shift_prob: float = 0.0          # TopDownRandomShiftBboxCenter
     shift_factor: float = 0.16
+    trans_prob: float = 0.0          # TopDownRandomTranslation
+    trans_factor: float = 0.15
 
 
 def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
@@ -96,6 +98,11 @@ def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
 
     if aug.shift_prob > 0 and rng.rand() < aug.shift_prob:
         center = center + rng.uniform(-1, 1, 2) * aug.shift_factor \
+            * scale * 200.0
+
+    # TopDownRandomTranslation (reference top_down_transform.py:816)
+    if aug.trans_prob > 0 and rng.rand() <= aug.trans_prob:
+        center = center + aug.trans_factor * rng.uniform(-1, 1, 2) \
             * scale * 200.0
 
     sf, rf = aug.scale_factor, aug.rot_factor

@@ -241,3 +241,42 @@ class AEHigherResolutionHead(nn.Module):
             x = y
             outs.append(final(i + 1, x))
         return outs
+
+
+class AEMultiStageHead(nn.Module):
+    """Associative-embedding multi-stage head (reference
+    ae_multi_stage_head.py:12): one deconv stack + prediction conv per
+    stage over a list of stage features (Hourglass-AE style training).
+    final_kernel=0 means an identity final layer (the backbone already
+    emits prediction maps)."""
+    out_channels: int
+    num_stages: int = 1
+    num_deconv_layers: int = 3
+    deconv_filters: Sequence[int] = (256, 256, 256)
+    deconv_kernels: Sequence[int] = (4, 4, 4)
+    final_kernel: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        assert isinstance(feats, (list, tuple)) and \
+            len(feats) == self.num_stages
+        outs = []
+        for si, x in enumerate(feats):
+            for i in range(self.num_deconv_layers):
+                x = nn.ConvTranspose(
+                    self.deconv_filters[i], (self.deconv_kernels[i],) * 2,
+                    strides=(2, 2), padding='SAME', use_bias=False,
+                    transpose_kernel=True, dtype=self.dtype,
+                    name=f's{si}_deconv_{i}')(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype, name=f's{si}_bn_{i}')(x)
+                x = nn.relu(x)
+            if self.final_kernel > 0:
+                pad = (self.final_kernel - 1) // 2
+                x = nn.Conv(self.out_channels, (self.final_kernel,) * 2,
+                            padding=((pad, pad), (pad, pad)),
+                            dtype=self.dtype, name=f's{si}_final')(x)
+            outs.append(x.transpose(0, 3, 1, 2).astype(jnp.float32))
+        return outs

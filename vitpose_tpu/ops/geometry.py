@@ -250,3 +250,23 @@ def flip_back(heatmaps, flip_index, target_type='GaussianHeatmap'):
     else:
         heatmaps = heatmaps[:, flip_index]
     return heatmaps[..., ::-1]
+
+
+def fliplr_regression(regression, flip_pairs, center_mode='static',
+                      center_x=0.5, center_index=0):
+    """Flip regressed keypoint coordinates horizontally (reference
+    post_transforms.py:54): swap left/right pairs, then mirror x around a
+    static x (normalized coords) or a root joint's x."""
+    regression = jnp.asarray(regression)
+    assert regression.ndim >= 2, regression.shape
+    if center_mode == 'static':
+        x_c = center_x
+    elif center_mode == 'root':
+        x_c = regression[..., center_index:center_index + 1, 0]
+    else:
+        raise ValueError(center_mode)
+    idx = jnp.arange(regression.shape[-2])
+    for a, b in flip_pairs:
+        idx = idx.at[a].set(b).at[b].set(a)
+    out = regression[..., idx, :]
+    return out.at[..., 0].set(x_c * 2 - out[..., 0])

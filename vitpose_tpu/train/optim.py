@@ -147,3 +147,48 @@ def weight_norm_clip(params, max_norm=1.0, key_names=('kernel',)):
         return leaf
 
     return jax.tree_util.tree_map_with_path(clip, params)
+
+
+def make_freeze_mask(params, frozen_stages=-1, freeze_attn=False,
+                     freeze_ffn=False):
+    """Trainability mask for the ViT backbone's freezing options
+    (reference vit.py:249 `_freeze_stages`): True = trainable.
+
+    frozen_stages >= 0 freezes patch_embed and blocks 1..frozen_stages
+    (the reference quirk of starting at block 1 is preserved);
+    freeze_attn freezes every block's attn+norm1; freeze_ffn freezes
+    pos_embed, patch_embed, and every block's mlp+norm2. Use with
+    ``optax.masked(tx, mask)``.
+    """
+    import re
+    import jax
+
+    def trainable(path, leaf):
+        keys = [getattr(p, 'key', str(p)) for p in path]
+        joined = '/'.join(keys)
+        if frozen_stages >= 0:
+            if 'patch_embed' in keys:
+                return False
+            m = re.search(r'blocks_(\d+)', joined)
+            if m and 1 <= int(m.group(1)) <= frozen_stages:
+                return False
+        if freeze_attn and ('attn' in keys or 'norm1' in keys):
+            return False
+        if freeze_ffn:
+            if 'pos_embed' in keys or 'patch_embed' in keys:
+                return False
+            if 'mlp' in keys or 'norm2' in keys:
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def freeze_tx(tx, trainable_mask):
+    """Wrap an optax transform so updates are ZEROED where the mask is
+    False (optax.masked alone passes unmasked updates through unchanged)."""
+    import optax
+    labels = __import__('jax').tree.map(
+        lambda t: 'train' if t else 'freeze', trainable_mask)
+    return optax.multi_transform(
+        {'train': tx, 'freeze': optax.set_to_zero()}, labels)
