@@ -44,11 +44,15 @@ def main():
     ap.add_argument('--cfg-options', nargs='*', default=[])
     ap.add_argument('--out', default=None)
     ap.add_argument('--batch-size', type=int, default=None)
+    ap.add_argument('--metric', nargs='*', default=None,
+                    help="e.g. mAP PCK AUC EPE NME (dataset-dependent)")
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
     from vitpose_tpu.train.loop import build_model_from_cfg
-    from vitpose_tpu.data import TopDownDataset
+    from vitpose_tpu.data import (TopDownDataset, WholeBodyDataset,
+                                  PoseTrackDataset, JhmdbDataset)
+    from vitpose_tpu.data.mpii import MpiiDataset
     from vitpose_tpu.data.loader import TopDownLoader
     from vitpose_tpu.eval.loop import run_validation
 
@@ -57,16 +61,21 @@ def main():
     variables = load_variables(args.checkpoint, model.cfg)
 
     dcfg = cfg['data']
-    ds = TopDownDataset(
+    name = dcfg.get('dataset', 'coco')
+    ds_cls = {'coco_wholebody': WholeBodyDataset,
+              'posetrack18': PoseTrackDataset,
+              'jhmdb': JhmdbDataset,
+              'mpii': MpiiDataset}.get(name, TopDownDataset)
+    ds = ds_cls(
         dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
-        dataset_info=dcfg.get('dataset', 'coco'),
+        dataset_info=name,
         image_size=tuple(dcfg['image_size']),
         heatmap_size=tuple(dcfg['heatmap_size']),
         test_mode=True, use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
         bbox_file=dcfg['val'].get('bbox_file'))
     loader = TopDownLoader(
         ds, args.batch_size or dcfg.get('batch_size', 64), is_train=False,
-        canvas_size=dcfg.get('canvas_size', 640),
+        canvas_size=dcfg.get('canvas_size'),
         num_workers=dcfg.get('num_workers', 8))
 
     mcfg = model.cfg
@@ -74,7 +83,10 @@ def main():
                              post_process=mcfg.post_process,
                              modulate_kernel=mcfg.modulate_kernel,
                              progress=True)
-    stats = ds.evaluate(results)
+    if args.metric:
+        stats = ds.evaluate(results, metric=args.metric)
+    else:
+        stats = ds.evaluate(results)
     print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
     if args.out:
         with open(args.out, 'w') as f:
