@@ -182,3 +182,16 @@ def test_analysis_tools_run(tmp_path):
     assert r.returncode == 0, r.stderr
     stats = json.loads(r.stdout)
     assert stats['AP'] > 0.99, stats
+
+
+def test_hybrid_embed():
+    from vitpose_tpu.models.vit import HybridEmbed, Block
+    from vitpose_tpu.models.resnet import ResNet
+    he = HybridEmbed(backbone=ResNet(depth=18), embed_dim=64)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = he.init(jax.random.PRNGKey(0), x)
+    tok = he.apply(v, x)
+    assert tok.shape == (1, 4, 64)       # 64/32=2 -> 2x2 tokens
+    blk = Block(num_heads=4)
+    bv = blk.init(jax.random.PRNGKey(1), tok)
+    assert blk.apply(bv, tok).shape == tok.shape

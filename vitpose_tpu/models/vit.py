@@ -261,3 +261,26 @@ class ViT(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=dtype, name='last_norm')(x)
         return x.reshape(n, hp, wp, d)
+
+
+class HybridEmbed(nn.Module):
+    """CNN-feature patch embedding (reference vit.py:168 `HybridEmbed`):
+    run a CNN backbone, flatten its last feature map to tokens, project to
+    the transformer width. Compose manually for hybrid ViTs:
+
+        feat = HybridEmbed(backbone=ResNet(depth=18), embed_dim=768)(x)
+        # feat [N, Hf*Wf, 768] -> feed Blocks directly
+    """
+    backbone: nn.Module
+    embed_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = self.backbone(x, train=train)
+        if isinstance(feat, (list, tuple)):
+            feat = feat[-1]
+        n, h, w, c = feat.shape
+        feat = feat.reshape(n, h * w, c)
+        return nn.Dense(self.embed_dim, dtype=self.dtype,
+                        name='proj')(feat)
