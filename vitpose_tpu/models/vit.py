@@ -243,8 +243,11 @@ class ViT(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         block_cls = Block
         if cfg.remat_blocks:
-            # deterministic (arg 1 after x) must stay static under remat
-            block_cls = nn.remat(Block, static_argnums=(1,))
+            # `deterministic` must stay static under remat; flax counts the
+            # module itself as argument 0, so it is index 2 (self, x,
+            # deterministic). With index 1 the flag became a tracer and any
+            # config with drop_path > 0 failed to trace.
+            block_cls = nn.remat(Block, static_argnums=(2,))
         for i in range(cfg.depth):
             x = block_cls(
                 num_heads=cfg.num_heads,
