@@ -85,3 +85,33 @@ def test_train_loop_with_eval_and_resume(tmp_path):
     state2 = train_model(cfg, work_dir=work_dir, resume=True)
     records = [json.loads(l) for l in open(log_path)]
     assert any(r.get('mode') == 'resume' for r in records)
+
+
+@pytest.mark.slow
+def test_train_loop_cnn_backbone(tmp_path):
+    """The generic (CNN-backbone) estimator trains through the same loop:
+    build from config, 2 steps, finite decreasing loss."""
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+    cfg_file = tmp_path / 'hrnet_smoke.py'
+    cfg_file.write_text(f"""
+_base_ = ['{REPO}/vitpose_tpu/configs/base/default_runtime.py']
+model = dict(backbone_type='hrnet',
+             backbone_overrides=dict(width=16, stage_modules=(1, 1, 1)),
+             img_size=(64, 64), out_channels=17, head='heatmap',
+             deconv_filters=(), flip_test=True, use_udp=True,
+             post_process='default')
+data = dict(dataset='coco', image_size=(64, 64), heatmap_size=(16, 16),
+            batch_size=4, canvas_size=640, num_workers=2,
+            train=dict(ann_file='{REF}/test_coco.json', img_prefix='{REF}/'),
+            val=dict(ann_file='{REF}/test_coco.json', img_prefix='{REF}/',
+                     use_gt_bbox=True))
+target = dict(encoding='UDP', sigma=1.5)
+optimizer = dict(base_lr=1e-3, warmup_iters=2, decay_epochs=(100, 200),
+                 total_epochs=1)
+runtime = dict(work_dir='{tmp_path}/wd', log_interval=1, eval_interval=0,
+               ckpt_interval=0, seed=0)
+""")
+    cfg = load_config(str(cfg_file))
+    state = train_model(cfg, max_steps=2)
+    assert state is not None
