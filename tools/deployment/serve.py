@@ -89,17 +89,28 @@ def main():
     ap.add_argument('--port', type=int, default=8080)
     ap.add_argument('--config', default=None,
                     help='optional config file (overrides --variant)')
+    ap.add_argument('--fast', action='store_true',
+                    help='serving-time math: bf16 + blocked Pallas '
+                         'attention + tanh GELU (see PERF.md)')
     args = ap.parse_args()
 
+    import dataclasses as dc
     from vitpose_tpu.api import init_pose_model
     if args.config:
         from vitpose_tpu.utils.config import load_config
         from vitpose_tpu.train.loop import build_model_from_cfg
         model_cfg = build_model_from_cfg(
             load_config(args.config)['model']).cfg
-        model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
     else:
-        model = init_pose_model(args.variant, checkpoint=args.checkpoint)
+        from vitpose_tpu.models import make_config
+        model_cfg = make_config(args.variant, img_size=(256, 192),
+                                out_channels=17)
+    if args.fast:
+        model_cfg = dc.replace(
+            model_cfg, backbone=dc.replace(
+                model_cfg.backbone, dtype='bfloat16',
+                fused_attention=True, gelu_approx=True))
+    model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
     server = HTTPServer(('127.0.0.1', args.port), make_handler(model))
     print(f'serving on http://127.0.0.1:{args.port} '
           f'(POST /predict, GET /health)', flush=True)
