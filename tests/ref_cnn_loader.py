@@ -62,6 +62,9 @@ def build_activation_layer(cfg):
 
 
 def build_conv_layer(cfg, *args, **kwargs):
+    t = (cfg or {}).get('type', 'Conv2d') if isinstance(cfg, dict) else 'Conv2d'
+    if t == 'Conv1d':
+        return nn.Conv1d(*args, **kwargs)
     return nn.Conv2d(*args, **kwargs)
 
 
@@ -71,10 +74,10 @@ def build_norm_layer(cfg, num_features, postfix=''):
     if t == 'LN':
         return f'ln{postfix}', nn.LayerNorm(
             num_features, eps=cfg.get('eps', 1e-5))
-    assert t in ('BN', 'BN2d', 'SyncBN'), cfg
-    layer = nn.BatchNorm2d(num_features,
-                           **{k: v for k, v in cfg.items()
-                              if k in ('eps', 'momentum')})
+    assert t in ('BN', 'BN1d', 'BN2d', 'SyncBN'), cfg
+    cls = nn.BatchNorm1d if t == 'BN1d' else nn.BatchNorm2d
+    layer = cls(num_features, **{k: v for k, v in cfg.items()
+                                 if k in ('eps', 'momentum')})
     return f'bn{postfix}', layer
 
 
@@ -103,8 +106,9 @@ class ConvModule(nn.Module):
         self.with_activation = act_cfg is not None
         if bias == 'auto':
             bias = not self.with_norm
-        self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
-                              stride, padding, dilation, groups, bias=bias)
+        self.conv = build_conv_layer(conv_cfg, in_channels, out_channels,
+                                     kernel_size, stride, padding, dilation,
+                                     groups, bias=bias)
         if self.with_norm:
             norm_ch = out_channels if order.index('norm') > \
                 order.index('conv') else in_channels
@@ -496,3 +500,24 @@ def ref_bottom_up_eval():
             'mmpose.core.evaluation.bottom_up_eval',
             'mmpose/core/evaluation/bottom_up_eval.py')
     return _cache['bu_eval']
+
+
+def ref_tcn():
+    """Reference TCN backbone (torch, Conv1d)."""
+    if 'tcn' not in _cache:
+        _install_stubs()
+        _load_backbone_utils()
+        core = types.ModuleType('mmpose.core')
+        sys.path.insert(0, '/root/repo/vitpose_tpu')
+
+        class _WNC:
+            def __init__(self, *a, **k):
+                pass
+
+            def register(self, m):
+                return None
+        core.WeightNormClipHook = _WNC
+        sys.modules['mmpose.core'] = core
+        _cache['tcn'] = _load_as('mmpose.models.backbones.tcn',
+                                 'mmpose/models/backbones/tcn.py')
+    return _cache['tcn']

@@ -273,3 +273,79 @@ def test_litehrnet_parity():
     model = LiteHRNet(num_modules=(1, 1, 1))
     params, stats = CK.convert_litehrnet(_sd(net))
     _assert_close(_run_flax(model, params, stats, x), ref)
+
+
+def test_tcn_parity():
+    torch.manual_seed(13)
+    net = L.ref_tcn().TCN(in_channels=34, stem_channels=64, num_blocks=2,
+                          kernel_sizes=(3, 3, 3), dropout=0.0)
+    net.eval()
+    x = np.random.RandomState(13).randn(2, 34, 27).astype(np.float32)
+    with torch.no_grad():
+        refs = [t.numpy() for t in net(torch.from_numpy(x))]
+    from vitpose_tpu.models.pose3d import TCN
+    model = TCN(stem_channels=64, kernel_sizes=(3, 3, 3), dropout=0.0)
+    params, stats = CK.convert_tcn(_sd(net))
+    out = model.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(x.transpose(0, 2, 1)), train=False)
+    # our TCN returns the final block output [N, T', C]
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1),
+                               refs[-1], rtol=1e-4, atol=1e-4)
+
+
+def test_mobilenet_v2_parity():
+    torch.manual_seed(14)
+    import ref_cnn_loader as RL
+    RL._install_stubs()
+    RL._load_backbone_utils()
+    mod = RL._load_as('mmpose.models.backbones.mobilenet_v2',
+                      'mmpose/models/backbones/mobilenet_v2.py')
+    net = mod.MobileNetV2(widen_factor=1.0)
+    net.eval()
+    x = np.random.RandomState(14).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.lightweight import MobileNetV2
+    params, stats = CK.convert_mobilenet_v2(_sd(net))
+    _assert_close(_run_flax(MobileNetV2(), params, stats, x), ref)
+
+
+def test_shufflenet_v2_parity():
+    torch.manual_seed(15)
+    import ref_cnn_loader as RL
+    RL._install_stubs()
+    RL._load_backbone_utils()
+    mod = RL._load_as('mmpose.models.backbones.shufflenet_v2',
+                      'mmpose/models/backbones/shufflenet_v2.py')
+    net = mod.ShuffleNetV2(widen_factor=1.0, out_indices=(3,))
+    net.eval()
+    x = np.random.RandomState(15).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.lightweight import ShuffleNetV2
+    params, stats = CK.convert_shufflenet_v2(_sd(net))
+    _assert_close(_run_flax(ShuffleNetV2(), params, stats, x), ref)
+
+
+def test_cpm_parity():
+    torch.manual_seed(16)
+    import ref_cnn_loader as RL
+    RL._install_stubs()
+    RL._load_backbone_utils()
+    mod = RL._load_as('mmpose.models.backbones.cpm',
+                      'mmpose/models/backbones/cpm.py')
+    net = mod.CPM(in_channels=3, out_channels=17, num_stages=3)
+    net.eval()
+    x = np.random.RandomState(16).randn(1, 3, 96, 96).astype(np.float32)
+    with torch.no_grad():
+        refs = [t.numpy() for t in net(torch.from_numpy(x))]
+    from vitpose_tpu.models.classic_cnns import CPM
+    model = CPM(out_channels=17, num_stages=3)
+    params, stats = CK.convert_cpm(_sd(net))
+    outs = model.apply({'params': params, 'batch_stats': stats},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert len(outs) == len(refs) == 3
+    for o, r in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(o), r, rtol=1e-4, atol=1e-4)

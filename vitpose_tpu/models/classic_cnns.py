@@ -144,38 +144,58 @@ class SEResNet(nn.Module):
 
 
 class CPM(nn.Module):
-    """Convolutional Pose Machines: stem + T stages each refining heatmaps
-    from (features, previous stage output). Returns a list of per-stage
-    heatmaps [N, K, H/8, W/8] (reference cpm.py `CPM`)."""
+    """Convolutional Pose Machines (reference cpm.py:53): a stem that emits
+    stage-1 heatmaps, a shared 'middle' feature trunk, and num_stages-1
+    refinement stages consuming [previous heatmaps, middle features].
+    Returns a list of per-stage heatmaps [N, K, H/8, W/8]."""
     out_channels: int = 17
     num_stages: int = 6
     feat_channels: int = 128
+    middle_channels: int = 32
     dtype: jnp.dtype = jnp.float32
+
+    def _cbr(self, x, train, ch, k, name, act=True):
+        pad = (k - 1) // 2
+        x = nn.Conv(ch, (k, k), padding=((pad, pad), (pad, pad)),
+                    use_bias=False, dtype=self.dtype,
+                    name=f'{name}_conv')(x)
+        x = _bn(train, self.dtype, f'{name}_bn')(x)
+        return nn.relu(x) if act else x
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # stem: 3 stride-2 downsamples to 1/8
-        for i, ch in enumerate((64, 128, 128)):
-            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, name=f'stem{i}')(x)
-            x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        feat = nn.relu(nn.Conv(self.feat_channels, (3, 3),
-                               padding=((1, 1), (1, 1)), dtype=self.dtype,
-                               name='feat')(x))
-        out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                      name='stage0_out')(feat)
+        k_out = self.out_channels
+
+        def pool(y):
+            return nn.max_pool(y, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+
+        # stem -> stage-1 heatmaps
+        y = pool(self._cbr(x, train, 128, 9, 'stem0'))
+        y = pool(self._cbr(y, train, 128, 9, 'stem1'))
+        y = pool(self._cbr(y, train, 128, 9, 'stem2'))
+        y = self._cbr(y, train, 32, 5, 'stem3')
+        y = self._cbr(y, train, 512, 9, 'stem4')
+        y = self._cbr(y, train, 512, 1, 'stem5')
+        out = nn.Conv(k_out, (1, 1), dtype=self.dtype,
+                      name='stem6_conv')(y)
+
+        # shared middle features
+        m = pool(self._cbr(x, train, 128, 9, 'mid0'))
+        m = pool(self._cbr(m, train, 128, 9, 'mid1'))
+        m = pool(self._cbr(m, train, 128, 9, 'mid2'))
+
         outs = [out]
-        for t in range(1, self.num_stages):
-            y = jnp.concatenate([feat, out], axis=-1)
+        for t in range(self.num_stages - 1):
+            mc = self._cbr(m, train, self.middle_channels, 5,
+                           f'midconv{t}')
+            y = jnp.concatenate([outs[-1], mc], axis=-1)
             for i in range(3):
-                y = nn.relu(nn.Conv(self.feat_channels, (7, 7),
-                                    padding=((3, 3), (3, 3)),
-                                    dtype=self.dtype,
-                                    name=f'stage{t}_conv{i}')(y))
-            y = nn.relu(nn.Conv(self.feat_channels, (1, 1),
-                                dtype=self.dtype, name=f'stage{t}_fc')(y))
-            out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                          name=f'stage{t}_out')(y)
+                y = self._cbr(y, train, self.feat_channels, 11,
+                              f'stage{t}_b{i}')
+            y = self._cbr(y, train, self.feat_channels, 1,
+                          f'stage{t}_fc')
+            out = nn.Conv(k_out, (1, 1), dtype=self.dtype,
+                          name=f'stage{t}_out_conv')(y)
             outs.append(out)
         return [o.transpose(0, 3, 1, 2) for o in outs]

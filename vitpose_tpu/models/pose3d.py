@@ -45,8 +45,10 @@ class TCN(nn.Module):
 
         dilation = k0
         for i, k in enumerate(self.kernel_sizes[1:]):
-            res = x[:, (k - 1) * dilation // 2 * 2:, :]  # crop for residual
-            res = res[:, :x.shape[1] - (k - 1) * dilation, :]
+            # symmetric residual crop of pad = (k-1)*dilation//2 from EACH
+            # side (reference tcn.py:117-123 BasicTemporalBlock.forward)
+            pad = (k - 1) * dilation // 2
+            res = x[:, pad:x.shape[1] - pad, :]
             y = nn.Conv(c, (k,), kernel_dilation=(dilation,),
                         padding='VALID', use_bias=False, dtype=self.dtype,
                         name=f'block{i}_conv1')(x)
@@ -54,6 +56,8 @@ class TCN(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              name=f'block{i}_bn1')(y)
             y = nn.relu(y)
+            if train and self.dropout > 0:
+                y = nn.Dropout(self.dropout, deterministic=False)(y)
             y = nn.Conv(c, (1,), use_bias=False, dtype=self.dtype,
                         name=f'block{i}_conv2')(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,

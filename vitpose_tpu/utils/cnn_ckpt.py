@@ -557,3 +557,107 @@ def convert_hourglass_ae(sd, downsample_times=4, prefix=''):
         cv.conv_module(f'remap_feature_convs.{i}', f'remap_feat{i}')
         i += 1
     return cv.out()
+
+
+def convert_tcn(sd, prefix=''):
+    """TCN (reference tcn.py): Conv1d [O, I, k] -> flax [k, I, O]."""
+    cv = Cv(sd, prefix)
+
+    def conv1d(tname, fpath):
+        if not cv.has(tname + '.weight'):
+            return
+        cv._put(cv.params, tuple(fpath.split('/')) + ('kernel',),
+                cv.get(tname + '.weight').transpose(2, 1, 0))
+        if cv.has(tname + '.bias'):
+            cv._put(cv.params, tuple(fpath.split('/')) + ('bias',),
+                    cv.get(tname + '.bias'))
+
+    conv1d('expand_conv.conv', 'stem_conv')
+    cv.bn('expand_conv.bn', 'stem_bn')
+    i = 0
+    while cv.has(f'tcn_blocks.{i}.conv1.0.conv.weight'):
+        conv1d(f'tcn_blocks.{i}.conv1.0.conv', f'block{i}_conv1')
+        cv.bn(f'tcn_blocks.{i}.conv1.0.bn', f'block{i}_bn1')
+        conv1d(f'tcn_blocks.{i}.conv2.0.conv', f'block{i}_conv2')
+        cv.bn(f'tcn_blocks.{i}.conv2.0.bn', f'block{i}_bn2')
+        i += 1
+    return cv.out()
+
+
+def convert_mobilenet_v2(sd, prefix=''):
+    """MobileNetV2 (reference mobilenet_v2.py): conv1 + layer1..7 inverted
+    residuals (+final conv2)."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1.conv', 'stem')
+    cv.bn('conv1.bn', 'stem_bn')
+    for li in range(1, 8):
+        bi = 0
+        while cv.has(f'layer{li}.{bi}.conv.0.conv.weight'):
+            t = f'layer{li}.{bi}.conv'
+            f = f'layer{li - 1}_{bi}'
+            # expand_ratio==1 blocks have 2 ConvModules (dw, project)
+            n = 3 if cv.has(f'{t}.2.conv.weight') else 2
+            names = (['expand', 'dw', 'project'] if n == 3
+                     else ['dw', 'project'])
+            for k, nm in enumerate(names):
+                cv.conv(f'{t}.{k}.conv', f'{f}/{nm}')
+                cv.bn(f'{t}.{k}.bn', f'{f}/{nm}_bn')
+            bi += 1
+    cv.conv('conv2.conv', 'head_conv')
+    cv.bn('conv2.bn', 'head_bn')
+    return cv.out()
+
+
+def convert_shufflenet_v2(sd, prefix=''):
+    """ShuffleNetV2 (reference shufflenet_v2.py)."""
+    cv = Cv(sd, prefix)
+    cv.conv('conv1.conv', 'stem')
+    cv.bn('conv1.bn', 'stem_bn')
+    for s in range(3):
+        b = 0
+        while cv.has(f'layers.{s}.{b}.branch2.0.conv.weight'):
+            t = f'layers.{s}.{b}'
+            f = f'stage{s}_{b}'
+            if cv.has(f'{t}.branch1.0.conv.weight'):   # stride-2 unit
+                cv.conv(f'{t}.branch1.0.conv', f'{f}/proj_dw')
+                cv.bn(f'{t}.branch1.0.bn', f'{f}/proj_dwbn')
+                cv.conv(f'{t}.branch1.1.conv', f'{f}/proj_pw')
+                cv.bn(f'{t}.branch1.1.bn', f'{f}/proj_bn')
+            cv.conv(f'{t}.branch2.0.conv', f'{f}/main_pw1')
+            cv.bn(f'{t}.branch2.0.bn', f'{f}/main_bn1')
+            cv.conv(f'{t}.branch2.1.conv', f'{f}/main_dw')
+            cv.bn(f'{t}.branch2.1.bn', f'{f}/main_dwbn')
+            cv.conv(f'{t}.branch2.2.conv', f'{f}/main_pw2')
+            cv.bn(f'{t}.branch2.2.bn', f'{f}/main_bn2')
+            b += 1
+    # final 1x1 ConvModule lives in layers.3 (a bare ConvModule)
+    cv.conv('layers.3.conv', 'head_conv')
+    cv.bn('layers.3.bn', 'head_bn')
+    return cv.out()
+
+
+def convert_cpm(sd, prefix=''):
+    """CPM (reference cpm.py:53)."""
+    cv = Cv(sd, prefix)
+    # stem: Sequential indices with maxpools at 1, 3, 5
+    stem_map = [(0, 'stem0'), (2, 'stem1'), (4, 'stem2'), (6, 'stem3'),
+                (7, 'stem4'), (8, 'stem5')]
+    for ti, f in stem_map:
+        cv.conv(f'stem.{ti}.conv', f'{f}_conv')
+        cv.bn(f'stem.{ti}.bn', f'{f}_bn')
+    cv.conv('stem.9.conv', 'stem6_conv')            # final, bias, no bn
+    for ti, f in [(0, 'mid0'), (2, 'mid1'), (4, 'mid2')]:
+        cv.conv(f'middle.{ti}.conv', f'{f}_conv')
+        cv.bn(f'middle.{ti}.bn', f'{f}_bn')
+    t = 0
+    while cv.has(f'cpm_stages.{t}.model.0.conv.weight'):
+        cv.conv(f'middle_conv.{t}.0.conv', f'midconv{t}_conv')
+        cv.bn(f'middle_conv.{t}.0.bn', f'midconv{t}_bn')
+        for i in range(3):
+            cv.conv(f'cpm_stages.{t}.model.{i}.conv', f'stage{t}_b{i}_conv')
+            cv.bn(f'cpm_stages.{t}.model.{i}.bn', f'stage{t}_b{i}_bn')
+        cv.conv(f'out_convs.{t}.0.conv', f'stage{t}_fc_conv')
+        cv.bn(f'out_convs.{t}.0.bn', f'stage{t}_fc_bn')
+        cv.conv(f'out_convs.{t}.1.conv', f'stage{t}_out_conv')
+        t += 1
+    return cv.out()
