@@ -1,14 +1,13 @@
 #!/usr/bin/env python
-"""Pose-tracking demo (counterpart of reference
-demo/top_down_pose_tracking_demo_with_mmdet.py, with a detection json or
-full-frame boxes instead of mmdet): per-frame pose + IoU/OKS track ids.
+"""Bottom-up pose-tracking video demo (counterpart of reference
+demo/bottom_up_pose_tracking_demo.py): whole-frame AE pose per frame +
+IoU/OKS greedy track association across frames.
 
 Usage:
-  python demo/top_down_pose_tracking_demo.py VIDEO [--det-json dets.json]
+  python demo/bottom_up_pose_tracking_demo.py VIDEO
       [--use-oks-tracking] [--out-video-root vis/]
 """
 import argparse
-import json
 import os
 import sys
 
@@ -22,10 +21,8 @@ if os.environ.get('JAX_PLATFORMS'):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('video')
-    ap.add_argument('--det-json', default=None,
-                    help='json: {frame_idx: [xywh boxes]}')
     ap.add_argument('--checkpoint', default=None)
-    ap.add_argument('--variant', default='s')
+    ap.add_argument('--base-size', type=int, default=256)
     ap.add_argument('--out-video-root', default='vis_results')
     ap.add_argument('--kpt-thr', type=float, default=0.3)
     ap.add_argument('--tracking-thr', type=float, default=0.3)
@@ -34,13 +31,12 @@ def main():
     args = ap.parse_args()
 
     import cv2
-    from vitpose_tpu.api import (init_pose_model,
-                                 inference_top_down_pose_model,
-                                 vis_pose_result)
+    from vitpose_tpu.api.inference import (inference_bottom_up_pose_model,
+                                           vis_pose_result)
     from vitpose_tpu.api.tracking import get_track_id
+    from bottom_up_video_demo import build_estimator
 
-    model = init_pose_model(args.variant, checkpoint=args.checkpoint)
-    dets = json.load(open(args.det_json)) if args.det_json else None
+    est, variables = build_estimator(args.base_size, args.checkpoint)
     cap = cv2.VideoCapture(args.video)
     assert cap.isOpened(), args.video
     fps = cap.get(cv2.CAP_PROP_FPS) or 25
@@ -48,7 +44,7 @@ def main():
     h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     os.makedirs(args.out_video_root, exist_ok=True)
     out_path = os.path.join(args.out_video_root,
-                            'track_' + os.path.basename(args.video))
+                            'bu_track_' + os.path.basename(args.video))
     writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*'mp4v'),
                              fps, (w, h))
     results_last, next_id, n = [], 0, 0
@@ -56,16 +52,16 @@ def main():
         ok, frame = cap.read()
         if not ok or (args.max_frames and n >= args.max_frames):
             break
-        boxes = (dets.get(str(n), []) if dets else [[0, 0, w, h]])
-        person = [{'bbox': b} for b in boxes]
-        pose_results, _ = inference_top_down_pose_model(
-            model, frame[..., ::-1], person)
-        pose_results, next_id = get_track_id(
-            pose_results, results_last, next_id,
-            use_oks=args.use_oks_tracking, tracking_thr=args.tracking_thr)
-        results_last = pose_results
-        vis = vis_pose_result(model, frame[..., ::-1], pose_results,
-                              kpt_score_thr=args.kpt_thr)
+        results, _ = inference_bottom_up_pose_model(
+            est, variables, frame[..., ::-1], base_size=args.base_size)
+        results, next_id = get_track_id(
+            results, results_last, next_id,
+            use_oks=args.use_oks_tracking,
+            tracking_thr=args.tracking_thr)
+        results_last = results
+        vis = vis_pose_result(None, frame[..., ::-1], results,
+                              kpt_score_thr=args.kpt_thr,
+                              dataset_info=est.dataset_info)
         writer.write(vis)  # vis_pose_result returns BGR
         n += 1
     writer.release()

@@ -54,7 +54,7 @@ def main():
             model, frame[..., ::-1], person)
         vis = vis_pose_result(model, frame[..., ::-1], pose_results,
                               kpt_score_thr=args.kpt_thr)
-        writer.write(vis[..., ::-1])
+        writer.write(vis)  # vis_pose_result returns BGR
         n += 1
     writer.release()
     cap.release()

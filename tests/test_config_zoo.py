@@ -29,7 +29,9 @@ def test_config_builds(path):
 CNN_CONFIGS = [c for c in CONFIGS
                if any(k in os.path.basename(c) for k in
                       ('hrnet', 'litehrnet', 'hrformer', 'res50',
-                       'resnext', 'seresnext', 'scnet', 'vipnas'))]
+                       'resnext', 'seresnext', 'scnet', 'vipnas',
+                       'mobilenetv2', 'shufflenetv2', 'resnest', 'vgg',
+                       'alexnet', 'cpm', 'hourglass', 'mspn', 'rsn'))]
 
 
 @pytest.mark.parametrize('path', CNN_CONFIGS,
@@ -52,9 +54,18 @@ def test_cnn_config_forwards(path):
             bo['stage_modules'] = (1, 1, 1)
         if mcfg.get('backbone_type') == 'litehrnet':
             bo['num_modules'] = (1, 1, 1)
+        if mcfg.get('backbone_type') == 'hourglass':
+            # 64px smoke input only fits 2 hourglass downsamples
+            bo['downsample_times'] = 2
+            # first stage must stay 256ch to match the hard-coded stem
+            bo['stage_channels'] = (256, 64, 96)
+            bo['stage_blocks'] = (1, 1, 1)
+        if mcfg.get('backbone_type') in ('mspn', 'rsn'):
+            bo['unit_channels'] = 32
         mcfg['backbone_overrides'] = bo
     model = build_model_from_cfg(mcfg)
     x = jnp.zeros((1, 64, 64, 3))
     v = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(v, x, train=False)
-    assert out.ndim == 4 and out.shape[1] == 17
+    assert out.ndim == 4
+    assert out.shape[1] == cfg['model']['out_channels']

@@ -80,3 +80,40 @@ def test_webcam_effect_nodes():
         out = node.process(dict(frame=frame.copy(),
                                 pose_results=[dict(keypoints=kp)]))
         assert (out['vis_frame'] != frame).any(), kind
+
+
+def test_multistage_estimator_train_step():
+    """GenericMultiStageTopDown trains through make_train_step: list
+    outputs -> per-stage loss sum (lower-res units vs resized target)."""
+    import optax
+    from vitpose_tpu.models.topdown import (GenericMultiStageTopDown,
+                                            make_config)
+    from vitpose_tpu.models.multistage_nets import MSPN
+    from vitpose_tpu.train.step import make_train_step
+    from vitpose_tpu.train.state import create_train_state
+
+    cfg = make_config('s', img_size=(64, 48), head='msmu', out_channels=4,
+                      num_stages=1, num_units=4, flip_test=False)
+    model = GenericMultiStageTopDown(
+        backbone=MSPN(num_stages=1, num_units=4, unit_channels=16,
+                      res_top_channels=16), cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (2, 64, 48, 3))
+    variables = model.init(rng, imgs, train=True)
+    outs = model.apply(variables, imgs, train=True,
+                       rngs={'droppath': rng},
+                       mutable=['batch_stats'])[0]
+    assert isinstance(outs, list) and len(outs) == 4
+    assert outs[-1].shape == (2, 4, 16, 12)
+
+    state = create_train_state(model, rng, imgs, optax.adam(1e-3))
+    step = jax.jit(make_train_step(model))
+    batch = {'imgs': imgs,
+             'target': jnp.zeros((2, 4, 16, 12)),
+             'target_weight': jnp.ones((2, 4))}
+    l0 = None
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        if l0 is None:
+            l0 = float(metrics['heatmap_loss'])
+    assert float(metrics['heatmap_loss']) < l0

@@ -48,6 +48,10 @@ class TopDownConfig:
     # ViTPose+ multi-head (associate heads for extra datasets)
     num_extra_heads: int = 0
     extra_head_channels: tuple = ()
+    # multi-stage backbones (CPM/Hourglass/MSPN/RSN): stage/unit counts for
+    # the multi-stage heads
+    num_stages: int = 1
+    num_units: int = 4
 
 
 def make_config(variant='b', img_size=(256, 192), head='heatmap',
@@ -143,6 +147,54 @@ class GenericTopDown(nn.Module):
         out = self.head(feat, train=train)
         out = out.transpose(0, 3, 1, 2).astype(jnp.float32)
         return [out] if all_heads else out
+
+
+class GenericMultiStageTopDown(nn.Module):
+    """TopDown estimator over a multi-stage backbone (CPM, stacked
+    Hourglass, MSPN/RSN) with per-stage supervision.
+
+    Counterpart of the reference pairings TopDown + TopdownHeatmapMultiStage
+    / MSMU heads (topdown_heatmap_multi_stage_head.py:17,
+    configs/.../cpm_coco_368x368.py, hourglass52_coco_256x256.py,
+    mspn50_coco_256x192.py). In train mode it returns the full LIST of
+    stage (or stage-unit) heatmaps so every stage is supervised (the
+    reference sums criterion over stages, multi_stage_head.py get_loss);
+    in eval mode only the final stage's prediction is returned, so the
+    shared `infer` flip-test helper applies unchanged.
+    """
+    backbone: nn.Module
+    cfg: 'TopDownConfig'
+
+    def setup(self):
+        from .heads_extra import MultiStageHead, MSMUHead
+        c = self.cfg
+        dtype = jnp.dtype(c.backbone.dtype)
+        if c.head_type == 'msmu':
+            self.head = MSMUHead(c.out_channels, num_stages=c.num_stages,
+                                 num_units=c.num_units, dtype=dtype,
+                                 name='head')
+        elif c.head_type == 'identity':
+            # backbone already emits per-stage prediction maps (CPM)
+            self.head = None
+        else:
+            self.head = MultiStageHead(
+                c.out_channels, num_stages=c.num_stages,
+                deconv_filters=c.deconv_filters,
+                deconv_kernels=c.deconv_kernels,
+                final_kernel=c.final_kernel, dtype=dtype, name='head')
+
+    def __call__(self, imgs, train: bool = False, expert_idx=None,
+                 head_idx=None, all_heads: bool = False):
+        feats = self.backbone(imgs, train=train)
+        if self.head is None:
+            # CPM emits per-stage NCHW heatmaps directly (classic_cnns.py)
+            outs = list(feats)
+        else:
+            outs = self.head(feats, train=train)
+        outs = [o.astype(jnp.float32) for o in outs]
+        if train or all_heads:
+            return outs
+        return outs[-1]
 
 
 # ---------------------------------------------------------------------------

@@ -94,10 +94,13 @@ def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
 
     from ..models.resnet import ResNet
     from ..models.resnext import ResNeXt, SEResNeXt
-    from ..models.more_cnns import (SCNet, ViPNASMobileNetV3, ViPNASResNet)
-    from ..models.multistage_nets import LiteHRNet
+    from ..models.more_cnns import (SCNet, ResNeSt, RegNet, MobileNetV3,
+                                    ShuffleNetV1, ViPNASMobileNetV3,
+                                    ViPNASResNet)
+    from ..models.multistage_nets import LiteHRNet, MSPN, RSN
     from ..models.hrformer import HRFormer
-    from ..models.classic_cnns import SEResNet
+    from ..models.classic_cnns import SEResNet, VGG, AlexNet, CPM
+    from ..models.lightweight import (MobileNetV2, ShuffleNetV2, Hourglass)
     registry = {
         'hrnet': _hrnet,
         'resnet': _named(ResNet),
@@ -105,10 +108,23 @@ def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
         'seresnet': _named(SEResNet),
         'seresnext': SEResNeXt,
         'scnet': SCNet,
+        'resnest': ResNeSt,
+        'regnet': _named(RegNet),
+        'vgg': _named(VGG),
+        'alexnet': _named(AlexNet),
+        'mobilenet_v2': _named(MobileNetV2),
+        'mobilenet_v3': _named(MobileNetV3),
+        'shufflenet_v1': _named(ShuffleNetV1),
+        'shufflenet_v2': _named(ShuffleNetV2),
         'litehrnet': _named(LiteHRNet),
         'hrformer': _named(HRFormer),
         'vipnas_mbv3': _named(ViPNASMobileNetV3),
         'vipnas_resnet': _named(ViPNASResNet),
+        # multi-stage families (paired with GenericMultiStageTopDown)
+        'cpm': _named(CPM),
+        'hourglass': _named(Hourglass),
+        'mspn': _named(MSPN),
+        'rsn': RSN,
     }
     if backbone_type not in registry:
         raise KeyError(f'unknown backbone_type {backbone_type}: '
@@ -117,6 +133,9 @@ def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
     cfg = make_config('s', img_size=img_size, **mcfg)
     # the ViT sub-config is a placeholder on the generic path (only its
     # dtype field is consulted, for the head)
+    if cfg.head_type in ('multistage', 'msmu', 'identity'):
+        from ..models.topdown import GenericMultiStageTopDown
+        return GenericMultiStageTopDown(backbone=backbone, cfg=cfg)
     return GenericTopDown(backbone=backbone, cfg=cfg)
 
 

@@ -37,6 +37,14 @@ def _apply_train(model, params, batch_stats, imgs, rng, expert_idx=None,
     return out, new_stats
 
 
+def _match_target(target, out):
+    """Resize NCHW target to `out`'s spatial shape if they differ."""
+    if target.shape[2:] == out.shape[2:]:
+        return target
+    return jax.image.resize(target, target.shape[:2] + out.shape[2:],
+                            method='bilinear')
+
+
 def make_train_step(model, target_type='GaussianHeatmap'):
     """Single-dataset training step: (state, batch, rng) -> (state, metrics).
 
@@ -50,6 +58,15 @@ def make_train_step(model, target_type='GaussianHeatmap'):
             out, new_stats = _apply_train(
                 model, params, state.batch_stats, batch['imgs'], rng,
                 expert_idx=batch.get('expert_idx'))
+            if isinstance(out, (list, tuple)):
+                # multi-stage supervision: sum of per-stage losses
+                # (reference multi_stage_head.py get_loss accumulates over
+                # stages); units at lower resolution (MSPN/RSN MSMU) are
+                # supervised against a bilinearly resized target.
+                loss = sum(
+                    loss_f(o, _match_target(batch['target'], o),
+                           batch['target_weight']) for o in out)
+                return loss, (new_stats, out[-1])
             loss = loss_f(out, batch['target'], batch['target_weight'])
             return loss, (new_stats, out)
 
