@@ -23,6 +23,10 @@ def main():
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--no-flip', action='store_true')
+    ap.add_argument('--fast', action='store_true',
+                    help='bf16 + Pallas attention + tanh GELU')
+    ap.add_argument('--int8', action='store_true',
+                    help='W8A8 MLP with calibrated static scales')
     args = ap.parse_args()
 
     import jax
@@ -35,10 +39,23 @@ def main():
 
     cfg = load_config(args.config)
     model = build_model_from_cfg(cfg['model'])
+    if args.fast or args.int8:
+        import dataclasses as dc
+        mc = dc.replace(model.cfg, backbone=dc.replace(
+            model.cfg.backbone, dtype='bfloat16', fused_attention=True,
+            gelu_approx=True))
+        model = type(model)(mc)
     ih, iw = model.cfg.backbone.img_size
     b = args.batch
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, ih, iw, 3)))
+    if args.int8:
+        from vitpose_tpu.utils.quantize import (calibrate_act_scales,
+                                                int8_serving_config)
+        cal = [jax.random.normal(jax.random.PRNGKey(i), (8, ih, iw, 3))
+               for i in range(2)]
+        scales = calibrate_act_scales(model, variables, cal)
+        model = type(model)(int8_serving_config(model.cfg, scales))
     fi = None if args.no_flip else DatasetInfo.load(
         cfg['data'].get('dataset', 'coco')).flip_index
 

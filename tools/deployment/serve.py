@@ -92,6 +92,10 @@ def main():
     ap.add_argument('--fast', action='store_true',
                     help='serving-time math: bf16 + blocked Pallas '
                          'attention + tanh GELU (see PERF.md)')
+    ap.add_argument('--int8', action='store_true',
+                    help='additionally run the MLP matmuls W8A8 with '
+                         'calibrated static scales (utils/quantize.py; '
+                         '~13%% faster on v5e, small accuracy cost)')
     args = ap.parse_args()
 
     import dataclasses as dc
@@ -111,6 +115,18 @@ def main():
                 model_cfg.backbone, dtype='bfloat16',
                 fused_attention=True, gelu_approx=True))
     model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
+    if args.int8:
+        import jax
+        import jax.numpy as jnp
+        from vitpose_tpu.models import TopDownModel
+        from vitpose_tpu.utils.quantize import (calibrate_act_scales,
+                                                int8_serving_config)
+        ih, iw = model_cfg.backbone.img_size
+        cal = [jax.random.normal(jax.random.PRNGKey(i), (8, ih, iw, 3),
+                                 jnp.float32) for i in range(2)]
+        scales = calibrate_act_scales(model.model, model.variables, cal)
+        model.model = TopDownModel(int8_serving_config(model_cfg, scales))
+        model._jitted.clear()          # force re-trace with the int8 path
     server = HTTPServer(('127.0.0.1', args.port), make_handler(model))
     print(f'serving on http://127.0.0.1:{args.port} '
           f'(POST /predict, GET /health)', flush=True)
