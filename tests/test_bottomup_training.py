@@ -49,3 +49,30 @@ def test_bottomup_training_converges():
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     # all three loss components present
     assert {'heatmap_loss', 'push_loss', 'pull_loss'} <= set(metrics)
+
+
+@pytest.mark.slow
+def test_train_model_dispatches_bottomup_config(tmp_path):
+    """family='bottomup' configs train through train_model (config ->
+    HigherHRNet-style estimator -> AE losses), smoke on the fixture."""
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+
+    cfg = load_config('vitpose_tpu/configs/coco/'
+                      'higher_hrnet32_coco_512x512.py')
+    cfg['model']['backbone_overrides'] = dict(width=8,
+                                              stage_modules=(1, 1, 1),
+                                              stage_blocks=1)
+    cfg['model']['head_overrides'] = dict(num_basic_blocks=1,
+                                          deconv_filters=(8,),
+                                          deconv_kernels=(4,),
+                                          cat_output=(True,),
+                                          with_ae_loss=(True, False))
+    cfg['data']['train'] = dict(ann_file=f"{REF}/test_coco.json",
+                                img_prefix=REF + "/")
+    cfg['data'].update(input_size=128, output_sizes=(32,), batch_size=2,
+                       max_people=10)
+    cfg['optimizer']['total_epochs'] = 1
+    variables = train_model(cfg, work_dir=str(tmp_path), max_steps=2)
+    assert variables is not None
+    assert (tmp_path / 'latest.npz').exists()

@@ -20,10 +20,17 @@ def test_config_builds(path):
     cfg = load_config(path)
     assert 'model' in cfg and 'data' in cfg and 'optimizer' in cfg
     model = build_model_from_cfg(cfg['model'])
-    # building the model object must succeed and expose a valid config
-    assert model.cfg.out_channels > 0
-    if 'num_extra_heads' in cfg['model']:
-        assert model.cfg.num_extra_heads == cfg['model']['num_extra_heads']
+    family = cfg['model'].get('family', 'topdown')
+    if family == 'topdown':
+        # building the model object must succeed and expose a valid config
+        assert model.cfg.out_channels > 0
+        if 'num_extra_heads' in cfg['model']:
+            assert model.cfg.num_extra_heads == \
+                cfg['model']['num_extra_heads']
+    else:
+        assert model is not None
+        if family == 'bottomup':
+            assert model.num_joints == cfg['model'].get('num_joints', 17)
 
 
 CNN_CONFIGS = [c for c in CONFIGS

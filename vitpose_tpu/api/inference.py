@@ -292,6 +292,92 @@ def inference_bottom_up_pose_model(estimator, variables, img,
     return pose_results, []
 
 
+def inference_bottom_up_multi_scale(estimator, variables, img,
+                                    dataset_info=None,
+                                    test_scale_factor=(1.0,),
+                                    base_size=512, use_udp=False,
+                                    pose_nms_thr=0.9, with_flip=True):
+    """Multi-scale (optionally UDP-aligned) bottom-up inference — the
+    reference's default test protocol (associative_embedding.py:28
+    `forward_test`): per scale, `resize_align_multi_scale(_udp)` the
+    image, run the AE model on the original and flipped views, project
+    both to the base image size (`aggregate_stage_flip`), average the
+    per-scale heatmaps (`aggregate_scale`), keep tags from scale 1 only,
+    then group and map to image coords with the matching UDP convention.
+    """
+    import cv2
+    import jax.numpy as jnp
+    from ..data.bottomup import resize_align_multi_scale
+    from ..models.bottomup import (aggregate_stage_flip, aggregate_scale,
+                                   flip_feature_maps)
+    from ..models.bottomup import get_group_preds
+    from ..ops.nms import oks_nms
+
+    if isinstance(img, str):
+        img = cv2.cvtColor(cv2.imread(img), cv2.COLOR_BGR2RGB)
+    img = np.asarray(img)
+    info = dataset_info or estimator.dataset_info
+    flip_index = (info.flip_index if info is not None
+                  else np.arange(estimator.num_joints))
+    k = estimator.num_joints
+    min_scale = min(test_scale_factor)
+
+    heatmaps_list, tags_list = [], []
+    center = scale = None
+    base_hw = None
+    for s in sorted(test_scale_factor, reverse=True):
+        resized, center, scale = resize_align_multi_scale(
+            img, (base_size, base_size), s, min_scale, use_udp=use_udp)
+        if base_hw is None:
+            base_hw = resized.shape[:2]
+        x = jnp.asarray(resized[None], jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        out = estimator.apply(variables, x)              # NHWC [1,h,w,2K]
+        out = out.transpose(0, 3, 1, 2)
+        hm, tag = out[:, :k], out[:, k:]
+        if with_flip:
+            out_f = estimator.apply(variables, x[:, :, ::-1, :])
+            out_f = out_f.transpose(0, 3, 1, 2)
+            hm_f = flip_feature_maps([out_f[:, :k]],
+                                     flip_index=flip_index)[0]
+            tag_f = flip_feature_maps([out_f[:, k:]],
+                                      flip_index=flip_index)[0]
+        else:
+            hm_f = tag_f = None
+        agg_hm = aggregate_stage_flip(
+            [hm], [hm_f] if hm_f is not None else None,
+            project2image=True, size_projected=(base_hw[1], base_hw[0]),
+            aggregate_flip='average')[0]
+        heatmaps_list.append(agg_hm)
+        if s == 1.0 or len(test_scale_factor) == 1:
+            # tags participate only at the base scale (reference
+            # associative_embedding.py:188-199)
+            for t in ([tag, tag_f] if tag_f is not None else [tag]):
+                tags_list.append(aggregate_stage_flip(
+                    [t], None, project2image=True,
+                    size_projected=(base_hw[1], base_hw[0]))[0])
+    heatmaps = aggregate_scale(heatmaps_list)            # [1, K, H, W]
+    tags = aggregate_scale(tags_list,
+                           aggregate_scale_mode='unsqueeze_concat')
+    results, scores = estimator.parser.parse(
+        np.asarray(heatmaps, np.float32), np.asarray(tags, np.float32))
+    hh, ww = np.asarray(heatmaps).shape[-2:]
+    preds = get_group_preds(results[0], center, scale, (ww, hh),
+                            use_udp=use_udp)
+    pose_results = [dict(keypoints=np.asarray(p)[:, :3], score=float(sc))
+                    for p, sc in zip(preds, scores)]
+    for p in pose_results:
+        kp = p['keypoints']
+        p['area'] = float((kp[:, 0].max() - kp[:, 0].min())
+                          * (kp[:, 1].max() - kp[:, 1].min()))
+    if pose_results:
+        keep = oks_nms(pose_results, pose_nms_thr,
+                       sigmas=info.sigmas if info is not None
+                       and len(info.sigmas) else None)
+        pose_results = [pose_results[i] for i in keep]
+    return pose_results, []
+
+
 def imshow_bboxes(img, bboxes, labels=None, colors=(0, 255, 0), thickness=1,
                   out_file=None):
     """Draw xyxy boxes (+optional labels) on an image (reference

@@ -1,0 +1,30 @@
+# PoseWarper video pose on PoseTrack18 (reference: configs/body/
+# 2d_kpt_sview_rgb_vid/posewarper/posetrack18/
+# hrnet_w48_posetrack18_384x288_posewarper_stage2.py): HRNet-W48
+# backbone, deformable temporal-alignment neck over 5-frame windows.
+import os as _os
+_ROOT = _os.environ.get('POSETRACK_ROOT', '/data/posetrack18')
+_base_ = ['../base/default_runtime.py']
+
+model = dict(
+    family='posewarper',
+    backbone_type='hrnet',
+    backbone_overrides=dict(width=48, stage_modules=(1, 4, 3)),
+    neck=dict(out_channels=48, dilations=(3, 6, 12, 18, 24)),
+    out_channels=17,
+)
+data = dict(
+    dataset='posetrack18', family='posetrack_video',
+    image_size=(288, 384), heatmap_size=(72, 96),
+    frame_indices=(-2, -1, 0, 1, 2), batch_size=16, num_workers=8,
+    train=dict(ann_file=f'{_ROOT}/annotations/posetrack18_train.json',
+               img_prefix=f'{_ROOT}/'),
+    val=dict(ann_file=f'{_ROOT}/annotations/posetrack18_val.json',
+             img_prefix=f'{_ROOT}/',
+             bbox_file=f'{_ROOT}/detections/'
+                       'posetrack18_val_human_detections.json'),
+)
+target = dict(encoding='MSRA', sigma=3.0)
+optimizer = dict(base_lr=1e-4, warmup_iters=500, decay_epochs=(10, 15),
+                 total_epochs=20)
+runtime = dict(work_dir='work_dirs/posewarper_hrnet_w48_posetrack18')

@@ -54,15 +54,27 @@ def ae_forward_with_flip(apply_fn, variables, imgs, num_joints, flip_index,
 def get_group_preds(grouped_joints, center, scale, heatmap_size,
                     use_udp=False):
     """Grouped poses (heatmap coords) -> image coords (reference
-    bottom_up_eval.py:293). grouped_joints: [P, K, 3+L] numpy."""
+    bottom_up_eval.py:293). grouped_joints: [P, K, 3+L] numpy.
+
+    In UDP mode `scale` comes from resize_align_multi_scale(use_udp=True)
+    and is the ORIGINAL image span in pixels (size-1 units), not the
+    pixel_std=200 crop convention: the reference warps heatmap coords
+    with get_warp_matrix(0, hm-1, scale, hm-1), which for theta=0 and
+    size_input == size_target reduces to a pure rescale.
+    """
     if len(grouped_joints) == 0:
         return []
     joints = np.asarray(grouped_joints, np.float32)
     coords = joints[..., :2]
-    out = np.asarray(transform_preds(
-        coords.reshape(-1, 2),
-        np.asarray(center, np.float32), np.asarray(scale, np.float32),
-        heatmap_size, use_udp=use_udp))
+    if use_udp:
+        factor = (np.asarray(scale, np.float32)
+                  / (np.asarray(heatmap_size, np.float32) - 1.0))
+        out = coords.reshape(-1, 2) * factor
+    else:
+        out = np.asarray(transform_preds(
+            coords.reshape(-1, 2),
+            np.asarray(center, np.float32), np.asarray(scale, np.float32),
+            heatmap_size))
     joints = joints.copy()
     joints[..., :2] = out.reshape(coords.shape)
     return [joints[i] for i in range(joints.shape[0])]
@@ -72,13 +84,21 @@ class BottomUpEstimator:
     """Backbone + AE head + parser, bundled for inference."""
 
     def __init__(self, backbone_cfg, num_joints=17, tag_per_joint=True,
-                 parser_cfg=None, dataset_info=None):
+                 parser_cfg=None, dataset_info=None, head=None):
+        import flax.linen as nn
         from .vit import ViTConfig
-        self.backbone = ViT(backbone_cfg if isinstance(backbone_cfg,
-                                                       ViTConfig)
-                            else ViTConfig(**backbone_cfg))
-        self.head = AEHead(num_joints, tag_per_joint=tag_per_joint,
-                           deconv_filters=(256,), deconv_kernels=(4,))
+        if isinstance(backbone_cfg, nn.Module):
+            # any NHWC feature backbone (HRNet etc. — fully-convolutional
+            # ones support the multi-scale test protocol, which feeds
+            # variable input sizes)
+            self.backbone = backbone_cfg
+        else:
+            self.backbone = ViT(backbone_cfg
+                                if isinstance(backbone_cfg, ViTConfig)
+                                else ViTConfig(**backbone_cfg))
+        self.head = head or AEHead(num_joints, tag_per_joint=tag_per_joint,
+                                   deconv_filters=(256,),
+                                   deconv_kernels=(4,))
         self.num_joints = num_joints
         self.parser = HeatmapParser(num_joints=num_joints,
                                     **(parser_cfg or {}))
@@ -88,12 +108,20 @@ class BottomUpEstimator:
     def init(self, rng, sample):
         bb_vars = self.backbone.init(rng, sample)
         feat = self.backbone.apply(bb_vars, sample)
+        if isinstance(feat, (list, tuple)):
+            feat = feat[0]
         head_vars = self.head.init(rng, feat)
         return {'backbone': bb_vars, 'head': head_vars}
 
     def apply(self, variables, imgs, train=False):
-        feat = self.backbone.apply(variables['backbone'], imgs,
-                                   deterministic=not train)
+        if isinstance(self.backbone, ViT):
+            feat = self.backbone.apply(variables['backbone'], imgs,
+                                       deterministic=not train)
+        else:
+            feat = self.backbone.apply(variables['backbone'], imgs,
+                                       train=train)
+            if isinstance(feat, (list, tuple)):
+                feat = feat[0]
         return self.head.apply(variables['head'], feat, train=train)
 
     def infer(self, variables, imgs, flip_index, with_flip=True):

@@ -154,3 +154,56 @@ def make_adversarial_train_step(mesh: ParametricMesh,
         return gen_vars, disc_vars, gen_opt, disc_opt, metrics
 
     return step
+
+
+def linear_smpl_fn(seed=0, num_verts=689):
+    """Deterministic linear SMPL surrogate: vertices/joints as a fixed
+    random linear map of (pose, shape). The real SMPL basis is a licensed
+    asset the reference also ships separately (mmpose/models/utils/smpl.py
+    loads models/smpl/*.pkl); drop-in replace via `build_parametric_mesh`
+    smpl='npz' once the basis is on disk."""
+    rng = np.random.RandomState(seed)
+    w_j = jnp.asarray(rng.randn(POSE_DIM + SHAPE_DIM, 24 * 3)
+                      .astype(np.float32)) * 0.01
+    w_v = jnp.asarray(rng.randn(POSE_DIM + SHAPE_DIM, num_verts * 3)
+                      .astype(np.float32)) * 0.01
+
+    def smpl_fn(pose, shape):
+        n = pose.shape[0]
+        params = jnp.concatenate([pose, shape], axis=-1)
+        joints = (params @ w_j).reshape(n, 24, 3)
+        verts = (params @ w_v).reshape(n, num_verts, 3)
+        return verts, joints
+    return smpl_fn
+
+
+def npz_smpl_fn(path):
+    """Linear-blend SMPL from an npz with keys J_w [82, 72] and V_w
+    [82, V*3] (pre-baked linearization of the SMPL basis)."""
+    data = np.load(path)
+    w_j = jnp.asarray(data['J_w'], jnp.float32)
+    w_v = jnp.asarray(data['V_w'], jnp.float32)
+
+    def smpl_fn(pose, shape):
+        n = pose.shape[0]
+        params = jnp.concatenate([pose, shape], axis=-1)
+        joints = (params @ w_j).reshape(n, 24, 3)
+        verts = (params @ w_v).reshape(n, -1, 3)
+        return verts, joints
+    return smpl_fn
+
+
+def build_parametric_mesh(mcfg: dict):
+    """Config dict -> ParametricMesh (reference ParametricMesh detector,
+    mesh.py:24, built by build_posenet)."""
+    from ..train.loop import build_backbone
+    mcfg = dict(mcfg)
+    bb = build_backbone(mcfg.pop('backbone_type', 'resnet'),
+                        **(mcfg.pop('backbone_overrides', None) or {}))
+    smpl = mcfg.pop('smpl', 'linear')
+    if isinstance(smpl, str) and smpl.endswith('.npz'):
+        smpl_fn = npz_smpl_fn(smpl)
+    else:
+        smpl_fn = linear_smpl_fn()
+    return ParametricMesh(bb, smpl_fn,
+                          num_iters=mcfg.pop('num_iters', 3))

@@ -37,3 +37,22 @@ class PoseWarper(nn.Module):
         agg = self.neck(key, feats, train=train)
         out = self.head(agg, train=train)
         return out.transpose(0, 3, 1, 2)
+
+
+def build_posewarper(mcfg: dict):
+    """Config dict -> PoseWarper (reference posewarper.py detector):
+    backbone + PoseWarperNeck + heatmap head."""
+    from ..train.loop import build_backbone
+    from ..models.necks import PoseWarperNeck
+    from ..models.heads import HeatmapHead
+    mcfg = dict(mcfg)
+    bb = build_backbone(mcfg.pop('backbone_type', 'hrnet'),
+                        **(mcfg.pop('backbone_overrides', None) or {}))
+    neck_kw = mcfg.pop('neck', None) or {}
+    head_kw = dict(deconv_filters=(), deconv_kernels=())
+    head_kw.update(mcfg.pop('head_overrides', None) or {})
+    out_channels = mcfg.pop('out_channels', 17)
+    return PoseWarper(
+        backbone=bb,
+        neck=PoseWarperNeck(**neck_kw),
+        head=HeatmapHead(out_channels, **head_kw))

@@ -100,17 +100,31 @@ def make_bottomup_train_step(estimator, push_loss_factor=0.001,
         x = batch['imgs'].astype(jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         out = estimator.apply(variables, x, train=False)
-        hm = out[..., :k].transpose(0, 3, 1, 2)
-        tags = out[..., k:].transpose(0, 3, 1, 2)
-        # network output may be lower-res than the targets; resize targets
+        # multi-resolution heads (AEHigherResolutionHead) return a list:
+        # every output gets a heatmap loss against the resized target
+        # (reference MultiLossFactory with_heatmaps_loss=[True, True]);
+        # the AE tag loss uses the first output carrying tag channels.
+        outs = list(out) if isinstance(out, (list, tuple)) else [out]
+        hm_loss = 0.0
+        hm = tags = None
+        for o in outs:
+            o_hm = o[..., :k].transpose(0, 3, 1, 2)
+            oh, ow = o_hm.shape[2], o_hm.shape[3]
+            t = jax.image.resize(batch['heatmaps'],
+                                 batch['heatmaps'].shape[:2] + (oh, ow),
+                                 method='bilinear')
+            m = jax.image.resize(batch['masks'],
+                                 batch['masks'].shape[:1] + (oh, ow),
+                                 method='nearest')
+            hm_loss = hm_loss + (ae_heatmap_loss(o_hm, t, m)
+                                 * heatmap_loss_factor)
+            if hm is None and o.shape[-1] > k:
+                hm = o_hm
+                tags = o[..., k:].transpose(0, 3, 1, 2)
+        if hm is None:           # no tag channels anywhere (no-AE config)
+            hm = outs[0][..., :k].transpose(0, 3, 1, 2)
+            tags = jnp.zeros_like(hm)
         th, tw = hm.shape[2], hm.shape[3]
-        target = jax.image.resize(batch['heatmaps'],
-                                  batch['heatmaps'].shape[:2] + (th, tw),
-                                  method='bilinear')
-        mask = jax.image.resize(batch['masks'],
-                                batch['masks'].shape[:1] + (th, tw),
-                                method='nearest')
-        hm_loss = ae_heatmap_loss(hm, target, mask) * heatmap_loss_factor
 
         # rescale ae joint flat indices to the output resolution
         s_t = batch['heatmaps'].shape[2]
@@ -141,3 +155,91 @@ def make_bottomup_train_step(estimator, push_loss_factor=0.001,
         return variables, opt_state, metrics
 
     return loss_fn, train_step
+
+
+def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
+                         max_steps=None):
+    """Epoch loop for bottom-up AE configs (family='bottomup'), the
+    counterpart of the reference AssociativeEmbedding training (runner +
+    MultiLossFactory). Logs json-lines like the top-down loop and saves
+    npz checkpoints per epoch."""
+    import functools
+    import json
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .loop import build_model_from_cfg
+    from ..utils.checkpoint import save_params_npz, load_params_npz
+
+    work_dir = work_dir or cfg.get('runtime', {}).get(
+        'work_dir', 'work_dirs/bottomup')
+    os.makedirs(work_dir, exist_ok=True)
+    dcfg = cfg['data']
+    est = build_model_from_cfg(cfg['model'])
+
+    ds = BottomUpCocoDataset(
+        dcfg['train']['ann_file'], dcfg['train']['img_prefix'],
+        dataset_info=dcfg.get('dataset', 'coco'),
+        input_size=dcfg.get('input_size', 512),
+        output_sizes=tuple(dcfg.get('output_sizes', (128,))),
+        max_people=dcfg.get('max_people', 30))
+    loader = BottomUpLoader(ds, dcfg.get('batch_size', 24),
+                            output_size=dcfg.get('output_sizes',
+                                                 (128,))[0],
+                            sigma=cfg.get('target', {}).get('sigma', 2.0),
+                            seed=cfg.get('runtime', {}).get('seed', 0))
+
+    ocfg = cfg.get('optimizer', {})
+    total_epochs = ocfg.get('total_epochs', 300)
+    steps_per_epoch = max(1, len(loader))
+    sched = optax.piecewise_constant_schedule(
+        ocfg.get('base_lr', 1.5e-3),
+        {e * steps_per_epoch: 0.1 for e in ocfg.get('decay_epochs',
+                                                    (200, 260))})
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+
+    rng = jax.random.PRNGKey(cfg.get('runtime', {}).get('seed', 0))
+    size = dcfg.get('input_size', 512)
+    variables = est.init(rng, jnp.zeros((1, size, size, 3)))
+    start_epoch = 0
+    latest = os.path.join(work_dir, 'latest.npz')
+    if resume and os.path.exists(latest):
+        variables = load_params_npz(latest)
+        meta = json.load(open(os.path.join(work_dir, 'latest.json')))
+        start_epoch = meta['epoch'] + 1
+    opt_state = tx.init(variables)
+
+    _, train_step = make_bottomup_train_step(est)
+    step_j = jax.jit(functools.partial(train_step, tx=tx))
+
+    done = 0
+    for epoch in range(start_epoch, total_epochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        for it, batch in enumerate(loader):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            variables, opt_state, metrics = step_j(variables, opt_state,
+                                                   batch)
+            done += 1
+            if it % cfg.get('runtime', {}).get('log_interval', 50) == 0:
+                rec = {'mode': 'train', 'epoch': epoch, 'iter': it,
+                       'step': done,
+                       **{k: float(v) for k, v in metrics.items()}}
+                print(json.dumps(rec), flush=True)
+                with open(os.path.join(work_dir, 'train.log.json'),
+                          'a') as f:
+                    f.write(json.dumps(rec) + '\n')
+            if max_steps and done >= max_steps:
+                break
+        save_params_npz(latest, variables)
+        json.dump({'epoch': epoch},
+                  open(os.path.join(work_dir, 'latest.json'), 'w'))
+        print(json.dumps({'mode': 'epoch_done', 'epoch': epoch,
+                          'secs': round(time.time() - t0, 1)}), flush=True)
+        if max_steps and done >= max_steps:
+            break
+    return variables

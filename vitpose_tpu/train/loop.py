@@ -61,6 +61,9 @@ def _log_tensorboard(work_dir, record):
 
 def build_model_from_cfg(mcfg: dict):
     mcfg = dict(mcfg)
+    family = mcfg.pop('family', 'topdown')
+    if family != 'topdown':
+        return build_family_model(family, mcfg)
     backbone_type = mcfg.pop('backbone_type', 'vit')
     variant = mcfg.pop('variant', 'b')
     wh = mcfg.pop('img_size', (256, 192))
@@ -76,13 +79,10 @@ def build_model_from_cfg(mcfg: dict):
                                  mcfg)
 
 
-def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
-                          mcfg: dict):
-    """CNN-backbone top-down estimators (HRNet/LiteHRNet/HRFormer/
-    ResNe(X)t/SCNet/ViPNAS...)."""
-    import dataclasses as _dc
-    from ..models.topdown import GenericTopDown, TopDownConfig
-
+def build_backbone(backbone_type: str, **bb_kwargs):
+    """Name -> NHWC feature backbone module (the registry shared by
+    every model family; counterpart of the reference BACKBONES registry,
+    models/builder.py:6)."""
     def _hrnet(**kw):
         from ..models.hrnet import HRNet, HRNetConfig
         return HRNet(HRNetConfig(**kw))
@@ -100,7 +100,8 @@ def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
     from ..models.multistage_nets import LiteHRNet, MSPN, RSN
     from ..models.hrformer import HRFormer
     from ..models.classic_cnns import SEResNet, VGG, AlexNet, CPM
-    from ..models.lightweight import (MobileNetV2, ShuffleNetV2, Hourglass)
+    from ..models.lightweight import (MobileNetV2, ShuffleNetV2, Hourglass,
+                                      HourglassAE)
     registry = {
         'hrnet': _hrnet,
         'resnet': _named(ResNet),
@@ -123,13 +124,59 @@ def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
         # multi-stage families (paired with GenericMultiStageTopDown)
         'cpm': _named(CPM),
         'hourglass': _named(Hourglass),
+        'hourglass_ae': _named(HourglassAE),
         'mspn': _named(MSPN),
         'rsn': RSN,
     }
     if backbone_type not in registry:
         raise KeyError(f'unknown backbone_type {backbone_type}: '
                        f'{sorted(registry)}')
-    backbone = registry[backbone_type](**bb_kwargs)
+    return registry[backbone_type](**bb_kwargs)
+
+
+def build_family_model(family: str, mcfg: dict):
+    """Non-top-down model families from config (reference equivalents:
+    AssociativeEmbedding, PoseLifter, ParametricMesh detectors built by
+    build_posenet, models/builder.py:36)."""
+    mcfg = dict(mcfg)
+    if family == 'bottomup':
+        from ..models.bottomup import BottomUpEstimator
+        from ..models.heads_extra import (AEHead, AEHigherResolutionHead)
+        from ..data.dataset_info import DatasetInfo
+        bb = build_backbone(mcfg.pop('backbone_type', 'hrnet'),
+                            **(mcfg.pop('backbone_overrides', None) or {}))
+        num_joints = mcfg.pop('num_joints', 17)
+        head_kind = mcfg.pop('head', 'ae')
+        head_kw = mcfg.pop('head_overrides', None) or {}
+        if head_kind == 'ae_higher':
+            head = AEHigherResolutionHead(num_joints, **head_kw)
+        else:
+            head = AEHead(num_joints, **head_kw)
+        info = DatasetInfo.load(mcfg.pop('dataset_info', 'coco'))
+        return BottomUpEstimator(bb, num_joints=num_joints, head=head,
+                                 dataset_info=info,
+                                 parser_cfg=mcfg.pop('parser', None))
+    if family == 'pose_lifter':
+        from ..models.pose3d import PoseLifter
+        return PoseLifter(**mcfg)
+    if family == 'mesh':
+        from ..models.mesh import build_parametric_mesh
+        return build_parametric_mesh(mcfg)
+    if family == 'posewarper':
+        from ..models.posewarper import build_posewarper
+        return build_posewarper(mcfg)
+    raise KeyError(f'unknown model family {family!r}; expected topdown, '
+                   'bottomup, pose_lifter, mesh, or posewarper')
+
+
+def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
+                          mcfg: dict):
+    """CNN-backbone top-down estimators (HRNet/LiteHRNet/HRFormer/
+    ResNe(X)t/SCNet/ViPNAS...)."""
+    import dataclasses as _dc
+    from ..models.topdown import GenericTopDown, TopDownConfig
+
+    backbone = build_backbone(backbone_type, **bb_kwargs)
     cfg = make_config('s', img_size=img_size, **mcfg)
     # the ViT sub-config is a placeholder on the generic path (only its
     # dtype field is consulted, for the head)
@@ -147,6 +194,18 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     import jax
     import jax.numpy as jnp
 
+    family = cfg['model'].get('family', 'topdown')
+    if family == 'bottomup':
+        from .bottomup_loop import train_bottomup_model
+        return train_bottomup_model(cfg, work_dir=work_dir, resume=resume,
+                                    max_steps=max_steps)
+    if family != 'topdown':
+        raise NotImplementedError(
+            f'train_model handles topdown/bottomup configs; family '
+            f'{family!r} trains through its dedicated loop (mesh: '
+            'models/mesh.py make_adversarial_train_step + data/mesh.py '
+            'loaders; pose_lifter: models/pose3d.py; see tests/'
+            'test_mesh.py and tests/test_body3d.py for runnable recipes)')
     if isinstance(cfg['data'].get('train'), (list, tuple)):
         return train_model_moe(cfg, work_dir=work_dir, resume=resume,
                                max_steps=max_steps)
