@@ -75,6 +75,10 @@ def main():
     # headline so the recorded number stays comparable to the fp16
     # TensorRT baseline conditions.
     int8 = os.environ.get('BENCH_INT8', '0') == '1'
+    # BENCH_INT8_QKV=1: additionally quantize the attention qkv/proj
+    # projections (the remaining 1/3 of block matmul FLOPs).
+    int8_qkv = os.environ.get('BENCH_INT8_QKV', '0') == '1'
+    int8 = int8 or int8_qkv
     rng = jax.random.PRNGKey(0)
     # distinct inputs per timed iteration: the remote-execution path can
     # dedupe identical dispatches, which silently breaks the timing
@@ -92,8 +96,8 @@ def main():
         from vitpose_tpu.utils.quantize import (calibrate_act_scales,
                                                 int8_serving_config)
         cal = [np.asarray(batches[0][0, :8], np.float32)]
-        scales = calibrate_act_scales(model, variables, cal)
-        model = TopDownModel(int8_serving_config(cfg, scales))
+        scales = calibrate_act_scales(model, variables, cal, attn=int8_qkv)
+        model = TopDownModel(int8_serving_config(cfg, scales, qkv=int8_qkv))
 
     @jax.jit
     def end_to_end(variables, imgs8_group):
@@ -123,7 +127,9 @@ def main():
 
     imgs_per_sec = GROUP * BATCH * ITERS / dt
     print(json.dumps({
-        "metric": "vitpose_b_256x192_e2e_infer" + ("_int8" if int8 else ""),
+        "metric": ("vitpose_b_256x192_e2e_infer"
+                   + ("_int8" if int8 else "")
+                   + ("_qkv" if int8_qkv else "")),
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 4),

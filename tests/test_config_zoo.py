@@ -50,6 +50,9 @@ def test_cnn_config_forwards(path):
     from vitpose_tpu.utils.config import load_config
     from vitpose_tpu.train.loop import build_model_from_cfg
     cfg = load_config(path)
+    if cfg['model'].get('family', 'topdown') != 'topdown':
+        pytest.skip('non-topdown families have their own e2e tests '
+                    '(test_bottomup_training, test_mesh, ...)')
     mcfg = dict(cfg['model'])
     mcfg['img_size'] = (64, 64)
     mcfg['dtype'] = 'float32'

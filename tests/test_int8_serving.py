@@ -90,6 +90,42 @@ def test_calibrated_int8_model_heatmaps_close_to_float():
     assert np.isfinite(hm_clip).all()
 
 
+def test_calibrated_int8_qkv_model_close_to_float():
+    """attn=True calibration produces 4-element per-block scales; running
+    qkv/proj in int8 on top of the MLPs stays within the same decode-safe
+    error envelope."""
+    from vitpose_tpu.models import TopDownModel
+    from vitpose_tpu.utils.quantize import (calibrate_act_scales,
+                                            int8_serving_config)
+
+    model = _tiny_model()
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (4, 64, 64, 3))
+    variables = model.init(rng, imgs, train=False)
+
+    scales = calibrate_act_scales(model, variables, [imgs], attn=True)
+    assert len(scales) == 2 and all(len(s) == 4 for s in scales)
+    assert all(all(v > 0 for v in s) for s in scales)
+    q_model = TopDownModel(int8_serving_config(model.cfg, scales, qkv=True))
+    assert q_model.cfg.backbone.int8_qkv
+
+    hm_b = np.asarray(model.apply(variables, imgs, train=False))
+    hm_q = np.asarray(q_model.apply(variables, imgs, train=False))
+    rel = np.abs(hm_q - hm_b).max() / (hm_b.max() - hm_b.min())
+    assert rel < 0.05, rel
+    # param tree unchanged -> checkpoints interchange
+    vq = q_model.init(rng, imgs, train=False)
+    assert jax.tree.map(lambda a: a.shape, variables) == \
+        jax.tree.map(lambda a: a.shape, vq)
+
+
+def test_int8_qkv_requires_attn_scales():
+    from vitpose_tpu.utils.quantize import int8_serving_config
+    model = _tiny_model()
+    with pytest.raises(ValueError):
+        int8_serving_config(model.cfg, ((1.0, 2.0), (1.0, 2.0)), qkv=True)
+
+
 def test_int8_config_roundtrip():
     """int8_serving_config flips only the MLP flags; param tree (and thus
     checkpoints) stay identical between float and int8 serving configs."""

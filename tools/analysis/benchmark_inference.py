@@ -27,7 +27,10 @@ def main():
                     help='bf16 + Pallas attention + tanh GELU')
     ap.add_argument('--int8', action='store_true',
                     help='W8A8 MLP with calibrated static scales')
+    ap.add_argument('--int8-qkv', action='store_true',
+                    help='also quantize attention qkv/proj (implies --int8)')
     args = ap.parse_args()
+    args.int8 = args.int8 or args.int8_qkv
 
     import jax
     import jax.numpy as jnp
@@ -54,8 +57,10 @@ def main():
                                                 int8_serving_config)
         cal = [jax.random.normal(jax.random.PRNGKey(i), (8, ih, iw, 3))
                for i in range(2)]
-        scales = calibrate_act_scales(model, variables, cal)
-        model = type(model)(int8_serving_config(model.cfg, scales))
+        scales = calibrate_act_scales(model, variables, cal,
+                                      attn=args.int8_qkv)
+        model = type(model)(int8_serving_config(model.cfg, scales,
+                                                qkv=args.int8_qkv))
     fi = None if args.no_flip else DatasetInfo.load(
         cfg['data'].get('dataset', 'coco')).flip_index
 

@@ -96,7 +96,10 @@ def main():
                     help='additionally run the MLP matmuls W8A8 with '
                          'calibrated static scales (utils/quantize.py; '
                          '~13%% faster on v5e, small accuracy cost)')
+    ap.add_argument('--int8-qkv', action='store_true',
+                    help='also quantize attention qkv/proj (implies --int8)')
     args = ap.parse_args()
+    args.int8 = args.int8 or args.int8_qkv
 
     import dataclasses as dc
     from vitpose_tpu.api import init_pose_model
@@ -124,8 +127,10 @@ def main():
         ih, iw = model_cfg.backbone.img_size
         cal = [jax.random.normal(jax.random.PRNGKey(i), (8, ih, iw, 3),
                                  jnp.float32) for i in range(2)]
-        scales = calibrate_act_scales(model.model, model.variables, cal)
-        model.model = TopDownModel(int8_serving_config(model_cfg, scales))
+        scales = calibrate_act_scales(model.model, model.variables, cal,
+                                      attn=args.int8_qkv)
+        model.model = TopDownModel(int8_serving_config(model_cfg, scales,
+                                                       qkv=args.int8_qkv))
         model._jitted.clear()          # force re-trace with the int8 path
     server = HTTPServer(('127.0.0.1', args.port), make_handler(model))
     print(f'serving on http://127.0.0.1:{args.port} '

@@ -63,6 +63,7 @@ class Int8Dense(nn.Module):
     """
     features: int
     act_scale: Optional[float] = None
+    use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +71,8 @@ class Int8Dense(nn.Module):
         in_dim = x.shape[-1]
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (in_dim, self.features))
-        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        bias = (self.param('bias', nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
         k = kernel.astype(jnp.float32)
         s_w = jnp.max(jnp.abs(k), axis=0, keepdims=True) / 127.0  # [1, N]
         w_q = jnp.round(k / jnp.maximum(s_w, 1e-12)).astype(jnp.int8)
@@ -87,7 +89,9 @@ class Int8Dense(nn.Module):
             x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * s_x * s_w
-        return (y + bias.astype(jnp.float32)).astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 class Mlp(nn.Module):
@@ -101,7 +105,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.int8_mlp:
-            a1, a2 = self.int8_act_scales or (None, None)
+            a1, a2 = (self.int8_act_scales or (None, None))[:2]
             fc1 = Int8Dense(self.hidden_dim, act_scale=a1,
                             dtype=self.dtype, name='fc1')
             fc2 = Int8Dense(self.out_dim, act_scale=a2,
@@ -170,6 +174,8 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     fused: bool = False
+    int8_qkv: bool = False
+    int8_act_scales: Optional[tuple] = None   # (qkv_in, proj_in) absmax
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -177,8 +183,18 @@ class Attention(nn.Module):
         n, t, d = x.shape
         head_dim = d // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(3 * d, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name='qkv')(x)
+        if self.int8_qkv:
+            aq, ap = (self.int8_act_scales or (None, None))[:2]
+            qkv_layer = Int8Dense(3 * d, act_scale=aq,
+                                  use_bias=self.qkv_bias, dtype=self.dtype,
+                                  name='qkv')
+            proj_layer = Int8Dense(d, act_scale=ap, dtype=self.dtype,
+                                   name='proj')
+        else:
+            qkv_layer = nn.Dense(3 * d, use_bias=self.qkv_bias,
+                                 dtype=self.dtype, name='qkv')
+            proj_layer = nn.Dense(d, dtype=self.dtype, name='proj')
+        qkv = qkv_layer(x)
         qkv = qkv.reshape(n, t, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [N, T, H, hd]
         if self.fused:
@@ -191,7 +207,10 @@ class Attention(nn.Module):
             out = jnp.einsum('nhqk,nkhd->nqhd', attn, v,
                              preferred_element_type=jnp.float32)
         out = out.reshape(n, t, d).astype(self.dtype)
-        return nn.Dense(d, dtype=self.dtype, name='proj')(out)
+        # record the proj input for utils/quantize.py calibration (no-op
+        # unless 'intermediates' is mutable)
+        self.sow('intermediates', 'proj_in', out)
+        return proj_layer(out)
 
 
 class Block(nn.Module):
@@ -204,6 +223,8 @@ class Block(nn.Module):
     part_dim: int = 0
     gelu_approx: bool = False
     int8_mlp: bool = False
+    int8_qkv: bool = False
+    # per-block absmax: (fc1_in, fc2_in) or (fc1_in, fc2_in, qkv_in, proj_in)
     int8_act_scales: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -212,9 +233,14 @@ class Block(nn.Module):
         d = x.shape[-1]
         hidden = int(d * self.mlp_ratio)
         dp = DropPath(self.drop_path)
+        scales = self.int8_act_scales or ()
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm1')(x)
         y = Attention(self.num_heads, self.qkv_bias,
-                      fused=self.fused_attention, dtype=self.dtype,
+                      fused=self.fused_attention,
+                      int8_qkv=self.int8_qkv,
+                      int8_act_scales=(tuple(scales[2:4])
+                                       if len(scales) >= 4 else None),
+                      dtype=self.dtype,
                       name='attn')(y)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm2')(x)
@@ -246,8 +272,10 @@ class ViTConfig:
     fused_attention: bool = False       # Pallas attention kernel on TPU
     gelu_approx: bool = False           # tanh GELU (serving-time option)
     int8_mlp: bool = False              # W8A8 MLP matmuls (serving-time)
+    int8_qkv: bool = False              # W8A8 qkv/proj matmuls too
     # static per-block activation absmax from utils/quantize.py: tuple of
-    # (fc1_in, fc2_in) pairs, one per block; () => dynamic per-token
+    # (fc1_in, fc2_in) or (fc1_in, fc2_in, qkv_in, proj_in) tuples, one per
+    # block; () => dynamic per-token
     int8_act_scales: tuple = ()
     dtype: str = 'float32'
 
@@ -319,6 +347,7 @@ class ViT(nn.Module):
                 part_dim=cfg.part_dim,
                 gelu_approx=cfg.gelu_approx,
                 int8_mlp=cfg.int8_mlp,
+                int8_qkv=cfg.int8_qkv,
                 int8_act_scales=(tuple(cfg.int8_act_scales[i])
                                  if cfg.int8_act_scales else None),
                 dtype=dtype,

@@ -30,22 +30,28 @@ def _block_index(path) -> int:
 
 
 def calibrate_act_scales(model, variables, batches: Sequence,
-                         margin: float = 1.0):
-    """Measure per-block (fc1_in, fc2_in) absmax over calibration batches.
+                         margin: float = 1.0, attn: bool = False):
+    """Measure per-block matmul-input absmax over calibration batches.
 
     model: TopDownModel (or any module whose backbone has Block_i/norm2 and
-    Block_i/mlp/fc1 submodules). Returns a tuple of (a1, a2) pairs ordered
-    by block, each multiplied by `margin`, ready for
-    `dataclasses.replace(cfg.backbone, int8_mlp=True,
-    int8_act_scales=scales)`.
+    Block_i/mlp/fc1 submodules). Returns a tuple of (fc1_in, fc2_in) pairs
+    ordered by block — or, with ``attn=True``, (fc1_in, fc2_in, qkv_in,
+    proj_in) quadruples (qkv_in = norm1 output; proj_in sown by
+    models/vit.py Attention) — each multiplied by `margin`, ready for
+    `int8_serving_config`.
     """
     gelu_approx = bool(getattr(model.cfg.backbone, 'gelu_approx', False))
 
-    def keep(mdl, method_name):
-        return method_name == '__call__' and mdl.name in ('norm2', 'fc1')
+    capture_names = ('norm2', 'fc1') + (('norm1',) if attn else ())
 
-    a1: dict = {}
-    a2: dict = {}
+    def keep(mdl, method_name):
+        return method_name == '__call__' and mdl.name in capture_names
+
+    stats: dict = {k: {} for k in ('fc1', 'fc2', 'qkv', 'proj')}
+
+    def bump(kind, idx, val):
+        stats[kind][idx] = max(stats[kind].get(idx, 0.0), val)
+
     for batch in batches:
         _, state = model.apply(variables, jnp.asarray(batch), train=False,
                                capture_intermediates=keep,
@@ -54,7 +60,8 @@ def calibrate_act_scales(model, variables, batches: Sequence,
             state['intermediates'])[0]
         for path, val in flat:
             names = [getattr(p, 'key', str(p)) for p in path]
-            if 'norm2' not in names and 'fc1' not in names:
+            interesting = {'norm1', 'norm2', 'fc1', 'proj_in'} & set(names)
+            if not interesting:
                 continue
             idx = _block_index(names)
             amax = float(jnp.max(jnp.abs(val)))
@@ -62,20 +69,35 @@ def calibrate_act_scales(model, variables, batches: Sequence,
                 # fc2's input is gelu(fc1 out); gelu's absmax equals the
                 # positive max of its input (monotone for x > ~1)
                 g = jax.nn.gelu(val, approximate=gelu_approx)
-                amax2 = float(jnp.max(jnp.abs(g)))
-                a2[idx] = max(a2.get(idx, 0.0), amax2)
-            else:
-                a1[idx] = max(a1.get(idx, 0.0), amax)
+                bump('fc2', idx, float(jnp.max(jnp.abs(g))))
+            elif 'norm2' in names:
+                bump('fc1', idx, amax)
+            elif 'norm1' in names:
+                bump('qkv', idx, amax)
+            elif 'proj_in' in names:
+                bump('proj', idx, amax)
     depth = model.cfg.backbone.depth
-    missing = [i for i in range(depth) if i not in a1 or i not in a2]
+    kinds = ('fc1', 'fc2') + (('qkv', 'proj') if attn else ())
+    missing = [(k, i) for k in kinds for i in range(depth)
+               if i not in stats[k]]
     if missing:
-        raise RuntimeError(f'calibration captured no stats for blocks '
+        raise RuntimeError(f'calibration captured no stats for '
                            f'{missing}; check module names')
-    return tuple((a1[i] * margin, a2[i] * margin) for i in range(depth))
+    return tuple(tuple(stats[k][i] * margin for k in kinds)
+                 for i in range(depth))
 
 
-def int8_serving_config(cfg, scales):
-    """TopDownConfig -> same config with the int8 serving MLP enabled."""
-    bb = dataclasses.replace(cfg.backbone, int8_mlp=True,
-                             int8_act_scales=tuple(scales))
+def int8_serving_config(cfg, scales, qkv: bool = False):
+    """TopDownConfig -> same config with the int8 serving matmuls enabled.
+
+    ``qkv=True`` additionally runs the attention qkv/proj projections in
+    int8 (requires 4-element per-block scales from
+    ``calibrate_act_scales(..., attn=True)``).
+    """
+    if qkv and any(len(s) < 4 for s in scales):
+        raise ValueError('qkv=True needs (fc1, fc2, qkv, proj) scales; '
+                         'calibrate with attn=True')
+    bb = dataclasses.replace(cfg.backbone, int8_mlp=True, int8_qkv=qkv,
+                             int8_act_scales=tuple(
+                                 tuple(s) for s in scales))
     return dataclasses.replace(cfg, backbone=bb)
