@@ -135,6 +135,43 @@ def test_hrnet_parity():
     _assert_close(_run_flax(HRNet(cfg), params, stats, x), ref)
 
 
+def test_hrnetv2_parity():
+    """HRNetV2 = HRNet with stage4 multiscale_output + the head's
+    resize_concat transform (reference hrnetv2_w18_*.py configs: backbone
+    multiscale_output=True, head input_transform='resize_concat' with
+    bilinear align_corners=False upsample). Our multiscale_concat flag
+    folds the concat into the backbone; converted torch weights must
+    reproduce the concatenated feature map."""
+    torch.manual_seed(9)
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(4,), num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                    num_blocks=(4, 4), num_channels=(16, 32)),
+        stage3=dict(num_modules=1, num_branches=3, block='BASIC',
+                    num_blocks=(4, 4, 4), num_channels=(16, 32, 64)),
+        stage4=dict(num_modules=1, num_branches=4, block='BASIC',
+                    num_blocks=(4, 4, 4, 4), num_channels=(16, 32, 64, 128),
+                    multiscale_output=True))
+    net = L.ref_hrnet().HRNet(extra, in_channels=3)
+    net.eval()
+    x = np.random.RandomState(9).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        outs = net(torch.from_numpy(x))
+        th, tw = outs[0].shape[2:]
+        ups = [outs[0]] + [
+            torch.nn.functional.interpolate(o, size=(th, tw),
+                                            mode='bilinear',
+                                            align_corners=False)
+            for o in outs[1:]]
+        ref = torch.cat(ups, dim=1).numpy()
+    from vitpose_tpu.models.hrnet import HRNet, HRNetConfig
+    cfg = HRNetConfig(width=16, stage_modules=(1, 1, 1), stage_blocks=4,
+                      multiscale_concat=True)
+    params, stats = CK.convert_hrnet(_sd(net))
+    _assert_close(_run_flax(HRNet(cfg), params, stats, x), ref)
+
+
 def test_scnet_parity():
     torch.manual_seed(6)
     net = L.ref_scnet().SCNet(depth=50)

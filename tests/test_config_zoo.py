@@ -35,7 +35,7 @@ def test_config_builds(path):
 
 CNN_CONFIGS = [c for c in CONFIGS
                if any(k in os.path.basename(c) for k in
-                      ('hrnet', 'litehrnet', 'hrformer', 'res50',
+                      ('hrnet', 'litehrnet', 'hrformer', 'res50', 'res152',
                        'resnext', 'seresnext', 'scnet', 'vipnas',
                        'mobilenetv2', 'shufflenetv2', 'resnest', 'vgg',
                        'alexnet', 'cpm', 'hourglass', 'mspn', 'rsn'))]
@@ -60,7 +60,7 @@ def test_cnn_config_forwards(path):
         bo = dict(mcfg['backbone_overrides'])
         bo.pop('dtype', None)
         # shrink staged backbones for the smoke forward
-        if mcfg.get('backbone_type') in ('hrnet', 'hrformer'):
+        if mcfg.get('backbone_type') in ('hrnet', 'hrnetv2', 'hrformer'):
             bo['stage_modules'] = (1, 1, 1)
         if mcfg.get('backbone_type') == 'litehrnet':
             bo['num_modules'] = (1, 1, 1)

@@ -23,6 +23,28 @@ FIXTURES = [
      f'{DATA}/animalpose/'),
     ('posetrack18', f'{DATA}/posetrack18/annotations/'
      'test_posetrack18_val.json', f'{DATA}/posetrack18/'),
+    # face zoo
+    ('300w', f'{DATA}/300w/test_300w.json', f'{DATA}/300w/'),
+    ('aflw', f'{DATA}/aflw/test_aflw.json', f'{DATA}/aflw/'),
+    ('cofw', f'{DATA}/cofw/test_cofw.json', f'{DATA}/cofw/'),
+    ('wflw', f'{DATA}/wflw/test_wflw.json', f'{DATA}/wflw/'),
+    # hand zoo (rhd fixture anns carry 7 of 21 kpts — not loadable)
+    ('onehand10k', f'{DATA}/onehand10k/test_onehand10k.json',
+     f'{DATA}/onehand10k/'),
+    ('freihand2d', f'{DATA}/freihand/test_freihand.json',
+     f'{DATA}/freihand/'),
+    ('panoptic_hand2d', f'{DATA}/panoptic/test_panoptic.json',
+     f'{DATA}/panoptic/'),
+    # animal zoo
+    ('horse10', f'{DATA}/horse10/test_horse10.json', f'{DATA}/horse10/'),
+    ('fly', f'{DATA}/fly/test_fly.json', f'{DATA}/fly/'),
+    ('locust', f'{DATA}/locust/test_locust.json', f'{DATA}/locust/'),
+    ('zebra', f'{DATA}/zebra/test_zebra.json', f'{DATA}/zebra/'),
+    ('atrw', f'{DATA}/atrw/test_atrw.json', f'{DATA}/atrw/'),
+    # fashion / wholebody-adjacent
+    ('deepfashion_full', f'{DATA}/fld/test_fld.json', f'{DATA}/fld/'),
+    ('mhp', f'{DATA}/mhp/test_mhp.json', f'{DATA}/mhp/'),
+    ('halpe', f'{DATA}/halpe/test_halpe.json', f'{DATA}/halpe/'),
 ]
 
 
@@ -109,3 +131,77 @@ def test_camera_matches_reference():
     np.testing.assert_allclose(np.asarray(ours.camera_to_pixel(cam_pts)),
                                ref.camera_to_pixel(cam_pts), rtol=1e-3,
                                atol=1e-2)
+
+
+def test_face_records_use_annotated_center_scale():
+    """Face-zoo annotations carry explicit center/scale; records must keep
+    them (x1.25 padding on the scalar scale) so the loader bypasses the
+    bbox->cs derivation (reference face_300w_dataset.py:87-89)."""
+    import json
+    ann = f'{DATA}/300w/test_300w.json'
+    if not os.path.exists(ann):
+        pytest.skip('missing fixture')
+    raw = json.load(open(ann))['annotations'][0]
+    ds = TopDownDataset(ann, f'{DATA}/300w/', dataset_info='300w',
+                        test_mode=True, use_gt_bbox=True)
+    rec = ds.db[0]
+    assert np.allclose(rec['center'], raw['center'])
+    assert np.allclose(rec['scale'], np.array([raw['scale']] * 2) * 1.25)
+
+
+def test_aflw_records_carry_box_size_for_nme():
+    ann = f'{DATA}/aflw/test_aflw.json'
+    if not os.path.exists(ann):
+        pytest.skip('missing fixture')
+    ds = TopDownDataset(ann, f'{DATA}/aflw/', dataset_info='aflw',
+                        test_mode=True, use_gt_bbox=True)
+    assert all('box_size' in r and r['box_size'] > 0 for r in ds.db)
+
+
+def _fake_results(ds, noise=4.0, seed=0):
+    rng = np.random.RandomState(seed)
+    results = []
+    for rec in ds.db:
+        kp = np.zeros((ds.num_joints, 3), np.float32)
+        kp[:, :2] = rec['joints_3d'][:, :2] + rng.randn(ds.num_joints, 2) \
+            * noise
+        kp[:, 2] = 0.9
+        x, y, w, h = rec['bbox']
+        results.append(dict(
+            preds=kp[None],
+            boxes=np.array([[x + w / 2, y + h / 2, w / 200, h / 200,
+                             float(w * h), 1.0]]),
+            image_paths=[rec['image_file']],
+            bbox_ids=[rec['bbox_id']]))
+    return results
+
+
+def test_face_nme_protocols():
+    """300W NME normalizes by inter-ocular distance (landmarks 36/45);
+    AFLW by the annotated box_size — perfect predictions give NME 0, noisy
+    ones a positive finite value."""
+    for name, prefix in (('300w', f'{DATA}/300w/'),
+                         ('aflw', f'{DATA}/aflw/')):
+        ann = f'{prefix}test_{name}.json'
+        if not os.path.exists(ann):
+            pytest.skip('missing fixture')
+        ds = TopDownDataset(ann, prefix, dataset_info=name, test_mode=True,
+                            use_gt_bbox=True)
+        stats0 = ds.evaluate(_fake_results(ds, noise=0.0), metric='NME')
+        assert stats0['NME'] == pytest.approx(0.0, abs=1e-6)
+        stats = ds.evaluate(_fake_results(ds, noise=5.0), metric='NME')
+        assert 0 < stats['NME'] < 1.0, (name, stats)
+
+
+def test_hand_pck_auc_epe_protocol():
+    ann = f'{DATA}/onehand10k/test_onehand10k.json'
+    if not os.path.exists(ann):
+        pytest.skip('missing fixture')
+    ds = TopDownDataset(ann, f'{DATA}/onehand10k/',
+                        dataset_info='onehand10k', test_mode=True,
+                        use_gt_bbox=True)
+    stats = ds.evaluate(_fake_results(ds, noise=2.0),
+                        metric=['PCK', 'AUC', 'EPE'])
+    assert 0.0 < stats['PCK'] <= 1.0
+    assert 0.0 < stats['AUC'] <= 1.0
+    assert stats['EPE'] > 0.0

@@ -83,8 +83,11 @@ def main():
                              post_process=mcfg.post_process,
                              modulate_kernel=mcfg.modulate_kernel,
                              progress=True)
-    if args.metric:
-        stats = ds.evaluate(results, metric=args.metric)
+    # CLI --metric wins; else the config's evaluation.metric (the
+    # face/hand/animal/fashion zoo protocols); else the dataset default
+    metric = args.metric or cfg.get('evaluation', {}).get('metric')
+    if metric:
+        stats = ds.evaluate(results, metric=metric)
     else:
         stats = ds.evaluate(results)
     print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))

@@ -162,6 +162,16 @@ class TopDownDataset:
                     bbox_score=1.0,
                     bbox_id=bbox_id,
                 )
+                # face-zoo annotations carry an explicit center/scale
+                # (reference face_300w_dataset.py:87-89: center as-is,
+                # scalar scale -> [s, s] * 1.25); records with center/
+                # scale bypass the loader's bbox->cs derivation
+                if 'center' in ann and 'scale' in ann:
+                    rec['center'] = np.asarray(ann['center'], np.float32)
+                    rec['scale'] = (np.asarray([ann['scale'], ann['scale']]
+                                               if np.isscalar(ann['scale'])
+                                               else ann['scale'],
+                                               np.float32) * 1.25)
                 # PCKh / AFLW-NME normalizers when annotated
                 if 'head_size' in ann:
                     rec['head_size'] = float(ann['head_size'])

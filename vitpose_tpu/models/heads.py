@@ -24,11 +24,19 @@ import jax.numpy as jnp
 
 
 class HeatmapHead(nn.Module):
-    """Classic decoder: deconv stack + 1x1 prediction conv."""
+    """Classic decoder: deconv stack + 1x1 prediction conv.
+
+    `extra_conv_kernels` inserts Conv+BN+ReLU layers (channel-preserving)
+    between the deconvs and the prediction conv — the reference's
+    `extra=dict(num_conv_layers=N, num_conv_kernels=(...))` option used by
+    the HRNetV2 face/hand heads (topdown_heatmap_simple_head.py extra
+    conv branch; e.g. hrnetv2_w18_300w_256x256.py num_conv_layers=1).
+    """
     out_channels: int
     deconv_filters: Sequence[int] = (256, 256)
     deconv_kernels: Sequence[int] = (4, 4)
     final_kernel: int = 1
+    extra_conv_kernels: Sequence[int] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -41,6 +49,14 @@ class HeatmapHead(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f'bn_{i}')(x)
+            x = nn.relu(x)
+        for i, k in enumerate(self.extra_conv_kernels):
+            pad = (k - 1) // 2
+            x = nn.Conv(x.shape[-1], (k, k), padding=((pad, pad), (pad, pad)),
+                        dtype=self.dtype, name=f'conv_{i}')(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f'conv_bn_{i}')(x)
             x = nn.relu(x)
         pad = (self.final_kernel - 1) // 2
         x = nn.Conv(self.out_channels, (self.final_kernel, self.final_kernel),

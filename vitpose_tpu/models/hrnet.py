@@ -28,6 +28,13 @@ class HRNetConfig:
     # (num_modules, num_blocks per branch) per stage 2..4
     stage_modules: Tuple[int, int, int] = (1, 4, 3)
     stage_blocks: int = 4
+    # HRNetV2 (face/hand zoo flagship): final stage keeps every branch
+    # (multiscale_output=True) and the forward returns the bilinear-
+    # upsampled channel concat at 1/4 resolution (reference hrnet.py
+    # stage4 multiscale_output + the hrnetv2_w18_*.py configs'
+    # input_transform='resize_concat' head, upsample mode='bilinear',
+    # align_corners=False)
+    multiscale_concat: bool = False
     dtype: str = 'float32'
 
     @property
@@ -124,7 +131,8 @@ class HRNet(nn.Module):
             for m in range(n_mod):
                 last = stage == n_stages - 1 and m == n_mod - 1
                 xs = ExchangeModule(chans[:n_br], c.stage_blocks,
-                                    multiscale=not last, dtype=dtype,
+                                    multiscale=not last
+                                    or c.multiscale_concat, dtype=dtype,
                                     name=f'stage{stage + 2}_mod{m}')(
                                         xs, train=train)
             if stage < len(c.stage_modules) - 1:
@@ -135,4 +143,11 @@ class HRNet(nn.Module):
                             dtype=dtype, name=f'tr{stage + 2}_conv')(
                                 xs[-1])))
                 xs = xs + [y]
+        if c.multiscale_concat:
+            n, th, tw, _ = xs[0].shape
+            ups = [xs[0]]
+            for y in xs[1:]:
+                ups.append(jax.image.resize(
+                    y, (n, th, tw, y.shape[-1]), method='bilinear'))
+            return jnp.concatenate(ups, axis=-1)
         return xs[0]

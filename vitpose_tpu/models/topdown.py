@@ -37,6 +37,9 @@ class TopDownConfig:
     deconv_filters: tuple = (256, 256)
     deconv_kernels: tuple = (4, 4)
     final_kernel: int = 1
+    # channel-preserving Conv+BN+ReLU layers before the prediction conv
+    # (HRNetV2 heads; reference extra num_conv_layers/num_conv_kernels)
+    head_extra_convs: tuple = ()
     upsample: int = 4
     # test-time behavior (reference test_cfg)
     flip_test: bool = True
@@ -137,7 +140,8 @@ class GenericTopDown(nn.Module):
         else:
             self.head = HeatmapHead(
                 c.out_channels, c.deconv_filters, c.deconv_kernels,
-                c.final_kernel, dtype=dtype, name='head')
+                c.final_kernel, extra_conv_kernels=c.head_extra_convs,
+                dtype=dtype, name='head')
 
     def __call__(self, imgs, train: bool = False, expert_idx=None,
                  head_idx=None, all_heads: bool = False):

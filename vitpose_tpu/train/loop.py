@@ -102,8 +102,13 @@ def build_backbone(backbone_type: str, **bb_kwargs):
     from ..models.classic_cnns import SEResNet, VGG, AlexNet, CPM
     from ..models.lightweight import (MobileNetV2, ShuffleNetV2, Hourglass,
                                       HourglassAE)
+    def _hrnetv2(**kw):
+        from ..models.hrnet import HRNet, HRNetConfig
+        return HRNet(HRNetConfig(multiscale_concat=True, **kw))
+
     registry = {
         'hrnet': _hrnet,
+        'hrnetv2': _hrnetv2,
         'resnet': _named(ResNet),
         'resnext': _named(ResNeXt),
         'seresnet': _named(SEResNet),
@@ -356,7 +361,9 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                 model, variables, val_loader,
                 use_udp=mcfg.use_udp, post_process=mcfg.post_process,
                 modulate_kernel=mcfg.modulate_kernel)
-            stats = val_loader.ds.evaluate(results)
+            eval_metric = cfg.get('evaluation', {}).get('metric')
+            stats = (val_loader.ds.evaluate(results, metric=eval_metric)
+                     if eval_metric else val_loader.ds.evaluate(results))
             record.update({k: float(v) for k, v in stats.items()})
         _log(work_dir, record, tensorboard=use_tb)
 
