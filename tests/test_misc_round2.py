@@ -195,3 +195,31 @@ def test_hybrid_embed():
     blk = Block(num_heads=4)
     bv = blk.init(jax.random.PRNGKey(1), tok)
     assert blk.apply(bv, tok).shape == tok.shape
+
+
+def test_vis_pose_result_3d_full_options(tmp_path):
+    """3D pose rendering with the reference imshow_keypoints_3d options:
+    image side panel, per-kpt/link palettes, score threshold hiding
+    low-confidence joints (reference core/visualization/image.py:205)."""
+    import numpy as np
+    from vitpose_tpu.api.inference import vis_pose_result_3d
+    from vitpose_tpu.data import DatasetInfo
+
+    info = DatasetInfo.load('h36m')
+    rng = np.random.RandomState(0)
+    kp = rng.rand(17, 4).astype(np.float32)
+    kp[:, 3] = 0.9
+    kp_low = kp.copy()
+    kp_low[5:, 3] = 0.1                       # hidden below threshold
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    out = str(tmp_path / 'vis3d.png')
+    fig = vis_pose_result_3d(
+        [dict(keypoints_3d=kp, title='p0'), dict(keypoints_3d=kp_low)],
+        skeleton=info.skeleton_links, img=img,
+        pose_kpt_color=info.keypoint_colors,
+        pose_link_color=info.skeleton_colors,
+        kpt_score_thr=0.3, out_file=out)
+    import os
+    assert os.path.getsize(out) > 1000
+    # image panel + 2 pose panels
+    assert len(fig.axes) == 3

@@ -402,21 +402,65 @@ def imshow_bboxes(img, bboxes, labels=None, colors=(0, 255, 0), thickness=1,
 
 
 def vis_pose_result_3d(pose_results_3d, skeleton=None, out_file=None,
-                       azimuth=70, elevation=15):
+                       azimuth=70, elevation=15, img=None,
+                       kpt_score_thr=0.3, pose_kpt_color=None,
+                       pose_link_color=None, axis_limit=1.7, axis_dist=10.0,
+                       num_instances=-1):
     """Render 3D poses with matplotlib (reference
-    core/visualization/image.py:205 `imshow_keypoints_3d`)."""
+    core/visualization/image.py:205 `imshow_keypoints_3d`).
+
+    Mirrors the reference layout: an optional 2D input-image panel on the
+    left, then one 3D subplot per pose instance. keypoints_3d may carry a
+    4th score column; joints (and links touching them) below
+    `kpt_score_thr` are hidden. `pose_kpt_color`/`pose_link_color` take
+    [K, 3] / [L, 3] RGB rows (DatasetInfo palettes); `axis_limit` is the
+    half-width of the cube around the pose root, `axis_dist` the camera
+    distance, `num_instances` pads/truncates the subplot count (-1 = one
+    per result).
+    """
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
-    fig = plt.figure()
-    ax = fig.add_subplot(111, projection='3d')
-    for res in pose_results_3d:
-        kp = np.asarray(res['keypoints_3d'])
-        ax.scatter(kp[:, 0], kp[:, 1], kp[:, 2], s=8)
-        for a, b in (skeleton or []):
+
+    results = list(pose_results_3d)
+    if num_instances > 0:
+        results = results[:num_instances]
+    n_axes = max(1, len(results)) + (1 if img is not None else 0)
+    fig = plt.figure(figsize=(3 * n_axes, 3))
+    col = 1
+    if img is not None:
+        ax0 = fig.add_subplot(1, n_axes, 1)
+        ax0.imshow(np.asarray(img))
+        ax0.axis('off')
+        col = 2
+    for i, res in enumerate(results):
+        ax = fig.add_subplot(1, n_axes, col + i, projection='3d')
+        kp = np.asarray(res['keypoints_3d'], np.float32)
+        score = kp[:, 3] if kp.shape[1] > 3 else np.ones(len(kp))
+        valid = score >= kpt_score_thr
+        if pose_kpt_color is not None:
+            c = np.asarray(pose_kpt_color, np.float32)[:len(kp)] / 255.0
+            ax.scatter(kp[valid, 0], kp[valid, 1], kp[valid, 2], s=8,
+                       c=c[valid])
+        else:
+            ax.scatter(kp[valid, 0], kp[valid, 1], kp[valid, 2], s=8)
+        for li, (a, b) in enumerate(skeleton or []):
+            if not (valid[a] and valid[b]):
+                continue
+            lc = (np.asarray(pose_link_color[li], np.float32) / 255.0
+                  if pose_link_color is not None else None)
             ax.plot([kp[a, 0], kp[b, 0]], [kp[a, 1], kp[b, 1]],
-                    [kp[a, 2], kp[b, 2]], lw=1)
-    ax.view_init(elev=elevation, azim=azimuth)
+                    [kp[a, 2], kp[b, 2]], lw=1,
+                    color=tuple(lc) if lc is not None else None)
+        # cube around the pose root (reference axes_3d limits)
+        root = kp[valid, :3].mean(axis=0) if valid.any() else np.zeros(3)
+        ax.set_xlim3d([root[0] - axis_limit, root[0] + axis_limit])
+        ax.set_ylim3d([root[1] - axis_limit, root[1] + axis_limit])
+        ax.set_zlim3d([root[2] - axis_limit, root[2] + axis_limit])
+        ax.dist = axis_dist
+        ax.view_init(elev=elevation, azim=azimuth)
+        if 'title' in res:
+            ax.set_title(res['title'])
     if out_file:
         fig.savefig(out_file, dpi=100)
         plt.close(fig)
