@@ -386,3 +386,55 @@ def test_cpm_parity():
     assert len(outs) == len(refs) == 3
     for o, r in zip(outs, refs):
         np.testing.assert_allclose(np.asarray(o), r, rtol=1e-4, atol=1e-4)
+
+
+def test_generic_topdown_full_checkpoint_conversion():
+    """User path for the CNN zoo: a reference TopDown .pth state dict
+    (torch HRNet backbone + TopdownHeatmapSimpleHead) converted by
+    convert_generic_topdown_checkpoint must reproduce the full-model
+    heatmaps through GenericTopDown (the tools/test.py CONFIG ckpt.pth
+    route for non-ViT configs)."""
+    import sys
+    sys.path.insert(0, 'tests')
+    import ref_loader as RL
+    from vitpose_tpu.utils.cnn_ckpt import (
+        convert_generic_topdown_checkpoint)
+    from vitpose_tpu.train.loop import build_model_from_cfg
+
+    torch.manual_seed(11)
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, block='BOTTLENECK',
+                    num_blocks=(4,), num_channels=(64,)),
+        stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                    num_blocks=(4, 4), num_channels=(16, 32)),
+        stage3=dict(num_modules=1, num_branches=3, block='BASIC',
+                    num_blocks=(4, 4, 4), num_channels=(16, 32, 64)),
+        stage4=dict(num_modules=1, num_branches=4, block='BASIC',
+                    num_blocks=(4, 4, 4, 4), num_channels=(16, 32, 64, 128)))
+    bb = L.ref_hrnet().HRNet(extra, in_channels=3)
+    head = RL.ref_simple_head().TopdownHeatmapSimpleHead(
+        in_channels=16, out_channels=8, num_deconv_layers=0,
+        extra=dict(final_conv_kernel=1, num_conv_layers=1,
+                   num_conv_kernels=(1,)),
+        loss_keypoint=None)
+    bb.eval(), head.eval()
+    x = np.random.RandomState(11).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        feat = bb(torch.from_numpy(x))
+        feat = feat[0] if isinstance(feat, (list, tuple)) else feat
+        ref = head(feat).numpy()
+
+    sd = {f'backbone.{k}': v.detach().numpy()
+          for k, v in bb.state_dict().items()}
+    sd.update({f'keypoint_head.{k}': v.detach().numpy()
+               for k, v in head.state_dict().items()})
+    model = build_model_from_cfg(dict(
+        backbone_type='hrnet',
+        backbone_overrides=dict(width=16, stage_modules=(1, 1, 1)),
+        img_size=(64, 64), out_channels=8, head='heatmap',
+        deconv_filters=(), deconv_kernels=(), head_extra_convs=(1,),
+        final_kernel=1))
+    variables = convert_generic_topdown_checkpoint(sd, 'hrnet')
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    _assert_close(np.asarray(out), ref, tol=5e-4)

@@ -22,12 +22,19 @@ if os.environ.get('JAX_PLATFORMS'):
     jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 
 
-def load_variables(checkpoint, model_cfg):
+def load_variables(checkpoint, model_cfg, backbone_type='vit'):
     import jax
     import jax.numpy as jnp
     if checkpoint.endswith('.pth'):
-        from vitpose_tpu.utils.torch_ckpt import convert_topdown_checkpoint
-        v = convert_topdown_checkpoint(checkpoint, model_cfg)
+        if backbone_type == 'vit':
+            from vitpose_tpu.utils.torch_ckpt import (
+                convert_topdown_checkpoint)
+            v = convert_topdown_checkpoint(checkpoint, model_cfg)
+        else:
+            from vitpose_tpu.utils.cnn_ckpt import (
+                convert_generic_topdown_checkpoint)
+            v = convert_generic_topdown_checkpoint(checkpoint,
+                                                   backbone_type)
     elif checkpoint.endswith('.npz'):
         from vitpose_tpu.utils.checkpoint import load_params_npz
         v = load_params_npz(checkpoint)
@@ -58,7 +65,8 @@ def main():
 
     cfg = apply_options(load_config(args.config), args.cfg_options)
     model = build_model_from_cfg(cfg['model'])
-    variables = load_variables(args.checkpoint, model.cfg)
+    variables = load_variables(args.checkpoint, model.cfg,
+                               cfg['model'].get('backbone_type', 'vit'))
 
     dcfg = cfg['data']
     name = dcfg.get('dataset', 'coco')

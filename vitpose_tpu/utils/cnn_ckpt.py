@@ -661,3 +661,58 @@ def convert_cpm(sd, prefix=''):
         cv.conv(f'out_convs.{t}.1.conv', f'stage{t}_out_conv')
         t += 1
     return cv.out()
+
+
+# ---------------------------------------------------------------------------
+# Full-model conversion for CNN-backbone TopDown checkpoints
+
+BACKBONE_CONVERTERS = {
+    'resnet': convert_resnext,           # identical layer naming
+    'resnext': convert_resnext,
+    'seresnet': convert_seresnet,
+    'seresnext': convert_resnext,
+    'hrnet': convert_hrnet,
+    'hrnetv2': convert_hrnet,            # same backbone, concat output
+    'scnet': convert_scnet,
+    'mspn': convert_mspn,
+    'rsn': convert_rsn,
+    'litehrnet': convert_litehrnet,
+    'hrformer': convert_hrformer,
+    'vipnas_mbv3': convert_vipnas_mbv3,
+    'vipnas_resnet': convert_vipnas_resnet,
+    'mobilenet_v2': convert_mobilenet_v2,
+    'shufflenet_v2': convert_shufflenet_v2,
+    'cpm': convert_cpm,
+    'hourglass': convert_hourglass,
+    'hourglass_ae': convert_hourglass_ae,
+}
+
+
+def convert_generic_topdown_checkpoint(path_or_sd, backbone_type):
+    """Reference TopDown .pth (CNN backbone + TopdownHeatmapSimpleHead) ->
+    flax variables for GenericTopDown (train/loop.py build_generic_topdown).
+
+    The ViT counterpart is torch_ckpt.convert_topdown_checkpoint; this is
+    the same user path (`tools/test.py CONFIG ckpt.pth`) for the
+    HRNet/ResNet/... config zoo.
+    """
+    from .torch_ckpt import load_torch_state_dict, convert_head
+    sd = (load_torch_state_dict(path_or_sd)
+          if isinstance(path_or_sd, str) else dict(path_or_sd))
+    if backbone_type not in BACKBONE_CONVERTERS:
+        raise KeyError(
+            f'no torch converter for backbone_type {backbone_type!r}; '
+            f'available: {sorted(BACKBONE_CONVERTERS)}')
+    bb_params, bb_stats = BACKBONE_CONVERTERS[backbone_type](
+        sd, prefix='backbone.')
+    head_params, head_stats = convert_head(sd, prefix='keypoint_head.')
+    params = {'backbone': bb_params, 'head': head_params}
+    batch_stats = {}
+    if bb_stats:
+        batch_stats['backbone'] = bb_stats
+    if head_stats:
+        batch_stats['head'] = head_stats
+    variables = {'params': params}
+    if batch_stats:
+        variables['batch_stats'] = batch_stats
+    return variables

@@ -228,9 +228,31 @@ def convert_head(sd, prefix='keypoint_head.'):
              g(f'deconv_layers.{di * 3 + 1}.running_var'))
         di += 1
     fw = g('final_layer.weight')                      # [out, in, k, k]
+    fb = g('final_layer.bias')
+    if fw is None:
+        # with extra conv layers (HRNetV2 heads) final_layer is a
+        # Sequential [conv, BN, ReLU] * n + final conv (reference
+        # topdown_heatmap_simple_head.py extra num_conv_layers branch)
+        ci = 0
+        while g(f'final_layer.{ci * 3 + 1}.running_mean') is not None:
+            w = g(f'final_layer.{ci * 3}.weight')
+            _set(params, (f'conv_{ci}', 'kernel'), w.transpose(2, 3, 1, 0))
+            _set(params, (f'conv_{ci}', 'bias'),
+                 g(f'final_layer.{ci * 3}.bias'))
+            _set(params, (f'conv_bn_{ci}', 'scale'),
+                 g(f'final_layer.{ci * 3 + 1}.weight'))
+            _set(params, (f'conv_bn_{ci}', 'bias'),
+                 g(f'final_layer.{ci * 3 + 1}.bias'))
+            _set(stats, (f'conv_bn_{ci}', 'mean'),
+                 g(f'final_layer.{ci * 3 + 1}.running_mean'))
+            _set(stats, (f'conv_bn_{ci}', 'var'),
+                 g(f'final_layer.{ci * 3 + 1}.running_var'))
+            ci += 1
+        fw = g(f'final_layer.{ci * 3}.weight')
+        fb = g(f'final_layer.{ci * 3}.bias')
     if fw is not None:
         _set(params, ('final', 'kernel'), fw.transpose(2, 3, 1, 0))
-        _set(params, ('final', 'bias'), g('final_layer.bias'))
+        _set(params, ('final', 'bias'), fb)
     return params, stats
 
 
