@@ -205,3 +205,18 @@ def test_hand_pck_auc_epe_protocol():
     assert 0.0 < stats['PCK'] <= 1.0
     assert 0.0 < stats['AUC'] <= 1.0
     assert stats['EPE'] > 0.0
+
+
+def test_crowdpose_evaluate_uses_crowd_protocol():
+    """CrowdPose datasets must route mAP through the keypoints_crowd
+    protocol: no-area OKS plus AP over easy/medium/hard crowdIndex subsets
+    (reference topdown_crowdpose_dataset.py:95)."""
+    ann = f'{DATA}/crowdpose/test_crowdpose.json'
+    if not os.path.exists(ann):
+        pytest.skip('missing fixture')
+    ds = TopDownDataset(ann, f'{DATA}/crowdpose/',
+                        dataset_info='crowdpose', test_mode=True,
+                        use_gt_bbox=True)
+    stats = ds.evaluate(_fake_results(ds, noise=1.0))
+    assert {'AP', 'AP (E)', 'AP (M)', 'AP (H)'} <= set(stats)
+    assert stats['AP'] > 0.5          # near-GT predictions

@@ -378,6 +378,13 @@ class TopDownDataset:
         if 'annotations' not in self.coco.dataset:
             return OrderedDict()
         coco_dt = self.coco.loadRes(detections)
+        if self.info.dataset_name == 'crowdpose':
+            # CrowdPose protocol: no-area OKS + AP over easy/medium/hard
+            # crowdIndex subsets (reference topdown_crowdpose_dataset.py:95
+            # iouType='keypoints_crowd')
+            from ..eval.cocoeval import evaluate_crowdpose
+            return OrderedDict(evaluate_crowdpose(self.coco, coco_dt,
+                                                  sigmas=self.sigmas))
         evaluator = CocoKeypointEval(self.coco, sigmas=self.sigmas)
         stats = evaluator.evaluate(coco_dt)
         return OrderedDict(stats)
