@@ -53,6 +53,10 @@ def main():
     ap.add_argument('--batch-size', type=int, default=None)
     ap.add_argument('--metric', nargs='*', default=None,
                     help="e.g. mAP PCK AUC EPE NME (dataset-dependent)")
+    ap.add_argument('--show-dir', default=None,
+                    help='save per-image keypoint visualizations here '
+                         '(counterpart of the fork tools/test_new.py '
+                         'posevis output)')
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
@@ -91,6 +95,24 @@ def main():
                              post_process=mcfg.post_process,
                              modulate_kernel=mcfg.modulate_kernel,
                              progress=True)
+    if args.show_dir:
+        import numpy as np
+        from collections import defaultdict
+        from vitpose_tpu.api.inference import vis_pose_result
+        from vitpose_tpu.data import DatasetInfo
+        os.makedirs(args.show_dir, exist_ok=True)
+        info = (ds.info if hasattr(ds, 'info') else DatasetInfo.load(name))
+        by_img = defaultdict(list)
+        for r in results:
+            for i, path in enumerate(r['image_paths']):
+                by_img[path].append(
+                    dict(keypoints=np.asarray(r['preds'][i])))
+        for path, poses in by_img.items():
+            out = os.path.join(args.show_dir, os.path.basename(path))
+            vis_pose_result(None, path, poses, dataset_info=info,
+                            out_file=out)
+        print(f'saved {len(by_img)} visualizations to {args.show_dir}')
+
     # CLI --metric wins; else the config's evaluation.metric (the
     # face/hand/animal/fashion zoo protocols); else the dataset default
     metric = args.metric or cfg.get('evaluation', {}).get('metric')

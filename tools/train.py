@@ -29,6 +29,9 @@ def main():
     ap.add_argument('--max-steps', type=int, default=None,
                     help='stop after N optimizer steps (smoke tests)')
     ap.add_argument('--seed', type=int, default=None)
+    ap.add_argument('--autoscale-lr', action='store_true',
+                    help='scale base_lr linearly by device_count/8 '
+                         '(reference tools/train.py:134-136)')
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
@@ -37,6 +40,10 @@ def main():
     cfg = apply_options(load_config(args.config), args.cfg_options)
     if args.seed is not None:
         cfg.setdefault('runtime', {})['seed'] = args.seed
+    if args.autoscale_lr:
+        import jax
+        opt = cfg.setdefault('optimizer', {})
+        opt['base_lr'] = opt.get('base_lr', 5e-4) * jax.device_count() / 8
     train_model(cfg, work_dir=args.work_dir, resume=args.resume,
                 max_steps=args.max_steps)
 
