@@ -155,3 +155,43 @@ def test_sharded_train_step_8_devices():
     # sharded result equals single-device result
     np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
                                rtol=1e-5)
+
+
+def test_tensor_parallel_ffn_train_step():
+    """Megatron-style FFN tensor parallelism over the `model` mesh axis:
+    fc1 sharded on hidden-out, fc2 on hidden-in (XLA inserts the psum),
+    MoE expert tensors on (expert, model). The TP result must equal the
+    single-device result."""
+    assert jax.device_count() >= 8
+    model = tiny_model(moe=True)
+    batch = make_batch(n=8)
+    batch['dataset_idx'] = jnp.arange(8, dtype=jnp.int32) % 3
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2)
+    rng = jax.random.PRNGKey(0)
+    init_expert = jnp.zeros(8, jnp.int32)
+    tx = layer_decay_adamw(
+        model.init(rng, batch['imgs'], train=False, all_heads=True,
+                   expert_idx=init_expert)['params'],
+        cfg, steps_per_epoch=10 ** 6)
+    state = create_train_state(model, rng, batch['imgs'], tx,
+                               expert_idx=init_expert)
+
+    step1 = jax.jit(make_moe_train_step(model, num_datasets=3))
+    _, metrics1 = step1(state, batch, rng)
+    ref_loss = float(metrics1['heatmap_loss'])
+
+    mesh = make_mesh(n_data=2, n_expert=1, n_model=4)
+    assert mesh.shape == {'data': 2, 'expert': 1, 'model': 4}
+    step = make_moe_train_step(model, num_datasets=3)
+    jitted, sharded_state, place_batch = shard_train_step(
+        step, mesh, state, batch)
+    sharded_state, metrics = jitted(sharded_state, place_batch(batch), rng)
+
+    blk = sharded_state.params['backbone']['blocks_0']['mlp']
+    assert blk['fc1']['kernel'].sharding.spec == ('model',) or \
+        tuple(blk['fc1']['kernel'].sharding.spec) == (None, 'model')
+    assert tuple(blk['fc2']['kernel'].sharding.spec) == ('model', None) or \
+        tuple(blk['fc2']['kernel'].sharding.spec) == ('model',)
+
+    np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
+                               rtol=1e-5)

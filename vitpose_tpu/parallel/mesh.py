@@ -10,6 +10,13 @@ of one process per GPU with bucketed gradient all-reduce, we lay out a
   * ``expert`` — the stacked MoE expert axis [E, hidden, part]; true expert
     parallelism where the reference replicates every expert on every rank
     (vit_moe.py:107-111).
+  * ``model``  — Megatron-style FFN tensor parallelism: fc1 kernels shard
+    on the hidden (output) dim, fc2 kernels on the hidden (input) dim, so
+    the GELU runs on hidden shards and XLA inserts one psum after fc2.
+    The MoE stacked expert tensors shard on BOTH expert and hidden axes
+    ([E, hidden, part] -> P('expert', 'model', None)). The attention
+    qkv/proj stay replicated (packed-qkv reshape does not factor cleanly
+    over heads; FFNs carry 2/3 of the block FLOPs).
 
 Everything else is replicated (ViTPose-H is ~0.6B params and fits per chip;
 optionally shard optimizer state later). The train step is jitted with these
@@ -24,24 +31,63 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: Optional[int] = None, n_expert: int = 1, devices=None):
-    """Create a (data, expert) mesh over the available devices."""
+def make_mesh(n_data: Optional[int] = None, n_expert: int = 1,
+              n_model: int = 1, devices=None):
+    """Create a (data, expert[, model]) mesh over the available devices.
+
+    With n_model == 1 the mesh keeps the two-axis (data, expert) layout for
+    backward compatibility; n_model > 1 adds the FFN tensor-parallel axis.
+    """
     devices = devices if devices is not None else jax.devices()
     n_total = len(devices)
     if n_data is None:
-        n_data = n_total // n_expert
-    assert n_data * n_expert == n_total, (n_data, n_expert, n_total)
-    arr = np.asarray(devices).reshape(n_data, n_expert)
-    return Mesh(arr, ('data', 'expert'))
+        n_data = n_total // (n_expert * n_model)
+    assert n_data * n_expert * n_model == n_total, \
+        (n_data, n_expert, n_model, n_total)
+    if n_model == 1:
+        arr = np.asarray(devices).reshape(n_data, n_expert)
+        return Mesh(arr, ('data', 'expert'))
+    arr = np.asarray(devices).reshape(n_data, n_expert, n_model)
+    return Mesh(arr, ('data', 'expert', 'model'))
+
+
+
+def _tp_spec(keys, leaf):
+    """FFN tensor-parallel PartitionSpec for a param path, or None.
+
+    Megatron sharding over the `model` axis: fc1 [D, hidden] splits the
+    hidden output dim, fc2 [hidden, D] the hidden input dim; biases follow
+    their layer's output dim. MoE expert tensors [E, hidden, part] combine
+    expert x model sharding.
+    """
+    if len(keys) < 2 or 'mlp' not in keys:
+        return None
+    layer, name = keys[-2], keys[-1]
+    nd = getattr(leaf, 'ndim', 0)
+    if layer == 'fc1' and name == 'kernel' and nd == 2:
+        return P(None, 'model')
+    if layer == 'fc1' and name == 'bias' and nd == 1:
+        return P('model')
+    if layer == 'fc2' and name == 'kernel' and nd == 2:
+        return P('model', None)
+    if name == 'expert_kernel' and nd == 3:
+        return P('expert', 'model', None)
+    return None
 
 
 def param_shardings(mesh: Mesh, params):
-    """Replicate all params except stacked MoE expert tensors, which shard
-    over the `expert` axis (dim 0 of [E, hidden, part])."""
+    """Replicate all params except stacked MoE expert tensors (sharded over
+    `expert`) and, on meshes with a `model` axis, the FFN kernels
+    (Megatron tensor parallelism, see _tp_spec)."""
     has_expert_axis = mesh.shape.get('expert', 1) > 1
+    has_model_axis = mesh.shape.get('model', 1) > 1
 
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
+        if has_model_axis:
+            tp = _tp_spec(keys, leaf)
+            if tp is not None:
+                return NamedSharding(mesh, tp)
         if has_expert_axis and keys and keys[-1].startswith('expert_'):
             if leaf.ndim >= 1:
                 return NamedSharding(mesh, P('expert'))
@@ -70,11 +116,29 @@ def shard_state(mesh: Mesh, state):
     (the same path rule applies to adam mu/nu, whose trees mirror params),
     everything else replicated."""
     has_expert_axis = mesh.shape.get('expert', 1) > 1
+    has_model_axis = mesh.shape.get('model', 1) > 1
 
     n_expert = mesh.shape.get('expert', 1)
+    n_model = mesh.shape.get('model', 1)
 
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
+        if has_model_axis:
+            tp = _tp_spec(keys, leaf)
+            if tp is not None:
+                # adam mu/nu mirror param shapes; guard divisibility so
+                # scalar-shaped optax leaves stay replicated
+                dims = [d for d in tp if d is not None]
+                ok = all(
+                    leaf.shape[i] % (n_expert if ax == 'expert' else n_model)
+                    == 0
+                    for i, ax in enumerate(tp)
+                    if ax is not None) if getattr(leaf, 'ndim', 0) == len(tp) \
+                    else False
+                del dims
+                if ok:
+                    return NamedSharding(mesh, tp)
+                return NamedSharding(mesh, P())
         if (has_expert_axis and keys
                 and keys[-1].startswith('expert_')
                 and getattr(leaf, 'ndim', 0) >= 1
