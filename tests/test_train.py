@@ -195,3 +195,40 @@ def test_tensor_parallel_ffn_train_step():
 
     np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
                                rtol=1e-5)
+
+
+def test_zero1_optimizer_state_sharding():
+    """ZeRO-1: adam moments shard over the data axis (memory spread across
+    the dp group); the training result is unchanged."""
+    assert jax.device_count() >= 8
+    model = tiny_model(moe=True)
+    batch = make_batch(n=8)
+    batch['dataset_idx'] = jnp.arange(8, dtype=jnp.int32) % 3
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2)
+    rng = jax.random.PRNGKey(0)
+    init_expert = jnp.zeros(8, jnp.int32)
+    tx = layer_decay_adamw(
+        model.init(rng, batch['imgs'], train=False, all_heads=True,
+                   expert_idx=init_expert)['params'],
+        cfg, steps_per_epoch=10 ** 6)
+    state = create_train_state(model, rng, batch['imgs'], tx,
+                               expert_idx=init_expert)
+
+    step1 = jax.jit(make_moe_train_step(model, num_datasets=3))
+    _, metrics1 = step1(state, batch, rng)
+    ref_loss = float(metrics1['heatmap_loss'])
+
+    mesh = make_mesh(n_data=8, n_expert=1)
+    step = make_moe_train_step(model, num_datasets=3)
+    jitted, sharded_state, place_batch = shard_train_step(
+        step, mesh, state, batch, zero1=True)
+
+    # at least one optimizer-moment leaf is sharded over `data`
+    leaves = jax.tree.leaves(sharded_state.opt_state)
+    assert any('data' in tuple(getattr(l.sharding, 'spec', ()) or ())
+               for l in leaves if hasattr(l, 'sharding')), \
+        'no ZeRO-sharded optimizer leaf found'
+
+    new_state, metrics = jitted(sharded_state, place_batch(batch), rng)
+    np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
+                               rtol=1e-5)

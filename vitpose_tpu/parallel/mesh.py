@@ -111,10 +111,27 @@ def replicate(mesh: Mesh, tree):
         tree, NamedSharding(mesh, P()))
 
 
-def shard_state(mesh: Mesh, state):
+def _zero1_spec(leaf, n_data):
+    """ZeRO-1: shard an optimizer-moment leaf over `data` on its first
+    divisible dim (mu/nu only live on the optimizer, so this spreads the
+    2x-params adam memory across the data-parallel group; XLA gathers
+    shards where the update needs them)."""
+    shape = getattr(leaf, 'shape', ())
+    for i, d in enumerate(shape):
+        if d % n_data == 0 and d >= n_data:
+            spec = [None] * len(shape)
+            spec[i] = 'data'
+            return P(*spec)
+    return None
+
+
+def shard_state(mesh: Mesh, state, zero1: bool = False):
     """Place a TrainState on the mesh: expert tensors sharded over `expert`
     (the same path rule applies to adam mu/nu, whose trees mirror params),
-    everything else replicated."""
+    FFN kernels over `model` when the mesh has that axis (_tp_spec),
+    everything else replicated. ``zero1=True`` additionally shards the
+    optimizer moments over `data` (ZeRO stage 1; the reference has no
+    counterpart — SURVEY §2.6 FSDP row)."""
     has_expert_axis = mesh.shape.get('expert', 1) > 1
     has_model_axis = mesh.shape.get('model', 1) > 1
 
@@ -146,19 +163,31 @@ def shard_state(mesh: Mesh, state):
             return NamedSharding(mesh, P('expert'))
         return NamedSharding(mesh, P())
 
-    def place(tree):
-        specs = jax.tree_util.tree_map_with_path(spec_for, tree)
+    n_data = mesh.shape.get('data', 1)
+
+    def opt_spec_for(path, leaf):
+        base = spec_for(path, leaf)
+        if not zero1 or n_data <= 1:
+            return base
+        if base.spec != P():
+            return base                      # expert/tp sharding wins
+        z = _zero1_spec(leaf, n_data)
+        return NamedSharding(mesh, z) if z is not None else base
+
+    def place(tree, spec_fn=None):
+        specs = jax.tree_util.tree_map_with_path(spec_fn or spec_for, tree)
         return jax.tree.map(jax.device_put, tree, specs)
 
     return state.replace(
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
         params=place(state.params),
         batch_stats=place(state.batch_stats),
-        opt_state=place(state.opt_state),
+        opt_state=place(state.opt_state, opt_spec_for),
     )
 
 
-def shard_train_step(train_step, mesh: Mesh, state, sample_batch):
+def shard_train_step(train_step, mesh: Mesh, state, sample_batch,
+                     zero1: bool = False):
     """Jit a train step over the mesh.
 
     Inputs are committed with explicit shardings (state via
@@ -168,7 +197,7 @@ def shard_train_step(train_step, mesh: Mesh, state, sample_batch):
 
     Returns (jitted_step, sharded_state, place_batch_fn).
     """
-    sharded_state = shard_state(mesh, state)
+    sharded_state = shard_state(mesh, state, zero1=zero1)
     batch_shard = batch_shardings(mesh, sample_batch)
 
     def place_batch(batch):

@@ -284,7 +284,9 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     batch0 = {'imgs': pre0['imgs'], 'target': pre0['target'],
               'target_weight': pre0['target_weight']}
     jitted, state, place_batch = shard_train_step(step_fn, mesh, state,
-                                                  batch0)
+                                                  batch0,
+                                                  zero1=rt.get('zero1',
+                                                               False))
 
     # ---- checkpointing / resume ------------------------------------
     ckpt = CheckpointManager(os.path.join(work_dir, 'ckpts'),
@@ -480,7 +482,9 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
               'target_weight': pre0['target_weight'],
               'dataset_idx': jnp.asarray(b0['dataset_idx'])}
     jitted, state, place_batch = shard_train_step(step_fn, mesh, state,
-                                                  batch0)
+                                                  batch0,
+                                                  zero1=rt.get('zero1',
+                                                               False))
 
     ckpt = CheckpointManager(os.path.join(work_dir, 'ckpts'),
                              save_best_metric=rt.get('save_best', 'AP'))
