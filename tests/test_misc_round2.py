@@ -223,3 +223,32 @@ def test_vis_pose_result_3d_full_options(tmp_path):
     assert os.path.getsize(out) > 1000
     # image panel + 2 pose panels
     assert len(fig.axes) == 3
+
+
+def test_best_checkpoint_min_mode(tmp_path):
+    """save_best='NME' must track the LOWEST value (reference
+    eval_hooks.py greater/less metric key lists); 'AP' the highest."""
+    import json
+    import jax.numpy as jnp
+    from vitpose_tpu.utils.checkpoint import CheckpointManager
+
+    class _S:
+        params = {'w': jnp.zeros(2)}
+        batch_stats = {}
+        opt_state = {}
+        step = jnp.zeros((), jnp.int32)
+
+    ck = CheckpointManager(str(tmp_path / 'nme'), save_best_metric='NME')
+    assert ck.mode == 'min'
+    ck.save(0, _S(), metrics={'NME': 0.5})
+    ck.save(1, _S(), metrics={'NME': 0.3})
+    ck.save(2, _S(), metrics={'NME': 0.4})
+    meta = json.load(open(str(tmp_path / 'nme' / 'meta.json')))
+    assert meta['best_epoch'] == 1 and meta['best_value'] == 0.3
+
+    ck2 = CheckpointManager(str(tmp_path / 'ap'), save_best_metric='AP')
+    assert ck2.mode == 'max'
+    ck2.save(0, _S(), metrics={'AP': 0.5})
+    ck2.save(1, _S(), metrics={'AP': 0.7})
+    meta2 = json.load(open(str(tmp_path / 'ap' / 'meta.json')))
+    assert meta2['best_epoch'] == 1 and meta2['best_value'] == 0.7

@@ -108,7 +108,12 @@ def main():
                 by_img[path].append(
                     dict(keypoints=np.asarray(r['preds'][i])))
         for path, poses in by_img.items():
-            out = os.path.join(args.show_dir, os.path.basename(path))
+            # flatten the path relative to img_prefix so same-named frames
+            # in different sequence dirs (posetrack/horse10) don't collide
+            rel = path[len(dcfg['val']['img_prefix']):].lstrip('/') \
+                if path.startswith(dcfg['val']['img_prefix']) \
+                else os.path.basename(path)
+            out = os.path.join(args.show_dir, rel.replace('/', '_'))
             vis_pose_result(None, path, poses, dataset_info=info,
                             out_file=out)
         print(f'saved {len(by_img)} visualizations to {args.show_dir}')

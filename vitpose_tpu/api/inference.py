@@ -445,10 +445,13 @@ def vis_pose_result_3d(pose_results_3d, skeleton=None, out_file=None,
         else:
             ax.scatter(kp[valid, 0], kp[valid, 1], kp[valid, 2], s=8)
         for li, (a, b) in enumerate(skeleton or []):
-            if not (valid[a] and valid[b]):
+            # skip links referencing joints outside this pose (e.g. a
+            # wholebody skeleton drawn over body-only keypoints)
+            if a >= len(kp) or b >= len(kp) or not (valid[a] and valid[b]):
                 continue
-            lc = (np.asarray(pose_link_color[li], np.float32) / 255.0
-                  if pose_link_color is not None else None)
+            lc = None
+            if pose_link_color is not None and li < len(pose_link_color):
+                lc = np.asarray(pose_link_color[li], np.float32) / 255.0
             ax.plot([kp[a, 0], kp[b, 0]], [kp[a, 1], kp[b, 1]],
                     [kp[a, 2], kp[b, 2]], lw=1,
                     color=tuple(lc) if lc is not None else None)
@@ -457,7 +460,10 @@ def vis_pose_result_3d(pose_results_3d, skeleton=None, out_file=None,
         ax.set_xlim3d([root[0] - axis_limit, root[0] + axis_limit])
         ax.set_ylim3d([root[1] - axis_limit, root[1] + axis_limit])
         ax.set_zlim3d([root[2] - axis_limit, root[2] + axis_limit])
-        ax.dist = axis_dist
+        # Axes3D.dist was removed in matplotlib 3.8; box-aspect zoom is the
+        # closest camera-distance control (reference default axis_dist=10
+        # maps to zoom 1)
+        ax.set_box_aspect(None, zoom=10.0 / float(axis_dist))
         ax.view_init(elev=elevation, azim=azimuth)
         if 'title' in res:
             ax.set_title(res['title'])

@@ -165,13 +165,19 @@ class TopDownDataset:
                 # face-zoo annotations carry an explicit center/scale
                 # (reference face_300w_dataset.py:87-89: center as-is,
                 # scalar scale -> [s, s] * 1.25); records with center/
-                # scale bypass the loader's bbox->cs derivation
+                # scale bypass the loader's bbox->cs derivation. The 1.25
+                # padding is a FACE convention — other mmpose jsons that
+                # carry center/scale (e.g. mpii_trb) store it pre-padded
+                # and are used as-is.
                 if 'center' in ann and 'scale' in ann:
+                    pad = (1.25 if self.info.dataset_name in
+                           ('300w', 'aflw', 'cofw', 'wflw',
+                            'coco_wholebody_face') else 1.0)
                     rec['center'] = np.asarray(ann['center'], np.float32)
                     rec['scale'] = (np.asarray([ann['scale'], ann['scale']]
                                                if np.isscalar(ann['scale'])
                                                else ann['scale'],
-                                               np.float32) * 1.25)
+                                               np.float32) * pad)
                 # PCKh / AFLW-NME normalizers when annotated
                 if 'head_size' in ann:
                     rec['head_size'] = float(ann['head_size'])

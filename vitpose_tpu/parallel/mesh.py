@@ -51,8 +51,16 @@ def make_mesh(n_data: Optional[int] = None, n_expert: int = 1,
     return Mesh(arr, ('data', 'expert', 'model'))
 
 
+def _divisible(leaf, spec, mesh_shape):
+    """True iff the leaf's rank matches the spec and every named axis
+    divides the corresponding dim."""
+    if getattr(leaf, 'ndim', None) != len(spec):
+        return False
+    return all(ax is None or leaf.shape[i] % mesh_shape.get(ax, 1) == 0
+               for i, ax in enumerate(spec))
 
-def _tp_spec(keys, leaf):
+
+def _tp_spec(keys, leaf, mesh_shape):
     """FFN tensor-parallel PartitionSpec for a param path, or None.
 
     Megatron sharding over the `model` axis: fc1 [D, hidden] splits the
@@ -65,14 +73,19 @@ def _tp_spec(keys, leaf):
     layer, name = keys[-2], keys[-1]
     nd = getattr(leaf, 'ndim', 0)
     if layer == 'fc1' and name == 'kernel' and nd == 2:
-        return P(None, 'model')
-    if layer == 'fc1' and name == 'bias' and nd == 1:
-        return P('model')
-    if layer == 'fc2' and name == 'kernel' and nd == 2:
-        return P('model', None)
-    if name == 'expert_kernel' and nd == 3:
-        return P('expert', 'model', None)
-    return None
+        spec = P(None, 'model')
+    elif layer == 'fc1' and name == 'bias' and nd == 1:
+        spec = P('model')
+    elif layer == 'fc2' and name == 'kernel' and nd == 2:
+        spec = P('model', None)
+    elif name == 'expert_kernel' and nd == 3:
+        spec = P('expert', 'model', None)
+    else:
+        return None
+    # adam mu/nu mirror param shapes, but optax also carries scalar-shaped
+    # leaves under the same paths; only shard when every named axis divides
+    # its dim
+    return spec if _divisible(leaf, spec, mesh_shape) else None
 
 
 def param_shardings(mesh: Mesh, params):
@@ -85,7 +98,7 @@ def param_shardings(mesh: Mesh, params):
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
         if has_model_axis:
-            tp = _tp_spec(keys, leaf)
+            tp = _tp_spec(keys, leaf, mesh.shape)
             if tp is not None:
                 return NamedSharding(mesh, tp)
         if has_expert_axis and keys and keys[-1].startswith('expert_'):
@@ -136,26 +149,13 @@ def shard_state(mesh: Mesh, state, zero1: bool = False):
     has_model_axis = mesh.shape.get('model', 1) > 1
 
     n_expert = mesh.shape.get('expert', 1)
-    n_model = mesh.shape.get('model', 1)
 
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
         if has_model_axis:
-            tp = _tp_spec(keys, leaf)
+            tp = _tp_spec(keys, leaf, mesh.shape)
             if tp is not None:
-                # adam mu/nu mirror param shapes; guard divisibility so
-                # scalar-shaped optax leaves stay replicated
-                dims = [d for d in tp if d is not None]
-                ok = all(
-                    leaf.shape[i] % (n_expert if ax == 'expert' else n_model)
-                    == 0
-                    for i, ax in enumerate(tp)
-                    if ax is not None) if getattr(leaf, 'ndim', 0) == len(tp) \
-                    else False
-                del dims
-                if ok:
-                    return NamedSharding(mesh, tp)
-                return NamedSharding(mesh, P())
+                return NamedSharding(mesh, tp)
         if (has_expert_axis and keys
                 and keys[-1].startswith('expert_')
                 and getattr(leaf, 'ndim', 0) >= 1

@@ -289,8 +289,10 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                                                                False))
 
     # ---- checkpointing / resume ------------------------------------
+    save_best = (rt.get('save_best')
+                 or cfg.get('evaluation', {}).get('save_best', 'AP'))
     ckpt = CheckpointManager(os.path.join(work_dir, 'ckpts'),
-                             save_best_metric=rt.get('save_best', 'AP'))
+                             save_best_metric=save_best)
     start_epoch = 0
     if resume:
         state, ep = ckpt.restore(state)
@@ -486,8 +488,10 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
                                                   zero1=rt.get('zero1',
                                                                False))
 
+    save_best = (rt.get('save_best')
+                 or cfg.get('evaluation', {}).get('save_best', 'AP'))
     ckpt = CheckpointManager(os.path.join(work_dir, 'ckpts'),
-                             save_best_metric=rt.get('save_best', 'AP'))
+                             save_best_metric=save_best)
     start_epoch = 0
     if resume:
         state, ep = ckpt.restore(state)

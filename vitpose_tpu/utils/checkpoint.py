@@ -21,8 +21,14 @@ def _ocp():
     return ocp
 
 
+# metrics where smaller is better (reference eval_hooks.py:7-10
+# greater/less key lists)
+_LESS_IS_BETTER = ('NME', 'EPE', 'MPJPE', 'P-MPJPE', 'N-MPJPE', 'loss')
+
+
 class CheckpointManager:
-    def __init__(self, directory, max_to_keep=3, save_best_metric='AP'):
+    def __init__(self, directory, max_to_keep=3, save_best_metric='AP',
+                 mode=None):
         ocp = _ocp()
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
@@ -32,11 +38,16 @@ class CheckpointManager:
                                                  create=True),
         )
         self.save_best_metric = save_best_metric
-        self.best_value = -np.inf
+        if mode is None:
+            mode = ('min' if any(save_best_metric.startswith(m)
+                                 for m in _LESS_IS_BETTER) else 'max')
+        self.mode = mode
+        self.best_value = np.inf if mode == 'min' else -np.inf
         self._meta_path = os.path.join(self.directory, 'meta.json')
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
-                self.best_value = json.load(f).get('best_value', -np.inf)
+                self.best_value = json.load(f).get('best_value',
+                                                   self.best_value)
 
     def save(self, epoch, state, metrics: Optional[dict] = None, meta=None):
         ocp = _ocp()
@@ -55,10 +66,14 @@ class CheckpointManager:
             json.dump(info, f)
         if metrics and self.save_best_metric in metrics:
             v = float(metrics[self.save_best_metric])
-            if v > self.best_value:
+            better = v < self.best_value if self.mode == 'min' \
+                else v > self.best_value
+            if better:
                 self.best_value = v
                 with open(self._meta_path, 'w') as f:
-                    json.dump({'best_value': v, 'best_epoch': epoch}, f)
+                    json.dump({'best_value': v, 'best_epoch': epoch,
+                               'metric': self.save_best_metric,
+                               'mode': self.mode}, f)
 
     def latest_epoch(self):
         return self.mgr.latest_step()

@@ -666,6 +666,11 @@ def convert_cpm(sd, prefix=''):
 # ---------------------------------------------------------------------------
 # Full-model conversion for CNN-backbone TopDown checkpoints
 
+# Families whose checkpoints pair the backbone with
+# TopdownHeatmapSimpleHead (what convert_head parses). Multistage
+# families (cpm/hourglass/mspn/rsn) and ViPNAS use different head
+# layouts — their backbone converters exist above, but full-model .pth
+# conversion for them is not wired yet.
 BACKBONE_CONVERTERS = {
     'resnet': convert_resnext,           # identical layer naming
     'resnext': convert_resnext,
@@ -674,17 +679,10 @@ BACKBONE_CONVERTERS = {
     'hrnet': convert_hrnet,
     'hrnetv2': convert_hrnet,            # same backbone, concat output
     'scnet': convert_scnet,
-    'mspn': convert_mspn,
-    'rsn': convert_rsn,
     'litehrnet': convert_litehrnet,
     'hrformer': convert_hrformer,
-    'vipnas_mbv3': convert_vipnas_mbv3,
-    'vipnas_resnet': convert_vipnas_resnet,
     'mobilenet_v2': convert_mobilenet_v2,
     'shufflenet_v2': convert_shufflenet_v2,
-    'cpm': convert_cpm,
-    'hourglass': convert_hourglass,
-    'hourglass_ae': convert_hourglass_ae,
 }
 
 
@@ -701,11 +699,19 @@ def convert_generic_topdown_checkpoint(path_or_sd, backbone_type):
           if isinstance(path_or_sd, str) else dict(path_or_sd))
     if backbone_type not in BACKBONE_CONVERTERS:
         raise KeyError(
-            f'no torch converter for backbone_type {backbone_type!r}; '
-            f'available: {sorted(BACKBONE_CONVERTERS)}')
+            f'no full-model torch converter for backbone_type '
+            f'{backbone_type!r} (multistage/ViPNAS heads have different '
+            f'layouts); available: {sorted(BACKBONE_CONVERTERS)}')
     bb_params, bb_stats = BACKBONE_CONVERTERS[backbone_type](
         sd, prefix='backbone.')
     head_params, head_stats = convert_head(sd, prefix='keypoint_head.')
+    if not head_params and any(k.startswith('keypoint_head.')
+                               for k in sd):
+        raise ValueError(
+            'keypoint_head.* keys present but none matched the '
+            'TopdownHeatmapSimpleHead layout — this checkpoint likely '
+            'uses a multistage/ViPNAS head that convert_head does not '
+            'parse')
     params = {'backbone': bb_params, 'head': head_params}
     batch_stats = {}
     if bb_stats:
