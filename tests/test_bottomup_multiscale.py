@@ -228,3 +228,49 @@ def test_resize_align_golden():
                                    np.asarray(ref_c2, np.float32),
                                    rtol=1e-6)
         np.testing.assert_allclose(s2, ref_s2, rtol=1e-6)
+
+
+def test_higher_hrnet_multires_inference_paths():
+    """AEHigherResolutionHead returns a LIST of multi-resolution maps;
+    both inference helpers must aggregate it (reference HigherHRNet
+    single-scale: upsample+average heatmaps, tags from output 0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.api.inference import inference_bottom_up_multi_scale
+
+    cfg = load_config('vitpose_tpu/configs/coco/'
+                      'higher_hrnet32_coco_512x512.py')
+    cfg['model']['backbone_overrides'] = dict(width=8,
+                                              stage_modules=(1, 1, 1),
+                                              stage_blocks=1)
+    cfg['model']['head_overrides'] = dict(num_basic_blocks=1,
+                                          deconv_filters=(8,),
+                                          deconv_kernels=(4,),
+                                          cat_output=(True,),
+                                          with_ae_loss=(True, False),
+                                          final_kernel=1,
+                                          tag_per_joint=True)
+    est = build_model_from_cfg(cfg['model'])
+    rng = jax.random.PRNGKey(0)
+    variables = est.init(rng, jnp.zeros((1, 128, 128, 3)))
+    out = est.apply(variables, jnp.zeros((1, 128, 128, 3)))
+    assert isinstance(out, list) and len(out) == 2
+
+    # single-scale jit path (estimator.infer)
+    fi = est.dataset_info.flip_index
+    hm, tags = est.infer(variables, jnp.zeros((2, 128, 128, 3)), fi)
+    assert hm.shape[:2] == (2, 17)
+    assert tags.shape[:2] == (2, 17) and tags.shape[-1] == 2
+    # aggregated at the HIGHEST output resolution
+    assert hm.shape[2] == out[1].shape[1]
+
+    # multi-scale API path
+    img = (np.random.RandomState(0).rand(160, 120, 3) * 255).astype(
+        np.uint8)
+    pose_results, _ = inference_bottom_up_multi_scale(
+        est, variables, img, test_scale_factor=(1.0,), base_size=128)
+    for p in pose_results:
+        assert np.isfinite(p['keypoints']).all()

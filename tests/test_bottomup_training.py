@@ -29,10 +29,13 @@ def test_bottomup_training_converges():
     bb = ViTConfig(img_size=(128, 128), embed_dim=48, depth=2, num_heads=4)
     est = BottomUpEstimator(bb, num_joints=17,
                             dataset_info=DatasetInfo.load('coco'))
+    from vitpose_tpu.train.bottomup_loop import split_bottomup_variables
     rng = jax.random.PRNGKey(0)
     variables = est.init(rng, jnp.zeros((1, 128, 128, 3)))
+    params, batch_stats = split_bottomup_variables(variables)
     tx = optax.adam(1e-3)
-    opt_state = tx.init(variables)
+    opt_state = tx.init(params)
+    stats0 = jax.tree.leaves(batch_stats)
 
     loss_fn, train_step = make_bottomup_train_step(est)
     step = jax.jit(functools.partial(train_step, tx=tx))
@@ -42,9 +45,16 @@ def test_bottomup_training_converges():
         loader.set_epoch(epoch)
         for batch in loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            variables, opt_state, metrics = step(variables, opt_state,
-                                                 batch)
+            params, batch_stats, opt_state, metrics = step(
+                params, batch_stats, opt_state, batch)
             losses.append(float(metrics['total_loss']))
+    # BN running stats were collected by training, not gradient-updated
+    stats1 = jax.tree.leaves(batch_stats)
+    assert len(stats0) == len(stats1)
+    if stats0:
+        assert any(not np.allclose(a, b)
+                   for a, b in zip(stats0, stats1)), \
+            'batch_stats never updated in train mode'
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], (losses[0], losses[-1])
     # all three loss components present

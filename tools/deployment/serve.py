@@ -82,6 +82,41 @@ def make_handler(model):
     return Handler
 
 
+def _calibration_batches(calib_dir, ih, iw, n=16):
+    """Representative inputs for int8 activation calibration: normalized
+    real images from --calib-dir when given, else uniform [0,1] synthetic
+    images pushed through the SAME imagenet normalization the serving path
+    uses (N(0,1) noise would mis-estimate real activation ranges)."""
+    import numpy as np
+    from vitpose_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    def norm(x01):
+        return ((x01 - np.asarray(IMAGENET_MEAN, np.float32))
+                / np.asarray(IMAGENET_STD, np.float32))
+
+    if calib_dir:
+        import cv2
+        import glob
+        paths = sorted(
+            p for ext in ('jpg', 'jpeg', 'png')
+            for p in glob.glob(os.path.join(calib_dir, f'*.{ext}')))[:n]
+        if paths:
+            imgs = []
+            for p in paths:
+                img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+                img = cv2.resize(img, (iw, ih))
+                imgs.append(img.astype(np.float32) / 255.0)
+            return [norm(np.stack(imgs))]
+        print(f'no images found in {calib_dir}; falling back to '
+              'synthetic calibration inputs', flush=True)
+    else:
+        print('int8 calibration on synthetic inputs; pass --calib-dir '
+              'with representative images for best accuracy', flush=True)
+    rng = np.random.RandomState(0)
+    return [norm(rng.rand(8, ih, iw, 3).astype(np.float32))
+            for _ in range(2)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--variant', default='s')
@@ -98,26 +133,67 @@ def main():
                          '~13%% faster on v5e, small accuracy cost)')
     ap.add_argument('--int8-qkv', action='store_true',
                     help='also quantize attention qkv/proj (implies --int8)')
+    ap.add_argument('--calib-dir', default=None,
+                    help='directory of representative images for int8 '
+                         'activation calibration (strongly recommended; '
+                         'without it calibration falls back to synthetic '
+                         'inputs and accuracy may degrade)')
     args = ap.parse_args()
     args.int8 = args.int8 or args.int8_qkv
 
     import dataclasses as dc
     from vitpose_tpu.api import init_pose_model
+    backbone_type = 'vit'
+    built = None
     if args.config:
         from vitpose_tpu.utils.config import load_config
         from vitpose_tpu.train.loop import build_model_from_cfg
-        model_cfg = build_model_from_cfg(
-            load_config(args.config)['model']).cfg
+        file_cfg = load_config(args.config)
+        backbone_type = file_cfg['model'].get('backbone_type', 'vit')
+        built = build_model_from_cfg(file_cfg['model'])
+        model_cfg = built.cfg
     else:
         from vitpose_tpu.models import make_config
         model_cfg = make_config(args.variant, img_size=(256, 192),
                                 out_channels=17)
     if args.fast:
-        model_cfg = dc.replace(
-            model_cfg, backbone=dc.replace(
-                model_cfg.backbone, dtype='bfloat16',
-                fused_attention=True, gelu_approx=True))
-    model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
+        if backbone_type == 'vit':
+            model_cfg = dc.replace(
+                model_cfg, backbone=dc.replace(
+                    model_cfg.backbone, dtype='bfloat16',
+                    fused_attention=True, gelu_approx=True))
+        else:
+            print('--fast (bf16 + Pallas attention + tanh GELU) is a '
+                  'ViT-path option; ignored for CNN backbones',
+                  flush=True)
+    if backbone_type == 'vit':
+        model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
+    else:
+        # CNN config zoo: serve the ACTUAL configured architecture (the
+        # generic estimator), not a ViT built from the placeholder cfg
+        import jax
+        import jax.numpy as jnp
+        from vitpose_tpu.api.inference import PoseModel
+        from vitpose_tpu.data import DatasetInfo
+        ih, iw = model_cfg.backbone.img_size
+        if args.checkpoint:
+            from vitpose_tpu.utils.cnn_ckpt import (
+                convert_generic_topdown_checkpoint)
+            variables = jax.tree.map(
+                jnp.asarray,
+                convert_generic_topdown_checkpoint(args.checkpoint,
+                                                   backbone_type))
+        else:
+            variables = built.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, ih, iw, 3)))
+        info = DatasetInfo.load(file_cfg['data'].get('dataset', 'coco'))
+        model = PoseModel(model=built, variables=variables, cfg=model_cfg,
+                          dataset_info=info, image_size=(iw, ih),
+                          heatmap_size=(iw // 4, ih // 4))
+    if args.int8 and backbone_type != 'vit':
+        print('--int8 targets the ViT serving path; ignored for CNN '
+              'backbones', flush=True)
+        args.int8 = False
     if args.int8:
         import jax
         import jax.numpy as jnp
@@ -125,8 +201,7 @@ def main():
         from vitpose_tpu.utils.quantize import (calibrate_act_scales,
                                                 int8_serving_config)
         ih, iw = model_cfg.backbone.img_size
-        cal = [jax.random.normal(jax.random.PRNGKey(i), (8, ih, iw, 3),
-                                 jnp.float32) for i in range(2)]
+        cal = _calibration_batches(args.calib_dir, ih, iw)
         scales = calibrate_act_scales(model.model, model.variables, cal,
                                       attn=args.int8_qkv)
         model.model = TopDownModel(int8_serving_config(model_cfg, scales,

@@ -296,7 +296,8 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
                                     dataset_info=None,
                                     test_scale_factor=(1.0,),
                                     base_size=512, use_udp=False,
-                                    pose_nms_thr=0.9, with_flip=True):
+                                    pose_nms_thr=0.9, with_flip=True,
+                                    align_corners=None):
     """Multi-scale (optionally UDP-aligned) bottom-up inference — the
     reference's default test protocol (associative_embedding.py:28
     `forward_test`): per scale, `resize_align_multi_scale(_udp)` the
@@ -309,9 +310,14 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
     import jax.numpy as jnp
     from ..data.bottomup import resize_align_multi_scale
     from ..models.bottomup import (aggregate_stage_flip, aggregate_scale,
-                                   flip_feature_maps)
+                                   flip_feature_maps, split_ae_outputs)
     from ..models.bottomup import get_group_preds
     from ..ops.nms import oks_nms
+
+    if align_corners is None:
+        # reference config convention: plain AE configs set
+        # align_corners=False, UDP configs True (higherhrnet_w32_*.py:106)
+        align_corners = bool(use_udp)
 
     if isinstance(img, str):
         img = cv2.cvtColor(cv2.imread(img), cv2.COLOR_BGR2RGB)
@@ -332,32 +338,50 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
             base_hw = resized.shape[:2]
         x = jnp.asarray(resized[None], jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        out = estimator.apply(variables, x)              # NHWC [1,h,w,2K]
-        out = out.transpose(0, 3, 1, 2)
-        hm, tag = out[:, :k], out[:, k:]
+
+        def apply_split(inp):
+            """Model output(s) -> (heatmap list, tag list) in NCHW.
+            Multi-resolution heads (AEHigherResolutionHead) return a list
+            of maps; per-output tag presence follows the head's
+            with_ae_loss (reference split_ae_outputs + the higherhrnet
+            test_cfg with_heatmaps/with_ae lists)."""
+            out = estimator.apply(variables, inp)
+            outs = list(out) if isinstance(out, (list, tuple)) else [out]
+            outs = [jnp.asarray(o).transpose(0, 3, 1, 2) for o in outs]
+            wa = getattr(getattr(estimator, 'head', None),
+                         'with_ae_loss', None)
+            if isinstance(wa, (list, tuple)) and len(wa) >= len(outs):
+                with_ae = list(wa)[:len(outs)]
+            else:
+                with_ae = [o.shape[1] > k for o in outs]
+            return split_ae_outputs(outs, k, [True] * len(outs), with_ae,
+                                    list(range(len(outs))))
+
+        hms, tags_o = apply_split(x)
         if with_flip:
-            out_f = estimator.apply(variables, x[:, :, ::-1, :])
-            out_f = out_f.transpose(0, 3, 1, 2)
-            hm_f = flip_feature_maps([out_f[:, :k]],
-                                     flip_index=flip_index)[0]
-            tag_f = flip_feature_maps([out_f[:, k:]],
-                                      flip_index=flip_index)[0]
+            hms_f, tags_f = apply_split(x[:, :, ::-1, :])
+            hms_f = flip_feature_maps(hms_f, flip_index=flip_index)
+            tags_f = flip_feature_maps(tags_f, flip_index=flip_index)
         else:
-            hm_f = tag_f = None
+            hms_f = tags_f = None
         agg_hm = aggregate_stage_flip(
-            [hm], [hm_f] if hm_f is not None else None,
-            project2image=True, size_projected=(base_hw[1], base_hw[0]),
-            aggregate_flip='average')[0]
+            hms, hms_f, project2image=True,
+            size_projected=(base_hw[1], base_hw[0]),
+            align_corners=align_corners,
+            aggregate_stage='average', aggregate_flip='average')[0]
         heatmaps_list.append(agg_hm)
         if s == 1.0 or len(test_scale_factor) == 1:
             # tags participate only at the base scale (reference
-            # associative_embedding.py:188-199)
-            for t in ([tag, tag_f] if tag_f is not None else [tag]):
-                tags_list.append(aggregate_stage_flip(
-                    [t], None, project2image=True,
-                    size_projected=(base_hw[1], base_hw[0]))[0])
-    heatmaps = aggregate_scale(heatmaps_list)            # [1, K, H, W]
-    tags = aggregate_scale(tags_list,
+            # associative_embedding.py:188-199); stages and flip both
+            # concat along L
+            tags_list.extend(aggregate_stage_flip(
+                tags_o, tags_f, project2image=True,
+                size_projected=(base_hw[1], base_hw[0]),
+                align_corners=align_corners,
+                aggregate_stage='concat', aggregate_flip='concat'))
+    heatmaps = aggregate_scale(heatmaps_list,
+                               align_corners=align_corners)  # [1,K,H,W]
+    tags = aggregate_scale(tags_list, align_corners=align_corners,
                            aggregate_scale_mode='unsqueeze_concat')
     results, scores = estimator.parser.parse(
         np.asarray(heatmaps, np.float32), np.asarray(tags, np.float32))

@@ -152,17 +152,6 @@ class PoseTrackDataset(TopDownDataset):
         super().__init__(ann_file, img_prefix, dataset_info=dataset_info,
                          canvas_size=canvas_size, **kw)
 
-    def _load_gt_db(self):
-        db = super()._load_gt_db()
-        # keep head boxes for PCKh evaluation
-        heads = {}
-        for ann in self.coco.dataset.get('annotations', []):
-            if 'bbox_head' in ann:
-                heads[(ann['image_id'],
-                       tuple(np.round(ann['bbox'][:2], 3)))] = \
-                    ann['bbox_head']
-        return db
-
     def evaluate(self, results, res_folder=None, metric='mAP',
                  rle_score=False, **kw):
         """Rescoring + OKS-NMS, per-video json writing, poseval-style AP."""

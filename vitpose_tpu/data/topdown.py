@@ -36,6 +36,17 @@ from ..eval.cocoeval import CocoKeypointEval
 _NME_LANDMARKS = {'300w': (36, 45), 'coco_wholebody_face': (36, 45),
                   'cofw': (8, 9), 'wflw': (60, 72), 'horse10': (0, 1)}
 
+# bbox clip conventions (see _load_gt_db): datasets whose reference
+# kernels clip with x1+max(0, w-1)
+_CLIP_W_MINUS1 = {'coco_wholebody', 'posetrack18', 'jhmdb', 'macaque',
+                  'animalpose', 'atrw', 'ap10k', 'apt36k'}
+# datasets whose reference loaders use obj['bbox'] unclipped
+_CLIP_NONE = {'300w', 'aflw', 'cofw', 'wflw', 'coco_wholebody_face',
+              'coco_wholebody_hand', 'onehand10k', 'freihand2d', 'rhd2d',
+              'panoptic_hand2d', 'interhand2d', 'deepfashion_upper',
+              'deepfashion_lower', 'deepfashion_full', 'horse10', 'fly',
+              'locust', 'zebra', 'mpii_trb'}
+
 
 class TopDownDataset:
     """COCO-format top-down dataset.
@@ -120,16 +131,29 @@ class TopDownDataset:
                 if 'bbox' not in ann or 'keypoints' not in ann:
                     continue
                 # clip box to the image, drop degenerate/empty ones.
-                # COCO's kernel clips with x1+max(0,w)
-                # (topdown_coco_dataset.py:303); every other reference
-                # dataset uses x1+max(0,w-1) (e.g. ap10k :142, jhmdb :130)
-                m1 = 0 if self.info.dataset_name == 'coco' else 1
+                # Three reference conventions:
+                #   * COCO's kernel clips with x1+max(0,w)
+                #     (topdown_coco_dataset.py:303), inherited by aic/
+                #     crowdpose/ochuman/halpe/mhp/h36m;
+                #   * wholebody/jhmdb/posetrack18(video)/macaque/
+                #     animalpose/atrw/ap10k re-define it with
+                #     x1+max(0,w-1) (grep "max(0, w - 1)");
+                #   * face/hand/fashion/lab-animal datasets do NOT clip —
+                #     obj['bbox'] feeds _xywh2cs directly
+                #     (e.g. face_300w_dataset.py:91).
+                name = self.info.dataset_name
                 x, y, w, h = ann['bbox']
-                x1, y1 = max(0, x), max(0, y)
-                x2 = min(width - 1, x1 + max(0, w - m1))
-                y2 = min(height - 1, y1 + max(0, h - m1))
-                if ann.get('area', 1) <= 0 or x2 <= x1 or y2 <= y1:
-                    continue
+                if name in _CLIP_NONE:
+                    if w <= 0 or h <= 0:
+                        continue
+                    x1, y1, x2, y2 = x, y, x + w, y + h
+                else:
+                    m1 = 1 if name in _CLIP_W_MINUS1 else 0
+                    x1, y1 = max(0, x), max(0, y)
+                    x2 = min(width - 1, x1 + max(0, w - m1))
+                    y2 = min(height - 1, y1 + max(0, h - m1))
+                    if ann.get('area', 1) <= 0 or x2 <= x1 or y2 <= y1:
+                        continue
                 if max(ann['keypoints']) == 0:
                     continue
                 if ann.get('num_keypoints', 1) == 0:

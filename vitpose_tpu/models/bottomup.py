@@ -25,6 +25,35 @@ from ..ops.geometry import transform_preds
 from ..ops.group import HeatmapParser
 
 
+def reduce_multires_output(outs, num_joints, with_ae=None):
+    """Multi-resolution AE head outputs (NHWC list, e.g.
+    AEHigherResolutionHead) -> ONE [N, H, W, K+tagK] map at the highest
+    resolution: heatmaps bilinearly upsampled and averaged across outputs,
+    tags taken from the first tag-bearing output (reference HigherHRNet
+    single-scale aggregation: with_heatmaps=[True, True],
+    with_ae=[True, False])."""
+    outs = list(outs)
+    k = num_joints
+    if with_ae is None or not isinstance(with_ae, (list, tuple)):
+        with_ae = [o.shape[-1] > k for o in outs]
+    target = max(outs, key=lambda o: o.shape[1] * o.shape[2])
+    n, th, tw = target.shape[0], target.shape[1], target.shape[2]
+
+    def up(x):
+        if x.shape[1:3] == (th, tw):
+            return x
+        return jax.image.resize(x, (n, th, tw, x.shape[-1]),
+                                method='bilinear')
+
+    hm = sum(up(o[..., :k]) for o in outs) / len(outs)
+    tag = None
+    for o, wa in zip(outs, with_ae):
+        if wa and o.shape[-1] > k:
+            tag = up(o[..., k:])
+            break
+    return hm if tag is None else jnp.concatenate([hm, tag], axis=-1)
+
+
 def ae_forward_with_flip(apply_fn, variables, imgs, num_joints, flip_index,
                          align_corners=False, with_flip=True):
     """Run an AE model on imgs and the horizontal flip; average heatmaps and
@@ -113,22 +142,55 @@ class BottomUpEstimator:
         head_vars = self.head.init(rng, feat)
         return {'backbone': bb_vars, 'head': head_vars}
 
-    def apply(self, variables, imgs, train=False):
+    def apply(self, variables, imgs, train=False, mutable=False):
+        """Forward. With ``mutable=True`` (training with BN backbones/
+        heads) returns (out, new_batch_stats) where new_batch_stats is a
+        {'backbone': ..., 'head': ...} tree of updated running stats."""
+        new_stats = {}
         if isinstance(self.backbone, ViT):
             feat = self.backbone.apply(variables['backbone'], imgs,
                                        deterministic=not train)
+            new_stats['backbone'] = variables['backbone'].get(
+                'batch_stats', {})
         else:
-            feat = self.backbone.apply(variables['backbone'], imgs,
-                                       train=train)
+            if mutable and train and 'batch_stats' in variables['backbone']:
+                feat, st = self.backbone.apply(
+                    variables['backbone'], imgs, train=True,
+                    mutable=['batch_stats'])
+                new_stats['backbone'] = st['batch_stats']
+            else:
+                # no BN running stats to track (e.g. LayerNorm backbone)
+                feat = self.backbone.apply(variables['backbone'], imgs,
+                                           train=train)
+                new_stats['backbone'] = variables['backbone'].get(
+                    'batch_stats', {})
             if isinstance(feat, (list, tuple)):
                 feat = feat[0]
-        return self.head.apply(variables['head'], feat, train=train)
+        if mutable and train and 'batch_stats' in variables['head']:
+            out, st = self.head.apply(variables['head'], feat, train=True,
+                                      mutable=['batch_stats'])
+            new_stats['head'] = st['batch_stats']
+        elif mutable:
+            out = self.head.apply(variables['head'], feat, train=train)
+            new_stats['head'] = variables['head'].get('batch_stats', {})
+        else:
+            out = self.head.apply(variables['head'], feat, train=train)
+        if mutable:
+            return out, new_stats
+        return out
 
     def infer(self, variables, imgs, flip_index, with_flip=True):
         if self._jit is None:
+            def apply_reduced(vv, xx):
+                out = self.apply(vv, xx)
+                if isinstance(out, (list, tuple)):
+                    out = reduce_multires_output(
+                        out, self.num_joints,
+                        getattr(self.head, 'with_ae_loss', None))
+                return out
             self._jit = jax.jit(
                 lambda v, x: ae_forward_with_flip(
-                    lambda vv, xx: self.apply(vv, xx), v, x,
+                    apply_reduced, v, x,
                     self.num_joints, flip_index, with_flip=with_flip))
         return self._jit(variables, imgs)
 

@@ -82,6 +82,25 @@ class BottomUpLoader:
                        masks=np.stack(masks), ae_joints=np.stack(aes))
 
 
+def split_bottomup_variables(variables):
+    """{'backbone': {params, batch_stats?}, 'head': ...} -> (params tree,
+    batch_stats tree) so the optimizer touches ONLY params (BN running
+    stats must not receive gradient updates)."""
+    params = {k: v['params'] for k, v in variables.items()}
+    stats = {k: v.get('batch_stats', {}) for k, v in variables.items()}
+    return params, stats
+
+
+def join_bottomup_variables(params, stats):
+    out = {}
+    for k in params:
+        v = {'params': params[k]}
+        if stats.get(k):
+            v['batch_stats'] = stats[k]
+        out[k] = v
+    return out
+
+
 def make_bottomup_train_step(estimator, push_loss_factor=0.001,
                              pull_loss_factor=0.001, heatmap_loss_factor=1.0,
                              ae_loss_type='exp'):
@@ -96,10 +115,21 @@ def make_bottomup_train_step(estimator, push_loss_factor=0.001,
 
     k = estimator.num_joints
 
-    def loss_fn(variables, batch):
+    def _forward(params, batch_stats, x, train):
+        """Apply with the proper BN semantics: batch statistics collected
+        in train mode (mutable batch_stats), running stats excluded from
+        the gradient/optimizer path. params/batch_stats are the
+        {'backbone': ..., 'head': ...} split of the estimator variables
+        (see split_bottomup_variables)."""
+        variables = join_bottomup_variables(params, batch_stats)
+        if train:
+            return estimator.apply(variables, x, train=True, mutable=True)
+        return estimator.apply(variables, x, train=False), batch_stats
+
+    def loss_fn(params, batch_stats, batch, train=True):
         x = batch['imgs'].astype(jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        out = estimator.apply(variables, x, train=False)
+        out, new_stats = _forward(params, batch_stats, x, train)
         # multi-resolution heads (AEHigherResolutionHead) return a list:
         # every output gets a heatmap loss against the resized target
         # (reference MultiLossFactory with_heatmaps_loss=[True, True]);
@@ -143,16 +173,17 @@ def make_bottomup_train_step(estimator, push_loss_factor=0.001,
         push_loss = jnp.mean(push) * push_loss_factor
         pull_loss = jnp.mean(pull) * pull_loss_factor
         total = hm_loss + push_loss + pull_loss
-        return total, dict(heatmap_loss=hm_loss, push_loss=push_loss,
-                           pull_loss=pull_loss, total_loss=total)
+        metrics = dict(heatmap_loss=hm_loss, push_loss=push_loss,
+                       pull_loss=pull_loss, total_loss=total)
+        return total, (metrics, new_stats)
 
-    def train_step(variables, opt_state, batch, tx):
+    def train_step(params, batch_stats, opt_state, batch, tx):
         import optax
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(variables, batch)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        variables = optax.apply_updates(variables, updates)
-        return variables, opt_state, metrics
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, metrics
 
     return loss_fn, train_step
 
@@ -207,11 +238,21 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
     variables = est.init(rng, jnp.zeros((1, size, size, 3)))
     start_epoch = 0
     latest = os.path.join(work_dir, 'latest.npz')
+    opt_path = os.path.join(work_dir, 'opt.npz')
     if resume and os.path.exists(latest):
         variables = load_params_npz(latest)
         meta = json.load(open(os.path.join(work_dir, 'latest.json')))
         start_epoch = meta['epoch'] + 1
-    opt_state = tx.init(variables)
+    params, batch_stats = split_bottomup_variables(variables)
+    opt_state = tx.init(params)
+    if resume and os.path.exists(opt_path):
+        # restore adam moments + schedule count: flat leaves back into the
+        # freshly-initialized opt_state structure
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        with np.load(opt_path) as z:
+            loaded = [jnp.asarray(z[f'leaf_{i}'])
+                      for i in range(len(leaves))]
+        opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
 
     _, train_step = make_bottomup_train_step(est)
     step_j = jax.jit(functools.partial(train_step, tx=tx))
@@ -222,8 +263,8 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
         t0 = time.time()
         for it, batch in enumerate(loader):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            variables, opt_state, metrics = step_j(variables, opt_state,
-                                                   batch)
+            params, batch_stats, opt_state, metrics = step_j(
+                params, batch_stats, opt_state, batch)
             done += 1
             if it % cfg.get('runtime', {}).get('log_interval', 50) == 0:
                 rec = {'mode': 'train', 'epoch': epoch, 'iter': it,
@@ -235,11 +276,15 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
                     f.write(json.dumps(rec) + '\n')
             if max_steps and done >= max_steps:
                 break
+        variables = join_bottomup_variables(params, batch_stats)
         save_params_npz(latest, variables)
+        opt_leaves = jax.tree_util.tree_leaves(opt_state)
+        np.savez(opt_path, **{f'leaf_{i}': np.asarray(l)
+                              for i, l in enumerate(opt_leaves)})
         json.dump({'epoch': epoch},
                   open(os.path.join(work_dir, 'latest.json'), 'w'))
         print(json.dumps({'mode': 'epoch_done', 'epoch': epoch,
                           'secs': round(time.time() - t0, 1)}), flush=True)
         if max_steps and done >= max_steps:
             break
-    return variables
+    return join_bottomup_variables(params, batch_stats)

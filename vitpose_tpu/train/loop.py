@@ -87,11 +87,6 @@ def build_backbone(backbone_type: str, **bb_kwargs):
         from ..models.hrnet import HRNet, HRNetConfig
         return HRNet(HRNetConfig(**kw))
 
-    def _named(cls):
-        def make(**kw):
-            return cls(**kw)
-        return make
-
     from ..models.resnet import ResNet
     from ..models.resnext import ResNeXt, SEResNeXt
     from ..models.more_cnns import (SCNet, ResNeSt, RegNet, MobileNetV3,
@@ -109,28 +104,28 @@ def build_backbone(backbone_type: str, **bb_kwargs):
     registry = {
         'hrnet': _hrnet,
         'hrnetv2': _hrnetv2,
-        'resnet': _named(ResNet),
-        'resnext': _named(ResNeXt),
-        'seresnet': _named(SEResNet),
+        'resnet': ResNet,
+        'resnext': ResNeXt,
+        'seresnet': SEResNet,
         'seresnext': SEResNeXt,
         'scnet': SCNet,
         'resnest': ResNeSt,
-        'regnet': _named(RegNet),
-        'vgg': _named(VGG),
-        'alexnet': _named(AlexNet),
-        'mobilenet_v2': _named(MobileNetV2),
-        'mobilenet_v3': _named(MobileNetV3),
-        'shufflenet_v1': _named(ShuffleNetV1),
-        'shufflenet_v2': _named(ShuffleNetV2),
-        'litehrnet': _named(LiteHRNet),
-        'hrformer': _named(HRFormer),
-        'vipnas_mbv3': _named(ViPNASMobileNetV3),
-        'vipnas_resnet': _named(ViPNASResNet),
+        'regnet': RegNet,
+        'vgg': VGG,
+        'alexnet': AlexNet,
+        'mobilenet_v2': MobileNetV2,
+        'mobilenet_v3': MobileNetV3,
+        'shufflenet_v1': ShuffleNetV1,
+        'shufflenet_v2': ShuffleNetV2,
+        'litehrnet': LiteHRNet,
+        'hrformer': HRFormer,
+        'vipnas_mbv3': ViPNASMobileNetV3,
+        'vipnas_resnet': ViPNASResNet,
         # multi-stage families (paired with GenericMultiStageTopDown)
-        'cpm': _named(CPM),
-        'hourglass': _named(Hourglass),
-        'hourglass_ae': _named(HourglassAE),
-        'mspn': _named(MSPN),
+        'cpm': CPM,
+        'hourglass': Hourglass,
+        'hourglass_ae': HourglassAE,
+        'mspn': MSPN,
         'rsn': RSN,
     }
     if backbone_type not in registry:
