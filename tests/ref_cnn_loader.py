@@ -260,6 +260,7 @@ def _build_mmcv_stub():
             ('DepthwiseSeparableConvModule', DepthwiseSeparableConvModule),
             ('ContextBlock', ContextBlock),
             ('MaxPool2d', nn.MaxPool2d),
+            ('Linear', nn.Linear),
             ('build_conv_layer', build_conv_layer),
             ('build_norm_layer', build_norm_layer),
             ('build_activation_layer', build_activation_layer),
@@ -521,3 +522,79 @@ def ref_tcn():
         _cache['tcn'] = _load_as('mmpose.models.backbones.tcn',
                                  'mmpose/models/backbones/tcn.py')
     return _cache['tcn']
+
+
+def _install_head_stubs():
+    """mmpose.core / builder stubs the head modules import."""
+    core = types.ModuleType('mmpose.core')
+    ev = types.ModuleType('mmpose.core.evaluation')
+    ev.pose_pck_accuracy = lambda *a, **k: (None, 0.0, 0)
+    tde = types.ModuleType('mmpose.core.evaluation.top_down_eval')
+    tde.keypoints_from_heatmaps = lambda *a, **k: (None, None)
+    ev.top_down_eval = tde
+    pp = types.ModuleType('mmpose.core.post_processing')
+    pp.flip_back = lambda x, *a, **k: x
+    core.evaluation = ev
+    core.post_processing = pp
+    sys.modules.setdefault('mmpose.core', core)
+    sys.modules.setdefault('mmpose.core.evaluation', ev)
+    sys.modules.setdefault('mmpose.core.evaluation.top_down_eval', tde)
+    sys.modules.setdefault('mmpose.core.post_processing', pp)
+    bld = types.ModuleType('mmpose.models.builder')
+    bld.build_loss = lambda cfg=None: None
+
+    class _Heads:
+        def register_module(self, *a, **k):
+            def deco(cls):
+                return cls
+            return deco
+
+    bld.HEADS = _Heads()
+    sys.modules.setdefault('mmpose.models.builder', bld)
+    utils_ops = types.ModuleType('mmpose.models.utils.ops')
+
+    def resize(x, size=None, scale_factor=None, mode='nearest',
+               align_corners=None, warning=True):
+        import torch.nn.functional as F
+        return F.interpolate(x, size=size, scale_factor=scale_factor,
+                             mode=mode, align_corners=align_corners)
+
+    utils_ops.resize = resize
+    utils_mod = types.ModuleType('mmpose.models.utils')
+    utils_mod.ops = utils_ops
+    sys.modules.setdefault('mmpose.models.utils', utils_mod)
+    sys.modules.setdefault('mmpose.models.utils.ops', utils_ops)
+
+
+def ref_multistage_head():
+    """Reference TopdownHeatmapMultiStageHead / MSMU (torch)."""
+    if 'ms_head' not in _cache:
+        _install_stubs()
+        _load_backbone_utils()
+        _install_head_stubs()
+        heads_pkg = types.ModuleType('mmpose.models.heads')
+        heads_pkg.__path__ = [f'{REF}/mmpose/models/heads']
+        sys.modules.setdefault('mmpose.models.heads', heads_pkg)
+        _load_as('mmpose.models.heads.topdown_heatmap_base_head',
+                 'mmpose/models/heads/topdown_heatmap_base_head.py')
+        _cache['ms_head'] = _load_as(
+            'mmpose.models.heads.topdown_heatmap_multi_stage_head',
+            'mmpose/models/heads/topdown_heatmap_multi_stage_head.py')
+    return _cache['ms_head']
+
+
+def ref_vipnas_head():
+    """Reference ViPNASHeatmapSimpleHead (torch)."""
+    if 'vipnas_head' not in _cache:
+        _install_stubs()
+        _load_backbone_utils()
+        _install_head_stubs()
+        heads_pkg = types.ModuleType('mmpose.models.heads')
+        heads_pkg.__path__ = [f'{REF}/mmpose/models/heads']
+        sys.modules.setdefault('mmpose.models.heads', heads_pkg)
+        _load_as('mmpose.models.heads.topdown_heatmap_base_head',
+                 'mmpose/models/heads/topdown_heatmap_base_head.py')
+        _cache['vipnas_head'] = _load_as(
+            'mmpose.models.heads.vipnas_heatmap_simple_head',
+            'mmpose/models/heads/vipnas_heatmap_simple_head.py')
+    return _cache['vipnas_head']

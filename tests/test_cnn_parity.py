@@ -438,3 +438,69 @@ def test_generic_topdown_full_checkpoint_conversion():
     out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                       train=False)
     _assert_close(np.asarray(out), ref, tol=5e-4)
+
+
+def test_vipnas_head_conversion_parity():
+    """ViPNASHeatmapSimpleHead grouped deconvs -> ViPNASHead params."""
+    import ref_cnn_loader as RL2
+    from vitpose_tpu.utils.cnn_ckpt import convert_vipnas_head
+    from vitpose_tpu.models.heads_extra import ViPNASHead
+
+    torch.manual_seed(13)
+    head = RL2.ref_vipnas_head().ViPNASHeatmapSimpleHead(
+        in_channels=32, out_channels=8, num_deconv_layers=2,
+        num_deconv_filters=(16, 16), num_deconv_kernels=(4, 4),
+        num_deconv_groups=(4, 4), loss_keypoint=None)
+    head.eval()
+    x = np.random.RandomState(13).randn(2, 32, 8, 6).astype(np.float32)
+    with torch.no_grad():
+        ref = head(torch.from_numpy(x)).numpy()
+    sd = {f'keypoint_head.{k}': v.detach().numpy()
+          for k, v in head.state_dict().items()}
+    params, stats = convert_vipnas_head(sd)
+    model = ViPNASHead(8, deconv_filters=(16, 16), deconv_groups=(4, 4))
+    out = model.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    _assert_close(np.asarray(out).transpose(0, 3, 1, 2), ref, tol=5e-4)
+
+
+def test_hourglass_full_checkpoint_conversion():
+    """Hourglass + TopdownHeatmapMultiStageHead .pth -> the multistage
+    generic estimator (tools/test.py route for hourglass configs)."""
+    import ref_cnn_loader as RL2
+    from vitpose_tpu.utils.cnn_ckpt import (
+        convert_generic_topdown_checkpoint)
+    from vitpose_tpu.train.loop import build_model_from_cfg
+
+    torch.manual_seed(14)
+    bb = L.ref_hourglass().HourglassNet(
+        downsample_times=3, num_stacks=1, stage_channels=(256, 64, 96, 96),
+        stage_blocks=(1, 1, 1, 2), feat_channel=32)
+    head = RL2.ref_multistage_head().TopdownHeatmapMultiStageHead(
+        in_channels=32, out_channels=8, num_stages=1,
+        num_deconv_layers=0, extra=dict(final_conv_kernel=1),
+        loss_keypoint=None)
+    bb.eval(), head.eval()
+    x = np.random.RandomState(14).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        feats = bb(torch.from_numpy(x))
+        ref = head(feats)[-1].numpy()
+
+    sd = {}
+    sd.update({f'backbone.{k}': v.detach().numpy()
+               for k, v in bb.state_dict().items()})
+    sd.update({f'keypoint_head.{k}': v.detach().numpy()
+               for k, v in head.state_dict().items()})
+    model = build_model_from_cfg(dict(
+        backbone_type='hourglass',
+        backbone_overrides=dict(downsample_times=3, num_stacks=1,
+                                stage_channels=(256, 64, 96, 96),
+                                stage_blocks=(1, 1, 1, 2),
+                                feat_channel=32),
+        img_size=(64, 64), out_channels=8, head='multistage',
+        num_stages=1, deconv_filters=(), deconv_kernels=(),
+        final_kernel=1))
+    variables = convert_generic_topdown_checkpoint(sd, 'hourglass')
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    _assert_close(np.asarray(out), ref, tol=5e-4)

@@ -512,8 +512,15 @@ def _hourglass_module(cv, tname, fname, depth):
     _res_layer_blocks(cv, f'{tname}.low3', f'{fname}/low3')
 
 
-def convert_hourglass(sd, downsample_times=5, prefix=''):
-    """HourglassNet (reference hourglass.py:89)."""
+def convert_hourglass(sd, downsample_times=None, prefix=''):
+    """HourglassNet (reference hourglass.py:89). downsample_times=None
+    infers the nesting depth from the state-dict key structure."""
+    if downsample_times is None:
+        d = 0
+        while (f'{prefix}hourglass_modules.0' + '.low2' * (d + 1)
+               + '.low1.0.conv1.weight') in sd:
+            d += 1
+        downsample_times = d + 1
     cv = Cv(sd, prefix)
     cv.conv_module('stem.0', 'stem')
     _res_layer_blocks(cv, 'stem.1', 'stem_res')
@@ -666,6 +673,88 @@ def convert_cpm(sd, prefix=''):
 # ---------------------------------------------------------------------------
 # Full-model conversion for CNN-backbone TopDown checkpoints
 
+def convert_vipnas_head(sd, prefix='keypoint_head.'):
+    """ViPNASHeatmapSimpleHead (reference vipnas_heatmap_simple_head.py):
+    grouped deconv Sequential [deconv, BN, ReLU] * n + final 1x1 conv ->
+    our ViPNASHead's per-group deconv_{i}_{gi} kernels + bn_{i} + final.
+    Torch grouped ConvTranspose2d weight is [in, out/g, kh, kw] with the
+    input dim blocked by group."""
+    params, stats = {}, {}
+
+    def put(tree, path, v):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = np.asarray(v)
+
+    di = 0
+    while f'{prefix}deconv_layers.{di * 3}.weight' in sd:
+        w = np.asarray(sd[f'{prefix}deconv_layers.{di * 3}.weight'])
+        bnp = f'{prefix}deconv_layers.{di * 3 + 1}'
+        # grouped ConvTranspose2d weight is [in, out/g, kh, kw]; the
+        # following BN sees the full out channel count, so g = BN/out_per
+        out_total = len(np.asarray(sd[f'{bnp}.weight']))
+        in_ch, out_per = w.shape[0], w.shape[1]
+        g = max(1, out_total // out_per)
+        per_in = in_ch // g
+        for gi in range(g):
+            put(params, (f'deconv_{di}_{gi}', 'kernel'),
+                w[gi * per_in:(gi + 1) * per_in].transpose(2, 3, 1, 0))
+        put(params, (f'bn_{di}', 'scale'), sd[f'{bnp}.weight'])
+        put(params, (f'bn_{di}', 'bias'), sd[f'{bnp}.bias'])
+        put(stats, (f'bn_{di}', 'mean'), sd[f'{bnp}.running_mean'])
+        put(stats, (f'bn_{di}', 'var'), sd[f'{bnp}.running_var'])
+        di += 1
+    if f'{prefix}final_layer.weight' in sd:
+        put(params, ('final', 'kernel'),
+            np.asarray(sd[f'{prefix}final_layer.weight']
+                       ).transpose(2, 3, 1, 0))
+        put(params, ('final', 'bias'), sd[f'{prefix}final_layer.bias'])
+    return params, stats
+
+
+def convert_multistage_head(sd, prefix='keypoint_head.'):
+    """TopdownHeatmapMultiStageHead (reference
+    topdown_heatmap_multi_stage_head.py:63): per-stage deconv Sequential
+    (or Identity) + per-stage final conv -> our MultiStageHead's
+    stage_{i}/(deconv_{j}, bn_{j}, final)."""
+    params, stats = {}, {}
+
+    def put(tree, path, v):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = np.asarray(v)
+
+    si = 0
+    while (f'{prefix}multi_final_layers.{si}.weight' in sd
+           or f'{prefix}multi_deconv_layers.{si}.0.weight' in sd):
+        di = 0
+        while f'{prefix}multi_deconv_layers.{si}.{di * 3}.weight' in sd:
+            w = np.asarray(
+                sd[f'{prefix}multi_deconv_layers.{si}.{di * 3}.weight'])
+            put(params, (f'stage_{si}', f'deconv_{di}', 'kernel'),
+                w.transpose(2, 3, 1, 0))
+            bnp = f'{prefix}multi_deconv_layers.{si}.{di * 3 + 1}'
+            put(params, (f'stage_{si}', f'bn_{di}', 'scale'),
+                sd[f'{bnp}.weight'])
+            put(params, (f'stage_{si}', f'bn_{di}', 'bias'),
+                sd[f'{bnp}.bias'])
+            put(stats, (f'stage_{si}', f'bn_{di}', 'mean'),
+                sd[f'{bnp}.running_mean'])
+            put(stats, (f'stage_{si}', f'bn_{di}', 'var'),
+                sd[f'{bnp}.running_var'])
+            di += 1
+        fk = f'{prefix}multi_final_layers.{si}.weight'
+        if fk in sd:
+            put(params, (f'stage_{si}', 'final', 'kernel'),
+                np.asarray(sd[fk]).transpose(2, 3, 1, 0))
+            put(params, (f'stage_{si}', 'final', 'bias'),
+                sd[f'{prefix}multi_final_layers.{si}.bias'])
+        si += 1
+    return params, stats
+
+
 # Families whose checkpoints pair the backbone with
 # TopdownHeatmapSimpleHead (what convert_head parses). Multistage
 # families (cpm/hourglass/mspn/rsn) and ViPNAS use different head
@@ -683,6 +772,16 @@ BACKBONE_CONVERTERS = {
     'hrformer': convert_hrformer,
     'mobilenet_v2': convert_mobilenet_v2,
     'shufflenet_v2': convert_shufflenet_v2,
+    'hourglass': convert_hourglass,      # + multistage head
+    'vipnas_mbv3': convert_vipnas_mbv3,  # + grouped-deconv head
+    'vipnas_resnet': convert_vipnas_resnet,
+}
+
+# per-family head converters (default: the SimpleHead layout)
+HEAD_CONVERTERS = {
+    'hourglass': convert_multistage_head,
+    'vipnas_mbv3': convert_vipnas_head,
+    'vipnas_resnet': convert_vipnas_head,
 }
 
 
@@ -704,7 +803,11 @@ def convert_generic_topdown_checkpoint(path_or_sd, backbone_type):
             f'layouts); available: {sorted(BACKBONE_CONVERTERS)}')
     bb_params, bb_stats = BACKBONE_CONVERTERS[backbone_type](
         sd, prefix='backbone.')
-    head_params, head_stats = convert_head(sd, prefix='keypoint_head.')
+    head_cv = HEAD_CONVERTERS.get(backbone_type)
+    if head_cv is not None:
+        head_params, head_stats = head_cv(sd, prefix='keypoint_head.')
+    else:
+        head_params, head_stats = convert_head(sd, prefix='keypoint_head.')
     if not head_params and any(k.startswith('keypoint_head.')
                                for k in sd):
         raise ValueError(
