@@ -504,3 +504,43 @@ def test_hourglass_full_checkpoint_conversion():
     out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                       train=False)
     _assert_close(np.asarray(out), ref, tol=5e-4)
+
+
+def test_mspn_msmu_full_checkpoint_conversion():
+    """MSPN + TopdownHeatmapMSMUHead .pth -> the msmu generic estimator
+    (tools/test.py route for MSPN/RSN configs). Verifies the faithful
+    PredictHeatmap head (1x1 ConvModule + 3x3 ConvModule + align-corners
+    resize) converts and matches the reference output."""
+    import ref_cnn_loader as RL2
+    from vitpose_tpu.utils.cnn_ckpt import (
+        convert_generic_topdown_checkpoint)
+    from vitpose_tpu.train.loop import build_model_from_cfg
+
+    torch.manual_seed(15)
+    bb = L.ref_mspn().MSPN(unit_channels=32, num_stages=2, num_units=4,
+                           num_blocks=[1, 1, 1, 1])
+    head = RL2.ref_multistage_head().TopdownHeatmapMSMUHead(
+        out_shape=(16, 16), unit_channels=32, out_channels=8,
+        num_stages=2, num_units=4, loss_keypoint=None)
+    bb.eval(), head.eval()
+    x = np.random.RandomState(15).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        feats = bb(torch.from_numpy(x))
+        ref = head(feats)[-1].numpy()      # last unit = inference output
+
+    sd = {}
+    sd.update({f'backbone.{k}': v.detach().numpy()
+               for k, v in bb.state_dict().items()})
+    sd.update({f'keypoint_head.{k}': v.detach().numpy()
+               for k, v in head.state_dict().items()})
+    model = build_model_from_cfg(dict(
+        backbone_type='mspn',
+        backbone_overrides=dict(num_stages=2, num_units=4,
+                                num_blocks=(1, 1, 1, 1),
+                                unit_channels=32),
+        img_size=(64, 64), out_channels=8, head='msmu',
+        num_stages=2, num_units=4))
+    variables = convert_generic_topdown_checkpoint(sd, 'mspn')
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    _assert_close(np.asarray(out), ref, tol=5e-4)

@@ -19,9 +19,10 @@ def test_mspn_msmu_pipeline():
     hv = head.init(jax.random.PRNGKey(1), feats, train=False)
     outs = head.apply(hv, feats, train=False)
     assert len(outs) == 8
-    # reference unit order: LOWEST resolution first (mspn.py docstring)
-    assert outs[0].shape == (2, 17, 2, 2)
-    assert outs[3].shape == (2, 17, 16, 12)
+    # the faithful PredictHeatmap resizes EVERY unit to out_shape
+    # (reference TopdownHeatmapMSMUHead: all units supervised at the
+    # heatmap size); default out_shape = the highest unit resolution
+    assert all(o.shape == (2, 17, 16, 12) for o in outs)
     # all units supervisable with the standard loss
     loss = sum(joints_mse_loss(o, jnp.zeros_like(o),
                                jnp.ones(o.shape[:2])) for o in outs)

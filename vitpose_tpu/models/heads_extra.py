@@ -14,7 +14,7 @@ All NHWC flax modules mirroring heads.py conventions.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -99,23 +99,42 @@ class MultiStageHead(nn.Module):
 
 class MSMUHead(nn.Module):
     """Multi-Stage Multi-Unit head for MSPN/RSN
-    (reference topdown_heatmap_multi_stage_head.py `TopdownHeatmapMSMUHead`):
-    a 1x1 prediction conv per (stage, scale-unit); all units are supervised,
-    the last stage's highest-resolution unit is the inference output."""
+    (reference topdown_heatmap_multi_stage_head.py `TopdownHeatmapMSMUHead`
+    with its `PredictHeatmap` submodule): per (stage, scale-unit), a 1x1
+    ConvModule (channel-preserving, BN+ReLU) then a 3x3 ConvModule to K
+    channels (BN, no activation), bilinearly resized WITH align_corners to
+    `out_shape`. All units are supervised; the last stage's output is the
+    inference prediction. The optional PRM refinement (use_prm) is not
+    implemented — no config in the reference zoo we mirror enables it."""
     out_channels: int
     num_stages: int = 2
     num_units: int = 4
+    out_shape: Optional[tuple] = None   # (h, w); None = highest unit res
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, stage_feats, train: bool = False):
+        from .multistage_nets import resize_bilinear_ac
+        out_shape = self.out_shape or stage_feats[0][-1].shape[1:3]
         outs = []
         for si, feats in enumerate(stage_feats):
             assert len(feats) == self.num_units
             for ui, f in enumerate(feats):
-                o = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                            name=f's{si}_u{ui}')(f)
-                outs.append(o.transpose(0, 3, 1, 2))
+                nm = f's{si}_u{ui}'
+                x = nn.Conv(f.shape[-1], (1, 1), use_bias=False,
+                            dtype=self.dtype, name=f'{nm}_conv1')(f)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype, name=f'{nm}_bn1')(x)
+                x = nn.relu(x)
+                x = nn.Conv(self.out_channels, (3, 3),
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            dtype=self.dtype, name=f'{nm}_conv2')(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 dtype=self.dtype, name=f'{nm}_bn2')(x)
+                x = resize_bilinear_ac(x, tuple(out_shape))
+                outs.append(x.transpose(0, 3, 1, 2))
         return outs
 
 

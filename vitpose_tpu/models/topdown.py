@@ -174,8 +174,10 @@ class GenericMultiStageTopDown(nn.Module):
         c = self.cfg
         dtype = jnp.dtype(c.backbone.dtype)
         if c.head_type == 'msmu':
+            ih, iw = c.backbone.img_size
             self.head = MSMUHead(c.out_channels, num_stages=c.num_stages,
-                                 num_units=c.num_units, dtype=dtype,
+                                 num_units=c.num_units,
+                                 out_shape=(ih // 4, iw // 4), dtype=dtype,
                                  name='head')
         elif c.head_type == 'identity':
             # backbone already emits per-stage prediction maps (CPM)

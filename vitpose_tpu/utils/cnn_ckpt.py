@@ -755,11 +755,40 @@ def convert_multistage_head(sd, prefix='keypoint_head.'):
     return params, stats
 
 
-# Families whose checkpoints pair the backbone with
-# TopdownHeatmapSimpleHead (what convert_head parses). Multistage
-# families (cpm/hourglass/mspn/rsn) and ViPNAS use different head
-# layouts — their backbone converters exist above, but full-model .pth
-# conversion for them is not wired yet.
+def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
+    """TopdownHeatmapMSMUHead (reference PredictHeatmap per stage-unit:
+    ConvModule(1x1)+BN+ReLU, ConvModule(3x3)+BN, align-corners resize) ->
+    our MSMUHead s{i}_u{j}_conv1/bn1/conv2/bn2 names."""
+    params, stats = {}, {}
+
+    def put(tree, path, v):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = np.asarray(v)
+
+    idx = 0
+    while f'{prefix}predict_layers.{idx}.conv_layers.0.conv.weight' in sd:
+        si, ui = idx // num_units, idx % num_units
+        nm = f's{si}_u{ui}'
+        for ci, (cname, bname) in enumerate(((f'{nm}_conv1', f'{nm}_bn1'),
+                                             (f'{nm}_conv2', f'{nm}_bn2'))):
+            t = f'{prefix}predict_layers.{idx}.conv_layers.{ci}'
+            put(params, (cname, 'kernel'),
+                np.asarray(sd[f'{t}.conv.weight']).transpose(2, 3, 1, 0))
+            put(params, (bname, 'scale'), sd[f'{t}.bn.weight'])
+            put(params, (bname, 'bias'), sd[f'{t}.bn.bias'])
+            put(stats, (bname, 'mean'), sd[f'{t}.bn.running_mean'])
+            put(stats, (bname, 'var'), sd[f'{t}.bn.running_var'])
+        idx += 1
+    return params, stats
+
+
+# Backbone converters for full-model .pth conversion; most families pair
+# with TopdownHeatmapSimpleHead (convert_head), HEAD_CONVERTERS below
+# overrides the head layout per family (multistage, grouped ViPNAS,
+# MSMU PredictHeatmap). CPM remains unwired: our CPM folds the per-stage
+# prediction convs into the backbone.
 BACKBONE_CONVERTERS = {
     'resnet': convert_resnext,           # identical layer naming
     'resnext': convert_resnext,
@@ -775,6 +804,8 @@ BACKBONE_CONVERTERS = {
     'hourglass': convert_hourglass,      # + multistage head
     'vipnas_mbv3': convert_vipnas_mbv3,  # + grouped-deconv head
     'vipnas_resnet': convert_vipnas_resnet,
+    'mspn': convert_mspn,                # + MSMU PredictHeatmap head
+    'rsn': convert_rsn,
 }
 
 # per-family head converters (default: the SimpleHead layout)
@@ -782,6 +813,8 @@ HEAD_CONVERTERS = {
     'hourglass': convert_multistage_head,
     'vipnas_mbv3': convert_vipnas_head,
     'vipnas_resnet': convert_vipnas_head,
+    'mspn': convert_msmu_head,
+    'rsn': convert_msmu_head,
 }
 
 
