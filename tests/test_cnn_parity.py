@@ -544,3 +544,34 @@ def test_mspn_msmu_full_checkpoint_conversion():
     out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                       train=False)
     _assert_close(np.asarray(out), ref, tol=5e-4)
+
+
+def test_cpm_full_checkpoint_conversion():
+    """CPM .pth: the reference pairs the CPM backbone with an IDENTITY
+    head (cpm_coco config final_conv_kernel=0, num_deconv_layers=0), so
+    full-model conversion is the backbone conversion alone."""
+    from vitpose_tpu.utils.cnn_ckpt import (
+        convert_generic_topdown_checkpoint)
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from ref_cnn_loader import _ref_backbone
+
+    torch.manual_seed(16)
+    ref_mod = _ref_backbone('cpm')
+    net = ref_mod.CPM(in_channels=3, out_channels=8, feat_channels=32,
+                      num_stages=2)
+    net.eval()
+    x = np.random.RandomState(16).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))[-1].numpy()
+    sd = {f'backbone.{k}': v.detach().numpy()
+          for k, v in net.state_dict().items()}
+    model = build_model_from_cfg(dict(
+        backbone_type='cpm',
+        backbone_overrides=dict(out_channels=8, feat_channels=32,
+                                num_stages=2),
+        img_size=(64, 64), out_channels=8, head='identity',
+        num_stages=2))
+    variables = convert_generic_topdown_checkpoint(sd, 'cpm')
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    _assert_close(np.asarray(out), ref, tol=5e-4)

@@ -787,8 +787,7 @@ def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
 # Backbone converters for full-model .pth conversion; most families pair
 # with TopdownHeatmapSimpleHead (convert_head), HEAD_CONVERTERS below
 # overrides the head layout per family (multistage, grouped ViPNAS,
-# MSMU PredictHeatmap). CPM remains unwired: our CPM folds the per-stage
-# prediction convs into the backbone.
+# MSMU PredictHeatmap, identity CPM head).
 BACKBONE_CONVERTERS = {
     'resnet': convert_resnext,           # identical layer naming
     'resnext': convert_resnext,
@@ -806,6 +805,8 @@ BACKBONE_CONVERTERS = {
     'vipnas_resnet': convert_vipnas_resnet,
     'mspn': convert_mspn,                # + MSMU PredictHeatmap head
     'rsn': convert_rsn,
+    'cpm': convert_cpm,                  # head is Identity (reference
+                                         # cpm_coco config final_conv_kernel=0)
 }
 
 # per-family head converters (default: the SimpleHead layout)
@@ -815,6 +816,7 @@ HEAD_CONVERTERS = {
     'vipnas_resnet': convert_vipnas_head,
     'mspn': convert_msmu_head,
     'rsn': convert_msmu_head,
+    'cpm': lambda sd, prefix='keypoint_head.': ({}, {}),
 }
 
 
@@ -841,14 +843,16 @@ def convert_generic_topdown_checkpoint(path_or_sd, backbone_type):
         head_params, head_stats = head_cv(sd, prefix='keypoint_head.')
     else:
         head_params, head_stats = convert_head(sd, prefix='keypoint_head.')
-    if not head_params and any(k.startswith('keypoint_head.')
-                               for k in sd):
+    if (head_cv is None and not head_params
+            and any(k.startswith('keypoint_head.') for k in sd)):
         raise ValueError(
             'keypoint_head.* keys present but none matched the '
             'TopdownHeatmapSimpleHead layout — this checkpoint likely '
             'uses a multistage/ViPNAS head that convert_head does not '
             'parse')
-    params = {'backbone': bb_params, 'head': head_params}
+    params = {'backbone': bb_params}
+    if head_params:
+        params['head'] = head_params
     batch_stats = {}
     if bb_stats:
         batch_stats['backbone'] = bb_stats
