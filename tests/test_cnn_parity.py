@@ -575,3 +575,41 @@ def test_cpm_full_checkpoint_conversion():
     out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                       train=False)
     _assert_close(np.asarray(out), ref, tol=5e-4)
+
+
+def test_vipnas_mbv3_full_checkpoint_conversion():
+    """ViPNAS-MobileNetV3 .pth: its head uses DEPTHWISE grouped deconvs
+    (160 filters / 160 groups, reference vipnas_mbv3_coco config:39-40),
+    unlike vipnas_res50's 144/16 — the config must plumb deconv_groups
+    through to the head for conversion to line up."""
+    import ref_cnn_loader as RL2
+    from vitpose_tpu.utils.cnn_ckpt import (
+        convert_generic_topdown_checkpoint)
+    from vitpose_tpu.train.loop import build_model_from_cfg
+
+    torch.manual_seed(17)
+    bb = L.ref_vipnas_mbv3().ViPNAS_MobileNetV3()
+    head = RL2.ref_vipnas_head().ViPNASHeatmapSimpleHead(
+        in_channels=160, out_channels=8, num_deconv_layers=2,
+        num_deconv_filters=(160, 160), num_deconv_kernels=(4, 4),
+        num_deconv_groups=(160, 160), loss_keypoint=None)
+    bb.eval(), head.eval()
+    x = np.random.RandomState(17).randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        feat = bb(torch.from_numpy(x))
+        feat = feat[-1] if isinstance(feat, (list, tuple)) else feat
+        ref = head(feat).numpy()
+
+    sd = {}
+    sd.update({f'backbone.{k}': v.detach().numpy()
+               for k, v in bb.state_dict().items()})
+    sd.update({f'keypoint_head.{k}': v.detach().numpy()
+               for k, v in head.state_dict().items()})
+    model = build_model_from_cfg(dict(
+        backbone_type='vipnas_mbv3',
+        img_size=(64, 64), out_channels=8, head='vipnas',
+        deconv_filters=(160, 160), deconv_groups=(160, 160)))
+    variables = convert_generic_topdown_checkpoint(sd, 'vipnas_mbv3')
+    out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      train=False)
+    _assert_close(np.asarray(out), ref, tol=5e-4)

@@ -22,7 +22,8 @@ if os.environ.get('JAX_PLATFORMS'):
     jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 
 
-def load_variables(checkpoint, model_cfg, backbone_type='vit'):
+def load_variables(checkpoint, model_cfg, backbone_type='vit',
+                   num_units=4):
     import jax
     import jax.numpy as jnp
     if checkpoint.endswith('.pth'):
@@ -34,7 +35,8 @@ def load_variables(checkpoint, model_cfg, backbone_type='vit'):
             from vitpose_tpu.utils.cnn_ckpt import (
                 convert_generic_topdown_checkpoint)
             v = convert_generic_topdown_checkpoint(checkpoint,
-                                                   backbone_type)
+                                                   backbone_type,
+                                                   num_units=num_units)
     elif checkpoint.endswith('.npz'):
         from vitpose_tpu.utils.checkpoint import load_params_npz
         v = load_params_npz(checkpoint)
@@ -70,7 +72,8 @@ def main():
     cfg = apply_options(load_config(args.config), args.cfg_options)
     model = build_model_from_cfg(cfg['model'])
     variables = load_variables(args.checkpoint, model.cfg,
-                               cfg['model'].get('backbone_type', 'vit'))
+                               cfg['model'].get('backbone_type', 'vit'),
+                               num_units=cfg['model'].get('num_units', 4))
 
     dcfg = cfg['data']
     name = dcfg.get('dataset', 'coco')

@@ -7,6 +7,9 @@ model = dict(
     img_size=(256, 192),
     out_channels=17,
     head='vipnas',
+    # reference vipnas_mbv3 head: depthwise grouped deconvs
+    deconv_filters=(160, 160, 160),
+    deconv_groups=(160, 160, 160),
     flip_test=True,
     post_process='default',
     use_udp=False,

@@ -36,6 +36,10 @@ class TopDownConfig:
     out_channels: int = 17
     deconv_filters: tuple = (256, 256)
     deconv_kernels: tuple = (4, 4)
+    # ViPNAS grouped-deconv head: groups per deconv layer; () keeps the
+    # ViPNASHead defaults (144ch/16g — the vipnas_res50 recipe; mbv3 uses
+    # 160ch/160g, reference vipnas_mbv3_coco_256x192.py:39-40)
+    deconv_groups: tuple = ()
     final_kernel: int = 1
     # channel-preserving Conv+BN+ReLU layers before the prediction conv
     # (HRNetV2 heads; reference extra num_conv_layers/num_conv_kernels)
@@ -136,7 +140,12 @@ class GenericTopDown(nn.Module):
         dtype = jnp.dtype(c.backbone.dtype)
         if c.head_type == 'vipnas':
             from .heads_extra import ViPNASHead
-            self.head = ViPNASHead(c.out_channels, dtype=dtype, name='head')
+            kw = {}
+            if c.deconv_groups:
+                kw = dict(deconv_filters=c.deconv_filters,
+                          deconv_groups=c.deconv_groups)
+            self.head = ViPNASHead(c.out_channels, dtype=dtype, name='head',
+                                   **kw)
         else:
             self.head = HeatmapHead(
                 c.out_channels, c.deconv_filters, c.deconv_kernels,

@@ -100,6 +100,15 @@ class Cv:
         return self.params, self.stats
 
 
+def _put(tree, path, v):
+    """Insert a leaf into a nested dict by path (shared by the standalone
+    head converters; mirrors Cv._put)."""
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(v)
+
+
 def _resnet_block(cv, tname, fname):
     """conv1..3/bn1..3 + downsample -> our BasicBlock/Bottleneck names."""
     for ci in (1, 2, 3):
@@ -681,12 +690,6 @@ def convert_vipnas_head(sd, prefix='keypoint_head.'):
     input dim blocked by group."""
     params, stats = {}, {}
 
-    def put(tree, path, v):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = np.asarray(v)
-
     di = 0
     while f'{prefix}deconv_layers.{di * 3}.weight' in sd:
         w = np.asarray(sd[f'{prefix}deconv_layers.{di * 3}.weight'])
@@ -698,18 +701,18 @@ def convert_vipnas_head(sd, prefix='keypoint_head.'):
         g = max(1, out_total // out_per)
         per_in = in_ch // g
         for gi in range(g):
-            put(params, (f'deconv_{di}_{gi}', 'kernel'),
+            _put(params, (f'deconv_{di}_{gi}', 'kernel'),
                 w[gi * per_in:(gi + 1) * per_in].transpose(2, 3, 1, 0))
-        put(params, (f'bn_{di}', 'scale'), sd[f'{bnp}.weight'])
-        put(params, (f'bn_{di}', 'bias'), sd[f'{bnp}.bias'])
-        put(stats, (f'bn_{di}', 'mean'), sd[f'{bnp}.running_mean'])
-        put(stats, (f'bn_{di}', 'var'), sd[f'{bnp}.running_var'])
+        _put(params, (f'bn_{di}', 'scale'), sd[f'{bnp}.weight'])
+        _put(params, (f'bn_{di}', 'bias'), sd[f'{bnp}.bias'])
+        _put(stats, (f'bn_{di}', 'mean'), sd[f'{bnp}.running_mean'])
+        _put(stats, (f'bn_{di}', 'var'), sd[f'{bnp}.running_var'])
         di += 1
     if f'{prefix}final_layer.weight' in sd:
-        put(params, ('final', 'kernel'),
+        _put(params, ('final', 'kernel'),
             np.asarray(sd[f'{prefix}final_layer.weight']
                        ).transpose(2, 3, 1, 0))
-        put(params, ('final', 'bias'), sd[f'{prefix}final_layer.bias'])
+        _put(params, ('final', 'bias'), sd[f'{prefix}final_layer.bias'])
     return params, stats
 
 
@@ -720,12 +723,6 @@ def convert_multistage_head(sd, prefix='keypoint_head.'):
     stage_{i}/(deconv_{j}, bn_{j}, final)."""
     params, stats = {}, {}
 
-    def put(tree, path, v):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = np.asarray(v)
-
     si = 0
     while (f'{prefix}multi_final_layers.{si}.weight' in sd
            or f'{prefix}multi_deconv_layers.{si}.0.weight' in sd):
@@ -733,23 +730,23 @@ def convert_multistage_head(sd, prefix='keypoint_head.'):
         while f'{prefix}multi_deconv_layers.{si}.{di * 3}.weight' in sd:
             w = np.asarray(
                 sd[f'{prefix}multi_deconv_layers.{si}.{di * 3}.weight'])
-            put(params, (f'stage_{si}', f'deconv_{di}', 'kernel'),
+            _put(params, (f'stage_{si}', f'deconv_{di}', 'kernel'),
                 w.transpose(2, 3, 1, 0))
             bnp = f'{prefix}multi_deconv_layers.{si}.{di * 3 + 1}'
-            put(params, (f'stage_{si}', f'bn_{di}', 'scale'),
+            _put(params, (f'stage_{si}', f'bn_{di}', 'scale'),
                 sd[f'{bnp}.weight'])
-            put(params, (f'stage_{si}', f'bn_{di}', 'bias'),
+            _put(params, (f'stage_{si}', f'bn_{di}', 'bias'),
                 sd[f'{bnp}.bias'])
-            put(stats, (f'stage_{si}', f'bn_{di}', 'mean'),
+            _put(stats, (f'stage_{si}', f'bn_{di}', 'mean'),
                 sd[f'{bnp}.running_mean'])
-            put(stats, (f'stage_{si}', f'bn_{di}', 'var'),
+            _put(stats, (f'stage_{si}', f'bn_{di}', 'var'),
                 sd[f'{bnp}.running_var'])
             di += 1
         fk = f'{prefix}multi_final_layers.{si}.weight'
         if fk in sd:
-            put(params, (f'stage_{si}', 'final', 'kernel'),
+            _put(params, (f'stage_{si}', 'final', 'kernel'),
                 np.asarray(sd[fk]).transpose(2, 3, 1, 0))
-            put(params, (f'stage_{si}', 'final', 'bias'),
+            _put(params, (f'stage_{si}', 'final', 'bias'),
                 sd[f'{prefix}multi_final_layers.{si}.bias'])
         si += 1
     return params, stats
@@ -758,14 +755,13 @@ def convert_multistage_head(sd, prefix='keypoint_head.'):
 def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
     """TopdownHeatmapMSMUHead (reference PredictHeatmap per stage-unit:
     ConvModule(1x1)+BN+ReLU, ConvModule(3x3)+BN, align-corners resize) ->
-    our MSMUHead s{i}_u{j}_conv1/bn1/conv2/bn2 names."""
+    our MSMUHead s{i}_u{j}_conv1/bn1/conv2/bn2 names. num_units must
+    match the checkpoint's config (index = stage * num_units + unit)."""
+    if any('.prm.' in k for k in sd if k.startswith(prefix)):
+        raise NotImplementedError(
+            'this MSMU checkpoint was trained with use_prm=True (Pose '
+            'Refine Machine); the PRM head is not implemented')
     params, stats = {}, {}
-
-    def put(tree, path, v):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = np.asarray(v)
 
     idx = 0
     while f'{prefix}predict_layers.{idx}.conv_layers.0.conv.weight' in sd:
@@ -774,12 +770,12 @@ def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
         for ci, (cname, bname) in enumerate(((f'{nm}_conv1', f'{nm}_bn1'),
                                              (f'{nm}_conv2', f'{nm}_bn2'))):
             t = f'{prefix}predict_layers.{idx}.conv_layers.{ci}'
-            put(params, (cname, 'kernel'),
+            _put(params, (cname, 'kernel'),
                 np.asarray(sd[f'{t}.conv.weight']).transpose(2, 3, 1, 0))
-            put(params, (bname, 'scale'), sd[f'{t}.bn.weight'])
-            put(params, (bname, 'bias'), sd[f'{t}.bn.bias'])
-            put(stats, (bname, 'mean'), sd[f'{t}.bn.running_mean'])
-            put(stats, (bname, 'var'), sd[f'{t}.bn.running_var'])
+            _put(params, (bname, 'scale'), sd[f'{t}.bn.weight'])
+            _put(params, (bname, 'bias'), sd[f'{t}.bn.bias'])
+            _put(stats, (bname, 'mean'), sd[f'{t}.bn.running_mean'])
+            _put(stats, (bname, 'var'), sd[f'{t}.bn.running_var'])
         idx += 1
     return params, stats
 
@@ -820,7 +816,8 @@ HEAD_CONVERTERS = {
 }
 
 
-def convert_generic_topdown_checkpoint(path_or_sd, backbone_type):
+def convert_generic_topdown_checkpoint(path_or_sd, backbone_type,
+                                       num_units=4):
     """Reference TopDown .pth (CNN backbone + TopdownHeatmapSimpleHead) ->
     flax variables for GenericTopDown (train/loop.py build_generic_topdown).
 
@@ -839,17 +836,19 @@ def convert_generic_topdown_checkpoint(path_or_sd, backbone_type):
     bb_params, bb_stats = BACKBONE_CONVERTERS[backbone_type](
         sd, prefix='backbone.')
     head_cv = HEAD_CONVERTERS.get(backbone_type)
-    if head_cv is not None:
+    if head_cv is convert_msmu_head:
+        head_params, head_stats = head_cv(sd, prefix='keypoint_head.',
+                                          num_units=num_units)
+    elif head_cv is not None:
         head_params, head_stats = head_cv(sd, prefix='keypoint_head.')
     else:
         head_params, head_stats = convert_head(sd, prefix='keypoint_head.')
-    if (head_cv is None and not head_params
+    if (backbone_type != 'cpm' and not head_params
             and any(k.startswith('keypoint_head.') for k in sd)):
         raise ValueError(
-            'keypoint_head.* keys present but none matched the '
-            'TopdownHeatmapSimpleHead layout — this checkpoint likely '
-            'uses a multistage/ViPNAS head that convert_head does not '
-            'parse')
+            f'keypoint_head.* keys present but none matched the expected '
+            f'{backbone_type} head layout — the checkpoint was likely '
+            'saved from a different head configuration')
     params = {'backbone': bb_params}
     if head_params:
         params['head'] = head_params
