@@ -115,3 +115,22 @@ runtime = dict(work_dir='{tmp_path}/wd', log_interval=1, eval_interval=0,
     cfg = load_config(str(cfg_file))
     state = train_model(cfg, max_steps=2)
     assert state is not None
+
+
+@pytest.mark.slow
+def test_top_down_img_demo_cli(tmp_path):
+    """The flagship demo script end-to-end via its CLI (random weights;
+    behavioral, like the reference tests/test_apis)."""
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    img = '/root/reference/tests/data/coco/000000000785.jpg'
+    ann = '/root/reference/tests/data/coco/test_coco.json'
+    if not os.path.exists(img):
+        pytest.skip('fixture missing')
+    out = subprocess.run(
+        [sys.executable, 'demo/top_down_img_demo.py', img,
+         '--json-file', ann, '--variant', 's',
+         '--out-img-root', str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert any(f.suffix == '.jpg' for f in tmp_path.iterdir())
