@@ -119,13 +119,17 @@ def main():
         preds, _ = end_to_end(variables, batches[b])
         sync(preds)
 
-    t0 = time.perf_counter()
+    # median per-dispatch time: robust to occasional multi-ms hiccups of
+    # the sandbox tunnel, which otherwise drag a total-time measurement
+    times = []
     for b in range(WARMUP, WARMUP + ITERS):
+        t0 = time.perf_counter()
         preds, _ = end_to_end(variables, batches[b])
         sync(preds)
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
-    imgs_per_sec = GROUP * BATCH * ITERS / dt
+    imgs_per_sec = GROUP * BATCH / dt
     print(json.dumps({
         "metric": ("vitpose_b_256x192_e2e_infer"
                    + ("_int8" if int8 else "")
