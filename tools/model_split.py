@@ -14,13 +14,17 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-# honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with a
-# different platform baked in
-if os.environ.get('JAX_PLATFORMS'):
-    import jax
-    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
-
 import numpy as np
+
+
+def _apply_platform_env():
+    # honor JAX_PLATFORMS even when a sitecustomize pre-imported jax with
+    # a different platform baked in. CLI-only: calling this at import time
+    # would silently flip library users (e.g. CPU-pinned tests) onto the
+    # env's platform.
+    if os.environ.get('JAX_PLATFORMS'):
+        import jax
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 
 DATASET_KPTS = dict(coco=17, aic=14, mpii=16, ap10k=17, apt36k=17,
                     wholebody=133)
@@ -53,6 +57,7 @@ def split_one(sd, expert_id, num_kpts, depth):
 
 
 def main():
+    _apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument('source')
     ap.add_argument('--out-dir', required=True)
