@@ -92,3 +92,41 @@ def test_poselifter_training_on_h36m():
     err = keypoint_mpjpe(np.asarray(out), np.asarray(y_rel),
                          np.ones((4, 17), bool))
     assert err < losses[0]
+
+
+def test_inference_pose_lifter_api():
+    """API-level 2D->3D lifting: windowed sequence extraction + per-person
+    lifting with track-id matching (reference apis/inference_3d.py:212)."""
+    import numpy as np
+    import jax
+    from vitpose_tpu.api.inference_3d import (extract_pose_sequence,
+                                              inference_pose_lifter_model)
+    from vitpose_tpu.models.pose3d import PoseLifter
+
+    model = PoseLifter(num_joints=17, stem_channels=64,
+                       kernel_sizes=(3, 3))
+    t_len = model.receptive_field
+    rng = np.random.RandomState(0)
+
+    def frame(t):
+        return [dict(track_id=0,
+                     keypoints=rng.rand(17, 3).astype(np.float32) * 100),
+                dict(track_id=1,
+                     keypoints=rng.rand(17, 3).astype(np.float32) * 100)]
+
+    frames = [frame(t) for t in range(40)]
+    # padded window at the sequence start
+    seq = extract_pose_sequence(frames, frame_idx=0, causal=False,
+                                seq_len=t_len)
+    assert len(seq) == t_len
+
+    import jax.numpy as jnp
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, t_len, 17, 2)), train=False)
+    results = inference_pose_lifter_model(model, variables, seq,
+                                          image_size=(640, 480),
+                                          norm_pose_2d=True)
+    assert len(results) == 2
+    for r in results:
+        assert r['keypoints_3d'].shape[-1] == 3
+        assert np.isfinite(r['keypoints_3d']).all()
