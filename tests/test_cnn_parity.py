@@ -613,3 +613,34 @@ def test_vipnas_mbv3_full_checkpoint_conversion():
     out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                       train=False)
     _assert_close(np.asarray(out), ref, tol=5e-4)
+
+
+def test_msmu_prm_conversion_parity():
+    """RSN's Pose Refine Machine (use_prm=True): the channel+spatial
+    attention refinement converts and matches the reference PredictHeatmap
+    output (topdown_heatmap_multi_stage_head.py PRM)."""
+    import ref_cnn_loader as RL2
+    from vitpose_tpu.utils.cnn_ckpt import convert_msmu_head
+    from vitpose_tpu.models.heads_extra import MSMUHead
+
+    torch.manual_seed(18)
+    head = RL2.ref_multistage_head().TopdownHeatmapMSMUHead(
+        out_shape=(16, 12), unit_channels=24, out_channels=8,
+        num_stages=1, num_units=2, use_prm=True, loss_keypoint=None)
+    head.eval()
+    feats = [[torch.randn(2, 24, 4, 3), torch.randn(2, 24, 8, 6)]]
+    with torch.no_grad():
+        refs = [o.numpy() for o in head(feats)]
+
+    sd = {f'keypoint_head.{k}': v.detach().numpy()
+          for k, v in head.state_dict().items()}
+    params, stats = convert_msmu_head(sd, num_units=2)
+    model = MSMUHead(out_channels=8, num_stages=1, num_units=2,
+                     out_shape=(16, 12), use_prm=True)
+    feats_j = [[jnp.asarray(f.numpy().transpose(0, 2, 3, 1))
+                for f in feats[0]]]
+    outs = model.apply({'params': params, 'batch_stats': stats}, feats_j,
+                       train=False)
+    assert len(outs) == len(refs)
+    for o, r in zip(outs, refs):
+        _assert_close(np.asarray(o), r, tol=5e-4)

@@ -97,6 +97,51 @@ class MultiStageHead(nn.Module):
         return outs
 
 
+class PRM(nn.Module):
+    """Pose Refine Machine (reference topdown_heatmap_multi_stage_head.py
+    `PRM`, from RSN ECCV'20): a 3x3 ConvModule, then an output-channel
+    attention (GAP -> Linear+BN1d+ReLU x2 -> Sigmoid) and a spatial
+    attention (1x1 ConvModule -> depthwise-separable k9 ConvModule ->
+    Sigmoid), combined as out1 * (1 + channel * spatial)."""
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name=name)
+
+        k = self.out_channels
+        out1 = nn.Conv(k, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                       dtype=self.dtype, name='prm1_conv')(x)
+        out1 = nn.relu(bn('prm1_bn')(out1))
+
+        # channel attention (middle path)
+        m = jnp.mean(out1, axis=(1, 2))
+        m = nn.Dense(k, dtype=self.dtype, name='mid_fc1')(m)
+        m = nn.relu(bn('mid_bn1')(m))
+        m = nn.Dense(k, dtype=self.dtype, name='mid_fc2')(m)
+        m = nn.relu(bn('mid_bn2')(m))
+        m = jax.nn.sigmoid(m)[:, None, None, :]
+
+        # spatial attention (bottom path)
+        b = nn.Conv(k, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='bot_conv')(out1)
+        b = nn.relu(bn('bot_bn')(b))
+        b = nn.Conv(k, (9, 9), padding=((4, 4), (4, 4)),
+                    feature_group_count=k, use_bias=False,
+                    dtype=self.dtype, name='bot_dw_conv')(b)
+        b = nn.relu(bn('bot_dw_bn')(b))
+        b = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype,
+                    name='bot_pw_conv')(b)
+        b = nn.relu(bn('bot_pw_bn')(b))
+        b = jax.nn.sigmoid(b)
+
+        return out1 * (1.0 + m * b)
+
+
 class MSMUHead(nn.Module):
     """Multi-Stage Multi-Unit head for MSPN/RSN
     (reference topdown_heatmap_multi_stage_head.py `TopdownHeatmapMSMUHead`
@@ -104,12 +149,13 @@ class MSMUHead(nn.Module):
     ConvModule (channel-preserving, BN+ReLU) then a 3x3 ConvModule to K
     channels (BN, no activation), bilinearly resized WITH align_corners to
     `out_shape`. All units are supervised; the last stage's output is the
-    inference prediction. The optional PRM refinement (use_prm) is not
-    implemented — no config in the reference zoo we mirror enables it."""
+    inference prediction. ``use_prm`` appends the Pose Refine Machine to
+    every unit (RSN-3x recipes)."""
     out_channels: int
     num_stages: int = 2
     num_units: int = 4
     out_shape: Optional[tuple] = None   # (h, w); None = highest unit res
+    use_prm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -134,6 +180,9 @@ class MSMUHead(nn.Module):
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype, name=f'{nm}_bn2')(x)
                 x = resize_bilinear_ac(x, tuple(out_shape))
+                if self.use_prm:
+                    x = PRM(self.out_channels, dtype=self.dtype,
+                            name=f'{nm}_prm')(x, train=train)
                 outs.append(x.transpose(0, 3, 1, 2))
         return outs
 

@@ -56,9 +56,10 @@ class TopDownConfig:
     num_extra_heads: int = 0
     extra_head_channels: tuple = ()
     # multi-stage backbones (CPM/Hourglass/MSPN/RSN): stage/unit counts for
-    # the multi-stage heads
+    # the multi-stage heads; use_prm appends RSN's Pose Refine Machine
     num_stages: int = 1
     num_units: int = 4
+    use_prm: bool = False
 
 
 def make_config(variant='b', img_size=(256, 192), head='heatmap',
@@ -186,7 +187,8 @@ class GenericMultiStageTopDown(nn.Module):
             ih, iw = c.backbone.img_size
             self.head = MSMUHead(c.out_channels, num_stages=c.num_stages,
                                  num_units=c.num_units,
-                                 out_shape=(ih // 4, iw // 4), dtype=dtype,
+                                 out_shape=(ih // 4, iw // 4),
+                                 use_prm=c.use_prm, dtype=dtype,
                                  name='head')
         elif c.head_type == 'identity':
             # backbone already emits per-stage prediction maps (CPM)

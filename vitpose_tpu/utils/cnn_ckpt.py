@@ -757,11 +757,13 @@ def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
     ConvModule(1x1)+BN+ReLU, ConvModule(3x3)+BN, align-corners resize) ->
     our MSMUHead s{i}_u{j}_conv1/bn1/conv2/bn2 names. num_units must
     match the checkpoint's config (index = stage * num_units + unit)."""
-    if any('.prm.' in k for k in sd if k.startswith(prefix)):
-        raise NotImplementedError(
-            'this MSMU checkpoint was trained with use_prm=True (Pose '
-            'Refine Machine); the PRM head is not implemented')
     params, stats = {}, {}
+
+    def _bn(t, fpath):
+        _put(params, fpath + ('scale',), sd[f'{t}.weight'])
+        _put(params, fpath + ('bias',), sd[f'{t}.bias'])
+        _put(stats, fpath + ('mean',), sd[f'{t}.running_mean'])
+        _put(stats, fpath + ('var',), sd[f'{t}.running_var'])
 
     idx = 0
     while f'{prefix}predict_layers.{idx}.conv_layers.0.conv.weight' in sd:
@@ -771,11 +773,41 @@ def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
                                              (f'{nm}_conv2', f'{nm}_bn2'))):
             t = f'{prefix}predict_layers.{idx}.conv_layers.{ci}'
             _put(params, (cname, 'kernel'),
-                np.asarray(sd[f'{t}.conv.weight']).transpose(2, 3, 1, 0))
-            _put(params, (bname, 'scale'), sd[f'{t}.bn.weight'])
-            _put(params, (bname, 'bias'), sd[f'{t}.bn.bias'])
-            _put(stats, (bname, 'mean'), sd[f'{t}.bn.running_mean'])
-            _put(stats, (bname, 'var'), sd[f'{t}.bn.running_var'])
+                 np.asarray(sd[f'{t}.conv.weight']).transpose(2, 3, 1, 0))
+            _bn(f'{t}.bn', (bname,))
+        prm = f'{prefix}predict_layers.{idx}.prm'
+        if f'{prm}.conv_bn_relu_prm_1.conv.weight' in sd:
+            pn = (f'{nm}_prm',)
+            _put(params, pn + ('prm1_conv', 'kernel'),
+                 np.asarray(sd[f'{prm}.conv_bn_relu_prm_1.conv.weight']
+                            ).transpose(2, 3, 1, 0))
+            _bn(f'{prm}.conv_bn_relu_prm_1.bn', pn + ('prm1_bn',))
+            # middle path: Linear 0 / BN1d 1 / Linear 3 / BN1d 4
+            _put(params, pn + ('mid_fc1', 'kernel'),
+                 np.asarray(sd[f'{prm}.middle_path.0.weight']).T)
+            _put(params, pn + ('mid_fc1', 'bias'),
+                 sd[f'{prm}.middle_path.0.bias'])
+            _bn(f'{prm}.middle_path.1', pn + ('mid_bn1',))
+            _put(params, pn + ('mid_fc2', 'kernel'),
+                 np.asarray(sd[f'{prm}.middle_path.3.weight']).T)
+            _put(params, pn + ('mid_fc2', 'bias'),
+                 sd[f'{prm}.middle_path.3.bias'])
+            _bn(f'{prm}.middle_path.4', pn + ('mid_bn2',))
+            # bottom path: 1x1 ConvModule, dw-sep k9, sigmoid
+            _put(params, pn + ('bot_conv', 'kernel'),
+                 np.asarray(sd[f'{prm}.bottom_path.0.conv.weight']
+                            ).transpose(2, 3, 1, 0))
+            _bn(f'{prm}.bottom_path.0.bn', pn + ('bot_bn',))
+            _put(params, pn + ('bot_dw_conv', 'kernel'),
+                 np.asarray(sd[f'{prm}.bottom_path.1.depthwise_conv'
+                               f'.conv.weight']).transpose(2, 3, 1, 0))
+            _bn(f'{prm}.bottom_path.1.depthwise_conv.bn',
+                pn + ('bot_dw_bn',))
+            _put(params, pn + ('bot_pw_conv', 'kernel'),
+                 np.asarray(sd[f'{prm}.bottom_path.1.pointwise_conv'
+                               f'.conv.weight']).transpose(2, 3, 1, 0))
+            _bn(f'{prm}.bottom_path.1.pointwise_conv.bn',
+                pn + ('bot_pw_bn',))
         idx += 1
     return params, stats
 
