@@ -131,6 +131,6 @@ def test_top_down_img_demo_cli(tmp_path):
         [sys.executable, 'demo/top_down_img_demo.py', img,
          '--json-file', ann, '--variant', 's',
          '--out-img-root', str(tmp_path)],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-2000:]
     assert any(f.suffix == '.jpg' for f in tmp_path.iterdir())

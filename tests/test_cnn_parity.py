@@ -634,7 +634,7 @@ def test_msmu_prm_conversion_parity():
 
     sd = {f'keypoint_head.{k}': v.detach().numpy()
           for k, v in head.state_dict().items()}
-    params, stats = convert_msmu_head(sd, num_units=2)
+    params, stats = convert_msmu_head(sd, num_units=2, use_prm=True)
     model = MSMUHead(out_channels=8, num_stages=1, num_units=2,
                      out_shape=(16, 12), use_prm=True)
     feats_j = [[jnp.asarray(f.numpy().transpose(0, 2, 3, 1))

@@ -31,8 +31,10 @@ def test_native_decode_matches_cv2_canvas():
         # full-decode + resize; require close agreement, not bit equality
         diff = np.abs(got.astype(np.int16) - ref.astype(np.int16))
         assert float(diff.mean()) < 8.0, float(diff.mean())
-        # area outside the image stays zero
-        if nh < S:
+        # area outside the image stays zero (row nh may straddle the
+        # image edge under the decoder's rounding; check from nh+1, and
+        # only when that slice is non-empty)
+        if nh + 1 < S:
             assert canvases[i, nh + 1:].max() == 0
 
 

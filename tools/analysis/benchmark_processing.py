@@ -15,14 +15,15 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
-if os.environ.get('JAX_PLATFORMS'):
-    import jax
-    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
-
 REF = '/root/reference/tests/data/coco'
 
 
 def main():
+    # CLI-only platform override (import-time application would leak the
+    # env platform into library importers; see tools/model_split.py)
+    if os.environ.get('JAX_PLATFORMS'):
+        import jax
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     ap = argparse.ArgumentParser()
     ap.add_argument('--ann', default=f'{REF}/test_coco.json')
     ap.add_argument('--prefix', default=REF + '/')
@@ -45,14 +46,16 @@ def main():
                              use_udp=True, sigma=2.0)
     pre_j = pre           # already jitted
 
-    # warm one epoch worth of batches into list for device timing
+    # stream host timing; keep only a bounded sample for the device pass
+    # (holding iters x dataset of uint8 canvases would OOM on real data)
     host_batches = []
     t0 = time.perf_counter()
     n_img = 0
     for it in range(args.iters):
         loader.set_epoch(it)
         for batch in loader:
-            host_batches.append(batch)
+            if len(host_batches) < 16:
+                host_batches.append(batch)
             n_img += len(batch['imgs'])
     host_dt = time.perf_counter() - t0
     print(f'host loader: {n_img / host_dt:.1f} imgs/s '

@@ -23,7 +23,7 @@ if os.environ.get('JAX_PLATFORMS'):
 
 
 def load_variables(checkpoint, model_cfg, backbone_type='vit',
-                   num_units=4):
+                   num_units=4, use_prm=False):
     import jax
     import jax.numpy as jnp
     if checkpoint.endswith('.pth'):
@@ -36,7 +36,8 @@ def load_variables(checkpoint, model_cfg, backbone_type='vit',
                 convert_generic_topdown_checkpoint)
             v = convert_generic_topdown_checkpoint(checkpoint,
                                                    backbone_type,
-                                                   num_units=num_units)
+                                                   num_units=num_units,
+                                                   use_prm=use_prm)
     elif checkpoint.endswith('.npz'):
         from vitpose_tpu.utils.checkpoint import load_params_npz
         v = load_params_npz(checkpoint)
@@ -73,7 +74,8 @@ def main():
     model = build_model_from_cfg(cfg['model'])
     variables = load_variables(args.checkpoint, model.cfg,
                                cfg['model'].get('backbone_type', 'vit'),
-                               num_units=cfg['model'].get('num_units', 4))
+                               num_units=cfg['model'].get('num_units', 4),
+                               use_prm=cfg['model'].get('use_prm', False))
 
     dcfg = cfg['data']
     name = dcfg.get('dataset', 'coco')

@@ -150,7 +150,8 @@ class MSMUHead(nn.Module):
     channels (BN, no activation), bilinearly resized WITH align_corners to
     `out_shape`. All units are supervised; the last stage's output is the
     inference prediction. ``use_prm`` appends the Pose Refine Machine to
-    every unit (RSN-3x recipes)."""
+    every unit (an option of the reference head — RSN paper recipe; note
+    no config in the mirrored reference zoo enables it)."""
     out_channels: int
     num_stages: int = 2
     num_units: int = 4

@@ -752,11 +752,24 @@ def convert_multistage_head(sd, prefix='keypoint_head.'):
     return params, stats
 
 
-def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4):
+def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4,
+                      use_prm=False):
     """TopdownHeatmapMSMUHead (reference PredictHeatmap per stage-unit:
     ConvModule(1x1)+BN+ReLU, ConvModule(3x3)+BN, align-corners resize) ->
     our MSMUHead s{i}_u{j}_conv1/bn1/conv2/bn2 names. num_units must
-    match the checkpoint's config (index = stage * num_units + unit)."""
+    match the checkpoint's config (index = stage * num_units + unit);
+    use_prm must match the target model's flag or the refinement would be
+    silently dropped / missing."""
+    has_prm = any('.prm.' in k for k in sd if k.startswith(prefix))
+    if has_prm and not use_prm:
+        raise ValueError(
+            'checkpoint contains PRM (Pose Refine Machine) weights but the '
+            'model config has use_prm=False — set model.use_prm=True or '
+            'the refinement would be silently dropped')
+    if use_prm and not has_prm:
+        raise ValueError(
+            'model config has use_prm=True but the checkpoint carries no '
+            'predict_layers.*.prm weights')
     params, stats = {}, {}
 
     def _bn(t, fpath):
@@ -849,7 +862,7 @@ HEAD_CONVERTERS = {
 
 
 def convert_generic_topdown_checkpoint(path_or_sd, backbone_type,
-                                       num_units=4):
+                                       num_units=4, use_prm=False):
     """Reference TopDown .pth (CNN backbone + TopdownHeatmapSimpleHead) ->
     flax variables for GenericTopDown (train/loop.py build_generic_topdown).
 
@@ -870,7 +883,8 @@ def convert_generic_topdown_checkpoint(path_or_sd, backbone_type,
     head_cv = HEAD_CONVERTERS.get(backbone_type)
     if head_cv is convert_msmu_head:
         head_params, head_stats = head_cv(sd, prefix='keypoint_head.',
-                                          num_units=num_units)
+                                          num_units=num_units,
+                                          use_prm=use_prm)
     elif head_cv is not None:
         head_params, head_stats = head_cv(sd, prefix='keypoint_head.')
     else:
