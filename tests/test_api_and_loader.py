@@ -116,3 +116,33 @@ def test_loader_process_sharding():
     ids0 = [i for b in l0 for i in b['bbox_id'][b['valid']]]
     ids1 = [i for b in l1 for i in b['bbox_id'][b['valid']]]
     assert len(ids0) + len(ids1) >= len(ds) - 1
+
+
+def test_inference_return_heatmap_and_outputs(tiny_pose_model):
+    """reference apis/inference.py:295 parity: return_heatmap fills
+    returned_outputs with the (flip-averaged) heatmaps; `outputs` captures
+    named submodule intermediates (OutputHook counterpart); `dataset=`
+    (deprecated class-name selector) still resolves metadata."""
+    import warnings
+    from vitpose_tpu.api import inference_top_down_pose_model
+
+    img = (np.random.RandomState(3).rand(100, 120, 3) * 255).astype(np.uint8)
+    boxes = [{'bbox': [5, 5, 80, 90]}]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        pose, outs = inference_top_down_pose_model(
+            tiny_pose_model, img, boxes, return_heatmap=True,
+            outputs=['backbone'], dataset='TopDownCocoDataset')
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert len(pose) == 1 and pose[0]['keypoints'].shape[1] == 3
+    assert len(outs) == 1
+    hm = outs[0]['heatmap']
+    assert hm.shape[0] == 1 and hm.shape[1] == 17
+    assert outs[0]['backbone'].ndim == 4        # [N, Hp, Wp, C] tokens
+    assert set(outs[0]) == {'heatmap', 'backbone'}
+
+    # no flags -> returned_outputs stays empty (cheap path unchanged)
+    pose2, outs2 = inference_top_down_pose_model(tiny_pose_model, img, boxes)
+    assert outs2 == []
+    np.testing.assert_allclose(pose[0]['keypoints'], pose2[0]['keypoints'],
+                               atol=1e-4)

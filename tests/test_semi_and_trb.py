@@ -1,0 +1,189 @@
+"""MPII-TRB dataset protocol + VideoPose3D semi-supervised lifting.
+
+Goldens:
+  * MpiiTrbDataset db conventions and headbox-PCKh evaluate vs the
+    reference protocol (topdown_mpii_trb_dataset.py:113-300).
+  * semi_supervision_loss (projection + bone) vs the reference torch
+    SemiSupervisionLoss (regression_loss.py:360-449).
+"""
+import copy
+import json
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+TRB_JSON = f"{REF}/tests/data/mpii/test_mpii_trb.json"
+TRB_PREFIX = f"{REF}/tests/data/mpii/"
+
+
+def _trb_fixture_with_headboxes(tmp_path):
+    with open(TRB_JSON) as f:
+        data = json.load(f)
+    rng = np.random.RandomState(5)
+    for ann in data["annotations"]:
+        c = np.asarray(ann["center"], np.float32)
+        ann["headbox"] = [float(c[0] - 40), float(c[1] - 60),
+                         float(c[0] + 40 + rng.rand() * 20),
+                         float(c[1] - 20 + rng.rand() * 10)]
+    p = tmp_path / "trb_headbox.json"
+    p.write_text(json.dumps(data))
+    return str(p), data
+
+
+def test_trb_db_conventions(tmp_path):
+    """center as-is, scale = image_size/s/200, bbox_id = ann id, sorted,
+    all-zero-keypoint annotations skipped."""
+    from vitpose_tpu.data.mpii import MpiiTrbDataset
+
+    ann_file, data = _trb_fixture_with_headboxes(tmp_path)
+    ds = MpiiTrbDataset(ann_file, TRB_PREFIX, image_size=(256, 256),
+                        heatmap_size=(64, 64), test_mode=True)
+    kept = [a for a in data["annotations"] if max(a["keypoints"]) > 0]
+    assert len(ds.db) == len(kept)
+    ids = [r["bbox_id"] for r in ds.db]
+    assert ids == sorted(ids)
+    by_id = {a["id"]: a for a in kept}
+    for rec in ds.db:
+        a = by_id[rec["bbox_id"]]
+        np.testing.assert_allclose(rec["center"], a["center"])
+        np.testing.assert_allclose(
+            rec["scale"], np.array([256.0, 256.0]) / a["scale"] / 200.0,
+            rtol=1e-6)
+        assert rec["headbox"].shape == (4,)
+
+
+def test_trb_evaluate_matches_reference_kernel(tmp_path):
+    """Our evaluate == an independent replica of the reference headbox
+    PCKh kernel (threshold 0.3 * headbox diagonal, skeleton/contour
+    split; topdown_mpii_trb_dataset.py:168-300)."""
+    from vitpose_tpu.data.mpii import MpiiTrbDataset
+
+    ann_file, _ = _trb_fixture_with_headboxes(tmp_path)
+    ds = MpiiTrbDataset(ann_file, TRB_PREFIX, test_mode=True)
+    rng = np.random.RandomState(7)
+    results = []
+    for rec in ds.db:
+        kp = np.zeros((ds.num_joints, 3), np.float32)
+        kp[:, :2] = rec["joints_3d"][:, :2] + rng.randn(ds.num_joints, 2) * 25
+        results.append(dict(preds=kp[None],
+                            boxes=np.zeros((1, 6), np.float32),
+                            image_paths=[rec["image_file"]],
+                            bbox_ids=[rec["bbox_id"]]))
+    stats = ds.evaluate(results, metric="PCKh")
+
+    num = ds.num_joints
+    hit = np.zeros(num)
+    exist = np.zeros(num)
+    for rec, r in zip(ds.db, results):
+        headbox = np.array(rec["headbox"])
+        threshold = np.linalg.norm(headbox[:2] - headbox[2:]) * 0.3
+        for i in range(num):
+            if not rec["joints_3d_visible"][i][0]:
+                continue
+            exist[i] += 1
+            d = np.linalg.norm(r["preds"][0][i, :2] -
+                               rec["joints_3d"][i, :2])
+            if d < threshold:
+                hit[i] += 1
+    assert stats["Skeleton_acc"] == pytest.approx(
+        np.sum(hit[:14]) / np.sum(exist[:14]))
+    assert stats["Contour_acc"] == pytest.approx(
+        np.sum(hit[14:]) / np.sum(exist[14:]))
+    assert stats["PCKh"] == pytest.approx(np.sum(hit) / np.sum(exist))
+    assert 0.0 < stats["PCKh"] < 1.0  # noise keeps it off both rails
+
+
+def test_semi_supervision_loss_golden():
+    """proj_loss/bone_loss match the reference torch SemiSupervisionLoss
+    for both 4- and 9-parameter (distortion) intrinsics."""
+    import torch
+    from test_losses import _load_losses
+    from vitpose_tpu.models.losses_regression import semi_supervision_loss
+
+    mod = _load_losses("regression_loss.py", "_ref_reg")
+    parents = [0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 8, 10, 11, 8, 13, 14, 0]
+    rng = np.random.RandomState(11)
+    n, k = 6, 17
+    labeled = rng.randn(n, k, 3).astype(np.float32)
+    unlabeled = rng.randn(n, k, 3).astype(np.float32)
+    traj = rng.randn(n, 1, 3).astype(np.float32) + np.array([0, 0, 4.0],
+                                                            np.float32)
+    target2d = rng.rand(n, k, 2).astype(np.float32) * 200
+    for n_intr in (4, 9):
+        intr = np.concatenate(
+            [np.full((n, 2), 500.0), np.full((n, 2), 100.0),
+             rng.randn(n, 5) * 0.01], axis=1)[:, :n_intr].astype(np.float32)
+        crit = mod.SemiSupervisionLoss(joint_parents=parents,
+                                       warmup_iterations=0)
+        ref = crit(
+            dict(labeled_pose=torch.from_numpy(labeled),
+                 unlabeled_pose=torch.from_numpy(unlabeled),
+                 unlabeled_traj=torch.from_numpy(traj)),
+            dict(unlabeled_target_2d=torch.from_numpy(target2d),
+                 intrinsics=torch.from_numpy(intr.copy())))
+        got = semi_supervision_loss(labeled, unlabeled, traj, target2d,
+                                    intr, parents)
+        assert float(got["proj_loss"]) == pytest.approx(
+            float(ref["proj_loss"]), rel=1e-4)
+        assert float(got["bone_loss"]) == pytest.approx(
+            float(ref["bone_loss"]), rel=1e-4)
+
+
+def test_semi_supervised_lifter_training():
+    """PoseLifter(with_traj) + labeled MPJPE + semi losses through the
+    Body3DSemiSupervisionDataset wrapper: one jitted step runs and the
+    combined loss decreases."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from vitpose_tpu.data.body3d import (Body3DH36MDataset,
+                                         Body3DSemiSupervisionDataset)
+    from vitpose_tpu.models.pose3d import PoseLifter
+    from vitpose_tpu.models.losses_regression import (mpjpe_loss,
+                                                      semi_supervision_loss)
+
+    h36m = f"{REF}/tests/data/h36m/test_h36m_body3d.npz"
+    labeled = Body3DH36MDataset(h36m, seq_len=9)
+    semi = Body3DSemiSupervisionDataset(labeled, labeled, seed=3)
+    items = [semi[i] for i in range(len(semi))]
+    x = jnp.stack([jnp.asarray(d["input_2d"]) for d in items]) / 1000.0
+    xu = jnp.stack([jnp.asarray(d["unlabeled_input_2d"])
+                    for d in items]) / 1000.0
+    y = jnp.stack([jnp.asarray(d["target_3d"]) for d in items])
+    y_rel = y - y[:, :1]
+    # unlabeled 2D target = the observed detections at the target frame
+    t2d = xu[:, xu.shape[1] // 2] * 1000.0
+    n = x.shape[0]
+    intr = jnp.tile(jnp.asarray([[500.0, 500.0, 100.0, 100.0]]), (n, 1))
+    parents = [0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 8, 10, 11, 8, 13, 14, 0]
+
+    model = PoseLifter(num_joints=17, stem_channels=32, kernel_sizes=(3, 3),
+                       with_traj=True)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state):
+        def loss_fn(v):
+            pose, _ = model.apply(v, x, train=False)
+            upose, utraj = model.apply(v, xu, train=False)
+            # camera-space depth offset: the head initializes near 0 and
+            # projection x/z is singular at z=0 (real trajectories are
+            # meters from the camera)
+            utraj = utraj + jnp.asarray([0.0, 0.0, 4.0])
+            semi_l = semi_supervision_loss(pose, upose, utraj, t2d, intr,
+                                           parents, warmup=1.0)
+            return (mpjpe_loss(pose, y_rel) + 0.01 * semi_l["proj_loss"]
+                    + semi_l["bone_loss"])
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state2 = tx.update(grads, opt_state, variables)
+        return optax.apply_updates(variables, updates), opt_state2, loss
+
+    losses = []
+    for _ in range(40):
+        variables, opt_state, loss = step(variables, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], (losses[0], losses[-1])

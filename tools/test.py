@@ -66,7 +66,7 @@ def main():
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.data import (TopDownDataset, WholeBodyDataset,
                                   PoseTrackDataset, JhmdbDataset)
-    from vitpose_tpu.data.mpii import MpiiDataset
+    from vitpose_tpu.data.mpii import MpiiDataset, MpiiTrbDataset
     from vitpose_tpu.data.loader import TopDownLoader
     from vitpose_tpu.eval.loop import run_validation
 
@@ -82,7 +82,8 @@ def main():
     ds_cls = {'coco_wholebody': WholeBodyDataset,
               'posetrack18': PoseTrackDataset,
               'jhmdb': JhmdbDataset,
-              'mpii': MpiiDataset}.get(name, TopDownDataset)
+              'mpii': MpiiDataset,
+              'mpii_trb': MpiiTrbDataset}.get(name, TopDownDataset)
     ds = ds_cls(
         dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
         dataset_info=name,

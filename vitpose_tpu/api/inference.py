@@ -48,10 +48,10 @@ class PoseModel:
     padding: float = 1.25
     _jitted: dict = dataclasses.field(default_factory=dict)
 
-    def infer_fn(self, n):
+    def infer_fn(self, n, return_heatmap=False):
         import jax
         import jax.numpy as jnp
-        key = n
+        key = (n, bool(return_heatmap))
         if key not in self._jitted:
             flip_index = self.dataset_info.flip_index
             model, cfg = self.model, self.cfg
@@ -74,6 +74,8 @@ class PoseModel:
                     hm, center, scale, post_process=cfg.post_process,
                     kernel=cfg.modulate_kernel, use_udp=cfg.use_udp,
                     target_type=cfg.target_type)
+                if return_heatmap:
+                    return preds, maxvals, hm
                 return preds, maxvals
             self._jitted[key] = fn
         return self._jitted[key]
@@ -121,16 +123,101 @@ def init_pose_model(config, checkpoint: Optional[str] = None,
                      heatmap_size=(hm_w, hm_h), padding=padding)
 
 
+# deprecated reference dataset-class names -> metadata names
+# (reference apis/inference.py:163-242 hardcoded per-class fallbacks)
+_DATASET_CLASS_TO_NAME = {
+    'TopDownCocoDataset': 'coco',
+    'TopDownOCHumanDataset': 'ochuman',
+    'AnimalMacaqueDataset': 'macaque',
+    'TopDownCocoWholeBodyDataset': 'coco_wholebody',
+    'TopDownAicDataset': 'aic',
+    'TopDownMpiiDataset': 'mpii',
+    'TopDownMpiiTrbDataset': 'mpii_trb',
+    'OneHand10KDataset': 'onehand10k',
+    'FreiHandDataset': 'freihand2d',
+    'PanopticDataset': 'panoptic_hand2d',
+    'InterHand2DDataset': 'interhand2d',
+    'Face300WDataset': '300w',
+    'FaceAFLWDataset': 'aflw',
+    'FaceCOFWDataset': 'cofw',
+    'FaceWFLWDataset': 'wflw',
+    'AnimalHorse10Dataset': 'horse10',
+    'AnimalFlyDataset': 'fly',
+    'AnimalLocustDataset': 'locust',
+    'AnimalZebraDataset': 'zebra',
+    'AnimalPoseDataset': 'animalpose',
+    'AnimalAP10KDataset': 'ap10k',
+    'TopDownCrowdPoseDataset': 'crowdpose',
+    'TopDownJhmdbDataset': 'jhmdb',
+    'TopDownHalpeDataset': 'halpe',
+    'TopDownMhpDataset': 'mhp',
+    'TopDownPoseTrack18Dataset': 'posetrack18',
+    'TopDownH36MDataset': 'h36m',
+    'DeepFashionDataset': 'deepfashion_full',
+}
+
+
+def _capture_intermediates(model: PoseModel, imgs_b, center_p, scale_p,
+                           outputs, n):
+    """Capture named submodule outputs during one plain forward — the
+    functional counterpart of the reference's OutputHook
+    (apis/inference.py:300, utils/hooks.py). `outputs` is an iterable of
+    flax module names/paths (e.g. 'backbone', 'head')."""
+    import jax.numpy as jnp
+    names = set(outputs)
+    iw, ih = model.image_size
+    cfg = model.cfg
+    x = imgs_b.astype(jnp.float32) / 255.0
+    if cfg.use_udp:
+        mat = udp_warp_matrix(jnp.zeros(center_p.shape[0]),
+                              jnp.asarray(center_p), jnp.asarray(scale_p),
+                              (iw, ih))
+    else:
+        mat = affine_matrix(jnp.asarray(center_p), jnp.asarray(scale_p),
+                            jnp.zeros(center_p.shape[0]), (iw, ih))
+    crops = warp_affine_batch(x, mat, (iw, ih))
+    crops = (crops - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    _, state = model.model.apply(
+        model.variables, crops, train=False,
+        capture_intermediates=lambda mdl, _: mdl.name in names,
+        mutable=['intermediates'])
+    flat = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,) if k != '__call__' else path)
+        else:
+            # leaves are tuples of call outputs
+            for item in (tree if isinstance(tree, (tuple, list)) else [tree]):
+                key = '.'.join(p for p in path)
+                arr = np.asarray(item)
+                flat[key] = arr[:n] if arr.shape and arr.shape[0] >= n \
+                    else arr
+    walk(state.get('intermediates', {}), ())
+    # keep only the modules that were asked for (other sown intermediates,
+    # e.g. the int8-calibration taps, also live in this collection)
+    return {k: v for k, v in flat.items()
+            if k in names or (k.split('.') and k.split('.')[-1] in names)}
+
+
 def inference_top_down_pose_model(model: PoseModel, img,
                                   person_results=None,
                                   bbox_thr: Optional[float] = None,
                                   format: str = 'xywh',
+                                  dataset: Optional[str] = None,
                                   dataset_info: Optional[DatasetInfo] = None,
-                                  return_heatmap: bool = False):
+                                  return_heatmap: bool = False,
+                                  outputs=None):
     """Run top-down pose on one image given person boxes.
 
     Args mirror the reference (apis/inference.py:295): `person_results` is a
-    list of {'bbox': [x, y, w, h(, score)]} (or xyxy with format='xyxy').
+    list of {'bbox': [x, y, w, h(, score)]} (or xyxy with format='xyxy');
+    `dataset` is the deprecated reference-class-name selector (e.g.
+    'TopDownCocoDataset' — prefer `dataset_info`); `return_heatmap` adds
+    {'heatmap': [N, K, H, W]} to returned_outputs; `outputs` names flax
+    submodules (e.g. ['backbone']) whose intermediate outputs are captured
+    into returned_outputs (the reference's OutputHook, apis/inference.py:300).
     Returns (pose_results, returned_outputs): pose_results is a list of the
     input dicts extended with 'keypoints' [K, 3].
     """
@@ -162,6 +249,13 @@ def inference_top_down_pose_model(model: PoseModel, img,
     if len(sel) == 0:
         return [], []
 
+    if dataset is not None and dataset_info is None:
+        import warnings
+        warnings.warn(
+            'dataset is deprecated; use dataset_info instead '
+            '(reference apis/inference.py:330)', DeprecationWarning)
+        dataset_info = DatasetInfo.load(_DATASET_CLASS_TO_NAME.get(
+            dataset, dataset))
     info = dataset_info or model.dataset_info
     iw, ih = model.image_size
     aspect = iw / ih
@@ -176,20 +270,29 @@ def inference_top_down_pose_model(model: PoseModel, img,
         [center, np.tile(center[-1:], (nb - n, 1))])
     scale_p = np.concatenate([scale, np.tile(scale[-1:], (nb - n, 1))])
     imgs = jnp.asarray(img)[None]
-    fn = model.infer_fn(nb)
+    fn = model.infer_fn(nb, return_heatmap=return_heatmap)
     # the warp gathers from the single shared image for every box
     imgs_b = jnp.broadcast_to(imgs, (nb,) + img.shape)
-    preds, maxvals = fn(model.variables, imgs_b,
-                        jnp.asarray(center_p), jnp.asarray(scale_p))
-    preds = np.asarray(preds)[:n]
-    maxvals = np.asarray(maxvals)[:n]
+    out = fn(model.variables, imgs_b,
+             jnp.asarray(center_p), jnp.asarray(scale_p))
+    preds, maxvals = np.asarray(out[0])[:n], np.asarray(out[1])[:n]
+
+    returned_outputs = []
+    if return_heatmap or outputs:
+        captured = {}
+        if return_heatmap:
+            captured['heatmap'] = np.asarray(out[2])[:n]
+        if outputs:
+            captured.update(_capture_intermediates(
+                model, imgs_b, center_p, scale_p, outputs, n))
+        returned_outputs.append(captured)
 
     pose_results = []
     for i, si in enumerate(sel):
         res = dict(person_results[si])
         res['keypoints'] = np.concatenate([preds[i], maxvals[i]], axis=1)
         pose_results.append(res)
-    return pose_results, []
+    return pose_results, returned_outputs
 
 
 def process_mmdet_results(mmdet_results, cat_id: int = 1):

@@ -139,3 +139,28 @@ class Body3DH36MDataset:
             name_value[m.upper()] = keypoint_mpjpe(preds, gts, masks,
                                                    alignment=align)
         return name_value
+
+
+class Body3DSemiSupervisionDataset:
+    """Combine a labeled and an unlabeled 3D pose dataset for
+    semi-supervised lifting (reference Body3DSemiSupervisionDataset,
+    body3d_semi_supervision_dataset.py:9-41): iterates the unlabeled
+    dataset and pairs each item with a randomly drawn labeled sample,
+    returning one merged dict whose unlabeled keys are prefixed
+    ``unlabeled_`` (the reference achieves the same renaming in its
+    pipeline via RenameKeys; here it is part of the wrapper so the
+    merged dict never collides). Deterministic given ``seed``."""
+
+    def __init__(self, labeled_dataset, unlabeled_dataset, seed=0):
+        self.labeled = labeled_dataset
+        self.unlabeled = unlabeled_dataset
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.unlabeled)
+
+    def __getitem__(self, i):
+        data = {'unlabeled_' + k: v for k, v in self.unlabeled[i].items()}
+        rng = np.random.RandomState(self.seed + i)
+        data.update(self.labeled[rng.randint(0, len(self.labeled))])
+        return data

@@ -144,3 +144,109 @@ class MpiiDataset:
             ('PCKh@0.1', float(np.sum(pckh_01 * jnt_ratio))),
         ])
         return stats
+
+
+class MpiiTrbDataset:
+    """MPII-TRB: 40-keypoint triplet representation (14 skeleton + 26
+    contour joints). Counterpart of the reference `TopDownMpiiTrbDataset`
+    (mmpose/datasets/datasets/top_down/topdown_mpii_trb_dataset.py:40):
+    records come from a COCO-format json but with the TRB conventions —
+    ``center`` used as-is, ``scale = image_size / ann['scale'] / 200``,
+    ``bbox_id = ann['id']`` (db sorted by it), annotations with all-zero
+    keypoints skipped, optional ``headbox`` carried for evaluation
+    (…:113-166). ``evaluate`` implements the TRB PCKh protocol: a joint is
+    a hit when the prediction lies within ``0.3 * ||headbox diagonal||``
+    of GT, reported as Skeleton_acc (first 14 joints) / Contour_acc
+    (rest) / overall PCKh (…:168-300)."""
+
+    def __init__(self, ann_file, img_prefix, dataset_info='mpii_trb',
+                 image_size=(256, 256), heatmap_size=(64, 64),
+                 test_mode=False, dataset_idx=0, canvas_size=1280, **kw):
+        self.info = (dataset_info if isinstance(dataset_info, DatasetInfo)
+                     else DatasetInfo.load(dataset_info))
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.image_size = np.array(image_size)
+        self.heatmap_size = np.array(heatmap_size)
+        self.test_mode = test_mode
+        self.dataset_idx = dataset_idx
+        self.canvas_size = canvas_size
+        self.db = self._load_db()
+
+    @property
+    def num_joints(self):
+        return self.info.num_joints
+
+    @property
+    def sigmas(self):
+        return None
+
+    def __len__(self):
+        return len(self.db)
+
+    def _load_db(self):
+        with open(self.ann_file) as f:
+            data = json.load(f)
+        id2name = {im['id']: im['file_name'] for im in data['images']}
+        k = self.num_joints
+        db = []
+        for ann in data['annotations']:
+            if 'keypoints' not in ann or max(ann['keypoints']) == 0:
+                continue
+            kp = np.asarray(ann['keypoints'], np.float32).reshape(-1, 3)
+            joints = np.zeros((k, 3), np.float32)
+            visible = np.zeros((k, 3), np.float32)
+            n = min(k, len(kp))
+            joints[:n, :2] = kp[:n, :2]
+            visible[:n, :2] = np.minimum(1, kp[:n, 2:3])
+            center = np.asarray(ann['center'], np.float32)
+            scale = np.asarray(self.image_size / float(ann['scale']) / 200.0,
+                               np.float32)
+            rec = dict(
+                image_file=os.path.join(self.img_prefix,
+                                        id2name[ann['image_id']]),
+                center=center, scale=scale, rotation=0.0,
+                joints_3d=joints, joints_3d_visible=visible,
+                dataset=self.info.dataset_name,
+                dataset_idx=self.dataset_idx, bbox_score=1.0,
+                bbox_id=int(ann['id']),
+                # synthesized xywh for loader components that expect one
+                bbox=np.array([center[0] - scale[0] * 100,
+                               center[1] - scale[1] * 100,
+                               scale[0] * 200, scale[1] * 200], np.float32),
+            )
+            if 'headbox' in ann:
+                rec['headbox'] = np.asarray(ann['headbox'], np.float32)
+            db.append(rec)
+        db.sort(key=lambda r: r['bbox_id'])
+        return db
+
+    def evaluate(self, results, res_folder=None, metric='PCKh', **kw):
+        metrics = (list(metric) if isinstance(metric, (list, tuple))
+                   else [metric])
+        for m in metrics:
+            if m != 'PCKh':
+                raise KeyError(f'metric {m} is not supported')
+        by_key = {}
+        for result in results:
+            preds = np.asarray(result['preds'])
+            for i, (path, bid) in enumerate(zip(result['image_paths'],
+                                                result['bbox_ids'])):
+                by_key[(path, int(bid))] = preds[i]
+        k = self.num_joints
+        hit = np.zeros(k, np.float32)
+        exist = np.zeros(k, np.float32)
+        for rec in self.db:
+            pred = by_key[(rec['image_file'], int(rec['bbox_id']))]
+            headbox = np.asarray(rec['headbox'], np.float32)
+            thr = np.linalg.norm(headbox[:2] - headbox[2:]) * 0.3
+            vis = rec['joints_3d_visible'][:, 0] > 0
+            dist = np.linalg.norm(
+                np.asarray(pred)[:, :2] - rec['joints_3d'][:, :2], axis=1)
+            hit += ((dist < thr) & vis).astype(np.float32)
+            exist += vis.astype(np.float32)
+        return OrderedDict([
+            ('Skeleton_acc', float(np.sum(hit[:14]) / np.sum(exist[:14]))),
+            ('Contour_acc', float(np.sum(hit[14:]) / np.sum(exist[14:]))),
+            ('PCKh', float(np.sum(hit) / np.sum(exist))),
+        ])

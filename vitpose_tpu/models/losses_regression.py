@@ -12,6 +12,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _maybe_weight(pred, target, target_weight):
@@ -76,11 +77,16 @@ def bone_loss(pred, target, joint_parents, target_weight=None,
               loss_weight=1.0):
     """Bone-length consistency loss (regression_loss.py:306). target_weight
     here weights bones [N, K-?]."""
-    parents = jnp.asarray(joint_parents)
-    idx = jnp.arange(pred.shape[1])
-    keep = idx != parents
-    bone_pred = jnp.linalg.norm(pred - pred[:, parents], axis=-1)[:, keep]
-    bone_gt = jnp.linalg.norm(target - target[:, parents], axis=-1)[:, keep]
+    # static child/parent index lists (self-parented roots excluded) so
+    # shapes stay static under jit AND no norm is ever taken of the
+    # structurally-zero root "bone" (sqrt(0) has a NaN gradient that 0*NaN
+    # masking would propagate)
+    parents = np.asarray(joint_parents)
+    keep = np.arange(len(parents)) != parents
+    child = np.arange(len(parents))[keep]
+    par = parents[keep]
+    bone_pred = jnp.linalg.norm(pred[:, child] - pred[:, par], axis=-1)
+    bone_gt = jnp.linalg.norm(target[:, child] - target[:, par], axis=-1)
     if target_weight is not None:
         w = jnp.asarray(target_weight)
         bone_pred = bone_pred * w
@@ -225,3 +231,51 @@ def smpl_param_loss(pred_params, gt_params, has_smpl, loss_weight=1.0):
     """MSE over SMPL pose/shape parameters on samples with SMPL gt."""
     mask = jnp.asarray(has_smpl)[..., None]
     return jnp.mean(((pred_params - gt_params) ** 2) * mask) * loss_weight
+
+
+def project_joints(x, intrinsics):
+    """Project 3D camera-space joints to the 2D image plane
+    (reference SemiSupervisionLoss.project_joints,
+    regression_loss.py:395-424). x: [N, K, 3]; intrinsics: [N, 4]
+    (f, c) or [N, 9] (f, c, k1 k2 k3, p1 p2) with radial/tangential
+    distortion."""
+    intr = jnp.asarray(intrinsics)
+    while intr.ndim < x.ndim:
+        intr = intr[:, None]
+    f = intr[..., :2]
+    c = intr[..., 2:4]
+    _x = jnp.clip(x[..., :2] / x[..., 2:], -1.0, 1.0)
+    if intr.shape[-1] == 9:
+        k = intr[..., 4:7]
+        p = intr[..., 7:9]
+        r2 = jnp.sum(_x ** 2, axis=-1, keepdims=True)
+        radial = 1 + jnp.sum(k * jnp.concatenate((r2, r2 ** 2, r2 ** 3),
+                                                 axis=-1),
+                             axis=-1, keepdims=True)
+        tan = jnp.sum(p * _x, axis=-1, keepdims=True)
+        _x = _x * (radial + tan) + p * r2
+    return f * _x + c
+
+
+def semi_supervision_loss(labeled_pose, unlabeled_pose, unlabeled_traj,
+                          unlabeled_target_2d, intrinsics, joint_parents,
+                          projection_loss_weight=1.0, bone_loss_weight=1.0,
+                          warmup=None):
+    """VideoPose3D semi-supervision loss on unlabeled data (reference
+    SemiSupervisionLoss, regression_loss.py:360-449): MPJPE between the
+    re-projected (pose + trajectory) and the 2D detections, plus
+    bone-length consistency between unlabeled and labeled predictions.
+    Functional warmup: pass ``warmup`` as a 0/1 scalar (e.g.
+    ``iteration > warmup_iterations``) instead of the reference's stateful
+    iteration counter. Returns {'proj_loss', 'bone_loss'}."""
+    unlabeled_output = unlabeled_pose + unlabeled_traj
+    proj_2d = project_joints(unlabeled_output, intrinsics)
+    loss_proj = mpjpe_loss(proj_2d, unlabeled_target_2d,
+                           loss_weight=projection_loss_weight)
+    loss_bone = bone_loss(unlabeled_pose, labeled_pose, joint_parents,
+                          loss_weight=bone_loss_weight)
+    if warmup is not None:
+        gate = jnp.asarray(warmup, jnp.float32)
+        loss_proj = loss_proj * gate
+        loss_bone = loss_bone * gate
+    return {'proj_loss': loss_proj, 'bone_loss': loss_bone}

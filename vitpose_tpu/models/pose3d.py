@@ -86,10 +86,18 @@ class TemporalRegressionHead(nn.Module):
 
 
 class PoseLifter(nn.Module):
-    """2D keypoint sequence -> 3D pose (reference pose_lifter.py)."""
+    """2D keypoint sequence -> 3D pose (reference pose_lifter.py).
+
+    With ``with_traj=True`` a parallel trajectory branch (its own TCN +
+    1-joint regression head, reference pose_lifter.py:73-82 and the
+    VideoPose3D semi-supervised config's traj_backbone/traj_head) predicts
+    the global root position; ``__call__`` then returns
+    ``(pose [N, K, 3], traj [N, 1, 3])`` for use with
+    ``losses_regression.semi_supervision_loss``."""
     num_joints: int = 17
     stem_channels: int = 1024
     kernel_sizes: Sequence[int] = (3, 3, 3)
+    with_traj: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -101,13 +109,20 @@ class PoseLifter(nn.Module):
 
     @nn.compact
     def __call__(self, kp2d_seq, train: bool = False):
-        """kp2d_seq: [N, T, K, 2] -> [N, K, 3]."""
+        """kp2d_seq: [N, T, K, 2] -> [N, K, 3] (or (pose, traj))."""
         n, t, k, _ = kp2d_seq.shape
         x = kp2d_seq.reshape(n, t, k * 2).astype(self.dtype)
-        x = TCN(self.stem_channels, self.kernel_sizes, dtype=self.dtype,
-                name='backbone')(x, train=train)
-        return TemporalRegressionHead(self.num_joints, dtype=self.dtype,
-                                      name='head')(x, train=train)
+        feat = TCN(self.stem_channels, self.kernel_sizes, dtype=self.dtype,
+                   name='backbone')(x, train=train)
+        pose = TemporalRegressionHead(self.num_joints, dtype=self.dtype,
+                                      name='head')(feat, train=train)
+        if not self.with_traj:
+            return pose
+        tfeat = TCN(self.stem_channels, self.kernel_sizes, dtype=self.dtype,
+                    name='traj_backbone')(x, train=train)
+        traj = TemporalRegressionHead(1, dtype=self.dtype,
+                                      name='traj_head')(tfeat, train=train)
+        return pose, traj
 
 
 def decode_pose3d(output, target_root=None):
