@@ -69,6 +69,21 @@ def test_seresnet_parity():
     _assert_close(_run_flax(SEResNet(depth=50), params, stats, x), ref)
 
 
+def test_resnet_v1d_parity():
+    """ResNetV1d (deep stem + avg_down) conversion golden — odd input size
+    so the ceil-mode AvgPool in the shortcut is actually exercised."""
+    torch.manual_seed(7)
+    net = L.ref_resnet().ResNetV1d(depth=50)
+    net.eval()
+    x = np.random.RandomState(7).randn(2, 3, 60, 44).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x))
+        ref = (ref[0] if isinstance(ref, (list, tuple)) else ref).numpy()
+    from vitpose_tpu.models.resnet import ResNetV1d
+    params, stats = CK.BACKBONE_CONVERTERS['resnet_v1d'](_sd(net))
+    _assert_close(_run_flax(ResNetV1d(depth=50), params, stats, x), ref)
+
+
 def test_hourglass_parity():
     torch.manual_seed(4)
     net = L.ref_hourglass().HourglassNet(

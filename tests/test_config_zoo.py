@@ -35,9 +35,10 @@ def test_config_builds(path):
 
 CNN_CONFIGS = [c for c in CONFIGS
                if any(k in os.path.basename(c) for k in
-                      ('hrnet', 'litehrnet', 'hrformer', 'res50', 'res152',
-                       'resnext', 'seresnext', 'scnet', 'vipnas',
-                       'mobilenetv2', 'shufflenetv2', 'resnest', 'vgg',
+                      ('hrnet', 'litehrnet', 'hrformer', 'res50', 'res101',
+                       'res152', 'resnext', 'seresnext', 'seresnet',
+                       'resnetv1d', 'scnet', 'vipnas', 'mobilenetv2',
+                       'shufflenetv1', 'shufflenetv2', 'resnest', 'vgg',
                        'alexnet', 'cpm', 'hourglass', 'mspn', 'rsn'))]
 
 

@@ -1,0 +1,23 @@
+# SimpleBaseline ResNet-50 + DARK top-down COCO (reference:
+# configs/.../topdown_heatmap/coco/res50_coco_256x192_dark.py —
+# unbiased_encoding targets + post_process='unbiased' Taylor decode)
+_base_ = ['../base/default_runtime.py', '../base/coco_data.py']
+
+model = dict(
+    backbone_type='resnet',
+    backbone_overrides=dict(depth=50),
+    img_size=(256, 192),
+    out_channels=17,
+    head='heatmap',
+    deconv_filters=(256, 256, 256),
+    deconv_kernels=(4, 4, 4),
+    flip_test=True,
+    post_process='unbiased',
+    modulate_kernel=11,
+    use_udp=False,
+    shift_heatmap=True,
+)
+target = dict(encoding='MSRA', sigma=2.0, unbiased=True)
+optimizer = dict(base_lr=5e-4, warmup_iters=500, decay_epochs=(170, 200),
+                 total_epochs=210)
+runtime = dict(work_dir='work_dirs/res50_coco_256x192_dark')

@@ -1,0 +1,23 @@
+# SimpleBaseline ResNet-50 top-down COCO at 384x288 (reference:
+# configs/.../topdown_heatmap/coco/res50_coco_384x288.py — the
+# higher-resolution input axis of the zoo; sigma 3 targets)
+_base_ = ['../base/default_runtime.py', '../base/coco_data.py']
+
+model = dict(
+    backbone_type='resnet',
+    backbone_overrides=dict(depth=50),
+    img_size=(384, 288),
+    out_channels=17,
+    head='heatmap',
+    deconv_filters=(256, 256, 256),
+    deconv_kernels=(4, 4, 4),
+    flip_test=True,
+    post_process='default',
+    use_udp=False,
+    shift_heatmap=True,
+)
+data = dict(image_size=(288, 384), heatmap_size=(72, 96))
+target = dict(encoding='MSRA', sigma=3.0)
+optimizer = dict(base_lr=5e-4, warmup_iters=500, decay_epochs=(170, 200),
+                 total_epochs=210)
+runtime = dict(work_dir='work_dirs/res50_coco_384x288')

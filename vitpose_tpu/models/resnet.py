@@ -26,10 +26,30 @@ def _bn(train, dtype, name):
                         epsilon=1e-5, dtype=dtype, name=name)
 
 
+def _avg_down_pool(x, stride):
+    """2x2 (=stride) average pool, ceil_mode + count_include_pad=False —
+    the AvgPool the reference inserts before the 1x1 downsample conv when
+    ``avg_down=True`` (resnet.py:355-362)."""
+    h, w = x.shape[1], x.shape[2]
+    pad = ((0, (-h) % stride), (0, (-w) % stride))
+    return nn.avg_pool(x, (stride, stride), strides=(stride, stride),
+                       padding=pad, count_include_pad=False)
+
+
+def _shortcut(x, out_ch, stride, avg_down, dtype):
+    if avg_down and stride != 1:
+        x = _avg_down_pool(x, stride)
+        stride = 1
+    x = nn.Conv(out_ch, (1, 1), strides=(stride,) * 2, use_bias=False,
+                dtype=dtype, name='ds_conv')(x)
+    return x
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,9 +64,8 @@ class BasicBlock(nn.Module):
                     use_bias=False, dtype=self.dtype, name='conv2')(y)
         y = _bn(train, self.dtype, 'bn2')(y)
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1),
-                               strides=(self.stride,) * 2, use_bias=False,
-                               dtype=self.dtype, name='ds_conv')(x)
+            identity = _shortcut(x, self.planes, self.stride, self.avg_down,
+                                 self.dtype)
             identity = _bn(train, self.dtype, 'ds_bn')(identity)
         return nn.relu(y + identity)
 
@@ -55,6 +74,7 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,16 +93,23 @@ class Bottleneck(nn.Module):
                     dtype=self.dtype, name='conv3')(y)
         y = _bn(train, self.dtype, 'bn3')(y)
         if self.downsample:
-            identity = nn.Conv(self.planes * 4, (1, 1),
-                               strides=(self.stride,) * 2, use_bias=False,
-                               dtype=self.dtype, name='ds_conv')(x)
+            identity = _shortcut(x, self.planes * 4, self.stride,
+                                 self.avg_down, self.dtype)
             identity = _bn(train, self.dtype, 'ds_bn')(identity)
         return nn.relu(y + identity)
 
 
 class ResNet(nn.Module):
-    """[N, H, W, 3] -> [N, H/32, W/32, C] feature map."""
+    """[N, H, W, 3] -> [N, H/32, W/32, C] feature map.
+
+    ``deep_stem``/``avg_down`` reproduce the reference's ResNetV1d options
+    (mmpose/models/backbones/resnet.py:447-449,573-607): the 7x7 stem conv
+    becomes three 3x3 convs (32-32-64), and strided shortcuts pool first
+    (2x2 ceil-mode AvgPool) then 1x1-conv at stride 1.
+    """
     depth: int = 50
+    deep_stem: bool = False
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,10 +118,18 @@ class ResNet(nn.Module):
         block_cls = BasicBlock if block_type == 'basic' else Bottleneck
         expansion = 1 if block_type == 'basic' else 4
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name='conv1')(x)
-        x = _bn(train, self.dtype, 'bn1')(x)
-        x = nn.relu(x)
+        if self.deep_stem:
+            for i, (ch, s) in enumerate([(32, 2), (32, 1), (64, 1)]):
+                x = nn.Conv(ch, (3, 3), strides=(s, s),
+                            padding=((1, 1), (1, 1)), use_bias=False,
+                            dtype=self.dtype, name=f'stem_conv{i + 1}')(x)
+                x = _bn(train, self.dtype, f'stem_bn{i + 1}')(x)
+                x = nn.relu(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name='conv1')(x)
+            x = _bn(train, self.dtype, 'bn1')(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         planes = 64
@@ -105,11 +140,17 @@ class ResNet(nn.Module):
                 s = stride if bi == 0 else 1
                 ds = (bi == 0 and (s != 1 or in_ch != planes * expansion))
                 x = block_cls(planes, stride=s, downsample=ds,
-                              dtype=self.dtype,
+                              avg_down=self.avg_down, dtype=self.dtype,
                               name=f'layer{si + 1}_{bi}')(x, train=train)
                 in_ch = planes * expansion
             planes *= 2
         return x
+
+
+def ResNetV1d(depth=50, dtype=jnp.float32, **kw):
+    """Bag-of-tricks ResNetV1d (reference resnet.py:698-710)."""
+    return ResNet(depth=depth, deep_stem=True, avg_down=True, dtype=dtype,
+                  **kw)
 
 
 def convert_resnet_checkpoint(sd, prefix='backbone.'):
@@ -139,6 +180,10 @@ def convert_resnet_checkpoint(sd, prefix='backbone.'):
 
     conv('conv1', ('conv1',))
     bn('bn1', ('bn1',))
+    # deep stem (ResNetV1d): stem.{i}.conv / stem.{i}.bn ConvModules
+    for i in range(3):
+        conv(f'stem.{i}.conv', (f'stem_conv{i + 1}',))
+        bn(f'stem.{i}.bn', (f'stem_bn{i + 1}',))
     for li in range(1, 5):
         bi = 0
         while f'{prefix}layer{li}.{bi}.conv1.weight' in sd:
@@ -146,7 +191,14 @@ def convert_resnet_checkpoint(sd, prefix='backbone.'):
             for ci in (1, 2, 3):
                 conv(f'layer{li}.{bi}.conv{ci}', blk + (f'conv{ci}',))
                 bn(f'layer{li}.{bi}.bn{ci}', blk + (f'bn{ci}',))
-            conv(f'layer{li}.{bi}.downsample.0', blk + ('ds_conv',))
-            bn(f'layer{li}.{bi}.downsample.1', blk + ('ds_bn',))
+            if f'{prefix}layer{li}.{bi}.downsample.1.weight' in sd and \
+                    sd[f'{prefix}layer{li}.{bi}.downsample.1.weight'].ndim \
+                    == 4:
+                # avg_down layout: [AvgPool, conv, bn] (resnet.py:355-371)
+                conv(f'layer{li}.{bi}.downsample.1', blk + ('ds_conv',))
+                bn(f'layer{li}.{bi}.downsample.2', blk + ('ds_bn',))
+            else:
+                conv(f'layer{li}.{bi}.downsample.0', blk + ('ds_conv',))
+                bn(f'layer{li}.{bi}.downsample.1', blk + ('ds_bn',))
             bi += 1
     return params, stats

@@ -87,7 +87,7 @@ def build_backbone(backbone_type: str, **bb_kwargs):
         from ..models.hrnet import HRNet, HRNetConfig
         return HRNet(HRNetConfig(**kw))
 
-    from ..models.resnet import ResNet
+    from ..models.resnet import ResNet, ResNetV1d
     from ..models.resnext import ResNeXt, SEResNeXt
     from ..models.more_cnns import (SCNet, ResNeSt, RegNet, MobileNetV3,
                                     ShuffleNetV1, ViPNASMobileNetV3,
@@ -105,6 +105,7 @@ def build_backbone(backbone_type: str, **bb_kwargs):
         'hrnet': _hrnet,
         'hrnetv2': _hrnetv2,
         'resnet': ResNet,
+        'resnet_v1d': ResNetV1d,
         'resnext': ResNeXt,
         'seresnet': SEResNet,
         'seresnext': SEResNeXt,

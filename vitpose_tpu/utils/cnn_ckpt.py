@@ -825,12 +825,20 @@ def convert_msmu_head(sd, prefix='keypoint_head.', num_units=4,
     return params, stats
 
 
+def _resnet_v1d_converter(sd, prefix=''):
+    """ResNetV1d: deep stem (stem.{i}.conv/bn) + avg_down downsample index
+    shift — handled by models.resnet.convert_resnet_checkpoint."""
+    from ..models.resnet import convert_resnet_checkpoint
+    return convert_resnet_checkpoint(sd, prefix=prefix)
+
+
 # Backbone converters for full-model .pth conversion; most families pair
 # with TopdownHeatmapSimpleHead (convert_head), HEAD_CONVERTERS below
 # overrides the head layout per family (multistage, grouped ViPNAS,
 # MSMU PredictHeatmap, identity CPM head).
 BACKBONE_CONVERTERS = {
     'resnet': convert_resnext,           # identical layer naming
+    'resnet_v1d': _resnet_v1d_converter,
     'resnext': convert_resnext,
     'seresnet': convert_seresnet,
     'seresnext': convert_resnext,
