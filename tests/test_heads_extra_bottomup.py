@@ -66,3 +66,41 @@ def test_get_group_preds_transform():
     assert len(out) == 2
     # heatmap coord 10 -> image coords via the top-down affine convention
     assert np.isfinite(out[0]).all()
+
+
+def test_hourglass_ae_bottomup_end_to_end():
+    """Hourglass-AE bottom-up (reference hourglass_ae_coco_512x512.py):
+    backbone emits per-stack 2K-channel prediction maps, identity
+    multi-stage head, inference selects the LAST stage, then flip-average
+    + grouping produce poses."""
+    from vitpose_tpu.models.lightweight import HourglassAE
+    from vitpose_tpu.models.heads_extra import AEMultiStageHead
+
+    k = 5
+    bb = HourglassAE(downsample_times=2, num_stacks=2, out_channels=2 * k,
+                     stage_channels=(16, 24, 32), feat_channels=16)
+    head = AEMultiStageHead(out_channels=2 * k, num_stages=2,
+                            num_deconv_layers=0, deconv_filters=(),
+                            deconv_kernels=(), final_kernel=0)
+    est = BottomUpEstimator(bb, num_joints=k, head=head)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(rng, (1, 64, 64, 3))
+    variables = est.init(rng, imgs)
+    hm, tags = est.infer(variables, imgs, np.arange(k))
+    assert hm.shape == (1, k, 16, 16)
+    assert tags.shape == (1, k, 16, 16, 2)
+    preds, scores = est.parse(np.asarray(hm, np.float32),
+                              np.asarray(tags, np.float32),
+                              np.array([32.0, 32.0]), np.array([0.3, 0.3]))
+    assert isinstance(preds, list)
+
+
+def test_hourglass_ae_config_builds():
+    import os
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(
+        repo, 'vitpose_tpu/configs/coco/hourglass_ae_coco_512x512.py'))
+    est = build_model_from_cfg(dict(cfg['model']))
+    assert est._multi_stage and est.num_joints == 17

@@ -128,6 +128,11 @@ class BottomUpEstimator:
         self.head = head or AEHead(num_joints, tag_per_joint=tag_per_joint,
                                    deconv_filters=(256,),
                                    deconv_kernels=(4,))
+        # multi-stage AE heads (Hourglass-AE style) consume the backbone's
+        # FULL per-stack output list; test protocol selects the last stage
+        # (reference hourglass_ae_coco_512x512.py select_output_index=[3])
+        from .heads_extra import AEMultiStageHead
+        self._multi_stage = isinstance(self.head, AEMultiStageHead)
         self.num_joints = num_joints
         self.parser = HeatmapParser(num_joints=num_joints,
                                     **(parser_cfg or {}))
@@ -137,7 +142,7 @@ class BottomUpEstimator:
     def init(self, rng, sample):
         bb_vars = self.backbone.init(rng, sample)
         feat = self.backbone.apply(bb_vars, sample)
-        if isinstance(feat, (list, tuple)):
+        if isinstance(feat, (list, tuple)) and not self._multi_stage:
             feat = feat[0]
         head_vars = self.head.init(rng, feat)
         return {'backbone': bb_vars, 'head': head_vars}
@@ -164,7 +169,7 @@ class BottomUpEstimator:
                                            train=train)
                 new_stats['backbone'] = variables['backbone'].get(
                     'batch_stats', {})
-            if isinstance(feat, (list, tuple)):
+            if isinstance(feat, (list, tuple)) and not self._multi_stage:
                 feat = feat[0]
         if mutable and train and 'batch_stats' in variables['head']:
             out, st = self.head.apply(variables['head'], feat, train=True,
@@ -184,9 +189,14 @@ class BottomUpEstimator:
             def apply_reduced(vv, xx):
                 out = self.apply(vv, xx)
                 if isinstance(out, (list, tuple)):
-                    out = reduce_multires_output(
-                        out, self.num_joints,
-                        getattr(self.head, 'with_ae_loss', None))
+                    if self._multi_stage:
+                        # reference select_output_index=[last]; the
+                        # multi-stage head emits NCHW -> back to NHWC
+                        out = out[-1].transpose(0, 2, 3, 1)
+                    else:
+                        out = reduce_multires_output(
+                            out, self.num_joints,
+                            getattr(self.head, 'with_ae_loss', None))
                 return out
             self._jit = jax.jit(
                 lambda v, x: ae_forward_with_flip(

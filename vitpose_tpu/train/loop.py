@@ -142,7 +142,8 @@ def build_family_model(family: str, mcfg: dict):
     mcfg = dict(mcfg)
     if family == 'bottomup':
         from ..models.bottomup import BottomUpEstimator
-        from ..models.heads_extra import (AEHead, AEHigherResolutionHead)
+        from ..models.heads_extra import (AEHead, AEHigherResolutionHead,
+                                          AEMultiStageHead)
         from ..data.dataset_info import DatasetInfo
         bb = build_backbone(mcfg.pop('backbone_type', 'hrnet'),
                             **(mcfg.pop('backbone_overrides', None) or {}))
@@ -151,6 +152,10 @@ def build_family_model(family: str, mcfg: dict):
         head_kw = mcfg.pop('head_overrides', None) or {}
         if head_kind == 'ae_higher':
             head = AEHigherResolutionHead(num_joints, **head_kw)
+        elif head_kind == 'ae_multi':
+            # Hourglass-AE style: the backbone emits per-stack prediction
+            # maps; the head is per-stage identity/deconv
+            head = AEMultiStageHead(**head_kw)
         else:
             head = AEHead(num_joints, **head_kw)
         info = DatasetInfo.load(mcfg.pop('dataset_info', 'coco'))
