@@ -134,3 +134,49 @@ def test_top_down_img_demo_cli(tmp_path):
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-2000:]
     assert any(f.suffix == '.jpg' for f in tmp_path.iterdir())
+
+
+def test_prune_work_dirs(tmp_path):
+    """reference prune_work_dirs.py selection semantics on orbax-style
+    numbered step dirs: last step always kept, best/ never touched."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    try:
+        from prune_work_dirs import prune_run_dir, select_checkpoints
+    finally:
+        sys.path.pop(0)
+    run = tmp_path / 'run_a'
+    run.mkdir()
+    for s in (10, 20, 30, 40, 50):
+        (run / str(s)).mkdir()
+    (run / 'best').mkdir()
+    kept, removed = prune_run_dir(str(run), 2, 'last', dry=False)
+    assert kept == [40, 50] and removed == [10, 20, 30]
+    assert (run / 'best').exists()
+    assert sorted(int(p.name) for p in run.iterdir()
+                  if p.name.isdigit()) == [40, 50]
+    assert select_checkpoints([1, 2, 3, 4], 10) == {1, 2, 3, 4}
+    assert 4 in select_checkpoints([1, 2, 3, 4], 2, 'uniform')
+
+
+def test_sync_annotation_ids(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(REPO, 'tools'))
+    try:
+        from sync_annotation_ids import sync_annotation_ids
+    finally:
+        sys.path.pop(0)
+    src = {'info': {}, 'licenses': [], 'categories': [{'id': 1}],
+           'images': [{'id': 100, 'file_name': 'a.jpg'},
+                      {'id': 101, 'file_name': 'b.jpg'}]}
+    tgt = {'images': [{'id': 1, 'file_name': 'a.jpg'},
+                      {'id': 2, 'file_name': 'b.jpg'}],
+           'annotations': [{'image_id': 1, 'keypoints': []},
+                           {'image_id': 2, 'id': 7}]}
+    out = sync_annotation_ids(src, tgt)
+    assert [a['image_id'] for a in out['annotations']] == [100, 101]
+    assert all('id' in a and 'bbox' in a for a in out['annotations'])
+    assert out['images'] == src['images']
+    # bare list target -> wrapped into a full COCO dict
+    out2 = sync_annotation_ids(src, [{'image_id': 5}])
+    assert out2['categories'] == src['categories']
