@@ -24,9 +24,9 @@ import time
 
 A100_BASELINE_IMGS_PER_SEC = 944.0
 BATCH = 256
-GROUP = 8          # batches per dispatch (amortizes host/tunnel latency)
-WARMUP = 1
-ITERS = 5
+GROUP = int(os.environ.get('BENCH_GROUP', '8'))   # batches per dispatch
+WARMUP = 1                      # (amortizes host/tunnel latency)
+ITERS = int(os.environ.get('BENCH_ITERS', '5'))
 
 
 def fold_normalization(variables, mean, std):

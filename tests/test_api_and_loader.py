@@ -146,3 +146,27 @@ def test_inference_return_heatmap_and_outputs(tiny_pose_model):
     assert outs2 == []
     np.testing.assert_allclose(pose[0]['keypoints'], pose2[0]['keypoints'],
                                atol=1e-4)
+
+
+def test_inference_dataset_info_drives_flip_pairs(tiny_pose_model):
+    """Per-call dataset_info must change the in-jit flip test's channel
+    un-permutation (the reference resolves flip_pairs from the dataset
+    argument, apis/inference.py:163-242) — previously the resolved info
+    was dead and COCO pairs were always used."""
+    from vitpose_tpu.api import inference_top_down_pose_model
+    from vitpose_tpu.data.dataset_info import DatasetInfo
+
+    img = (np.random.RandomState(5).rand(90, 110, 3) * 255).astype(np.uint8)
+    boxes = [{'bbox': [10, 10, 70, 70]}]
+    pose_coco, _ = inference_top_down_pose_model(tiny_pose_model, img, boxes)
+
+    # identity-flip metadata: same K, no swaps -> different flip average
+    import types
+    info = DatasetInfo.load('coco')
+    ident = types.SimpleNamespace(num_joints=info.num_joints,
+                                  flip_index=list(range(info.num_joints)))
+    pose_ident, _ = inference_top_down_pose_model(
+        tiny_pose_model, img, boxes, dataset_info=ident)
+    assert pose_coco[0]['keypoints'].shape == pose_ident[0]['keypoints'].shape
+    assert not np.allclose(pose_coco[0]['keypoints'],
+                           pose_ident[0]['keypoints'], atol=1e-6)

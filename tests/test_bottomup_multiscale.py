@@ -274,3 +274,35 @@ def test_higher_hrnet_multires_inference_paths():
         est, variables, img, test_scale_factor=(1.0,), base_size=128)
     for p in pose_results:
         assert np.isfinite(p['keypoints']).all()
+
+
+def test_hourglass_ae_multiscale_inference_selects_last_stage():
+    """Multi-stage (Hourglass-AE) estimators go through
+    inference_bottom_up_multi_scale with the last-stage selection and the
+    NHWC normalization applied in BottomUpEstimator.apply (regression
+    guard for the NCHW layout finding)."""
+    import numpy as np
+    from vitpose_tpu.models.bottomup import BottomUpEstimator
+    from vitpose_tpu.models.lightweight import HourglassAE
+    from vitpose_tpu.models.heads_extra import AEMultiStageHead
+    from vitpose_tpu.data.dataset_info import DatasetInfo
+    from vitpose_tpu.api.inference import inference_bottom_up_multi_scale
+
+    bb = HourglassAE(downsample_times=2, num_stacks=2, out_channels=34,
+                     stage_channels=(16, 24, 32), feat_channels=16)
+    head = AEMultiStageHead(out_channels=34, num_stages=2,
+                            num_deconv_layers=0, deconv_filters=(),
+                            deconv_kernels=(), final_kernel=0)
+    est = BottomUpEstimator(bb, num_joints=17, head=head,
+                            dataset_info=DatasetInfo.load('coco'))
+    rng = jax.random.PRNGKey(1)
+    variables = est.init(rng, jnp.zeros((1, 64, 64, 3)))
+    out = est.apply(variables, jnp.zeros((1, 64, 64, 3)))
+    # estimator-wide NHWC convention even for the NCHW-native head
+    assert isinstance(out, list) and out[0].shape == (1, 16, 16, 34)
+
+    img = (np.random.RandomState(3).rand(80, 70, 3) * 255).astype(np.uint8)
+    pose_results, scores = inference_bottom_up_multi_scale(
+        est, variables, img, test_scale_factor=(1.0,), base_size=64)
+    for p in pose_results:
+        assert np.isfinite(p['keypoints']).all()

@@ -86,3 +86,47 @@ def test_train_model_dispatches_bottomup_config(tmp_path):
     variables = train_model(cfg, work_dir=str(tmp_path), max_steps=2)
     assert variables is not None
     assert (tmp_path / 'latest.npz').exists()
+
+
+def test_multistage_bottomup_training_loss_layout():
+    """AEMultiStageHead (Hourglass-AE) outputs must reach the training
+    loss in NHWC like every other AE head: finite loss, all components,
+    and a gradient that actually flows (guards the NCHW-vs-NHWC layout
+    regression found in review)."""
+    from vitpose_tpu.data.bottomup import BottomUpCocoDataset
+    from vitpose_tpu.data import DatasetInfo
+    from vitpose_tpu.models.bottomup import BottomUpEstimator
+    from vitpose_tpu.models.lightweight import HourglassAE
+    from vitpose_tpu.models.heads_extra import AEMultiStageHead
+    from vitpose_tpu.train.bottomup_loop import (
+        BottomUpLoader, make_bottomup_train_step, split_bottomup_variables)
+
+    ds = BottomUpCocoDataset(f"{REF}/test_coco.json", REF + "/",
+                             input_size=64, output_sizes=(16,),
+                             max_people=10)
+    ds.info = DatasetInfo.load('coco')
+    loader = BottomUpLoader(ds, batch_size=2, output_size=16, sigma=1.5)
+
+    bb = HourglassAE(downsample_times=2, num_stacks=2, out_channels=34,
+                     stage_channels=(16, 24, 32), feat_channels=16)
+    head = AEMultiStageHead(out_channels=34, num_stages=2,
+                            num_deconv_layers=0, deconv_filters=(),
+                            deconv_kernels=(), final_kernel=0)
+    est = BottomUpEstimator(bb, num_joints=17, head=head,
+                            dataset_info=DatasetInfo.load('coco'))
+    rng = jax.random.PRNGKey(0)
+    variables = est.init(rng, jnp.zeros((1, 64, 64, 3)))
+    params, batch_stats = split_bottomup_variables(variables)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    _, train_step = make_bottomup_train_step(est)
+    step = jax.jit(functools.partial(train_step, tx=tx))
+    batch = next(iter(loader))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    p0 = jax.tree.leaves(params)
+    params, batch_stats, opt_state, metrics = step(
+        params, batch_stats, opt_state, batch)
+    assert np.isfinite(float(metrics['total_loss']))
+    assert {'heatmap_loss', 'push_loss', 'pull_loss'} <= set(metrics)
+    p1 = jax.tree.leaves(params)
+    assert any(not np.allclose(a, b) for a, b in zip(p0, p1))

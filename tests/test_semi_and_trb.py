@@ -187,3 +187,49 @@ def test_semi_supervised_lifter_training():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def test_projection_safe_at_zero_depth():
+    """project_joints must not leak NaN gradients when the (untrained)
+    trajectory root depth is ~0 — the warmup gate multiplies the loss by
+    0, and 0 * inf would still be NaN (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.losses_regression import (project_joints,
+                                                      semi_supervision_loss)
+
+    intr = jnp.tile(jnp.array([[1000., 1000., 500., 500.]]), (1, 1))
+
+    def f(x):
+        d = semi_supervision_loss(
+            x * 0.0 + 0.1, x * 0.0 + 0.1, x,  # traj carries the zero depth
+            jnp.zeros((1, 3, 2)), intr,
+            np.array([0, 0, 1]), warmup=0.0)
+        return d['proj_loss'] + d['bone_loss']
+
+    x0 = jnp.zeros((1, 1, 3))                     # root depth exactly 0
+    g = jax.grad(f)(x0)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(f(x0)) == 0.0                    # warmup gate active
+    p = project_joints(jnp.zeros((2, 3, 3)), jnp.tile(intr, (2, 1)))
+    assert np.isfinite(np.asarray(p)).all()
+
+
+def test_semi_supervision_pairing_changes_per_epoch():
+    from vitpose_tpu.data.body3d import Body3DSemiSupervisionDataset
+
+    class Toy:
+        def __init__(self, tag, n):
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {'idx': i, 'tag': self.tag}
+
+    ds = Body3DSemiSupervisionDataset(Toy('lab', 50), Toy('unl', 8), seed=3)
+    first = [ds[i]['idx'] for i in range(8)]
+    assert [ds[i]['idx'] for i in range(8)] == first  # deterministic
+    ds.set_epoch(1)
+    assert [ds[i]['idx'] for i in range(8)] != first  # re-drawn per epoch

@@ -48,12 +48,17 @@ class PoseModel:
     padding: float = 1.25
     _jitted: dict = dataclasses.field(default_factory=dict)
 
-    def infer_fn(self, n, return_heatmap=False):
+    def infer_fn(self, n, return_heatmap=False, flip_index=None):
+        """flip_index overrides the model's dataset flip pairs for the
+        in-jit flip test (the reference resolves them from the per-call
+        `dataset`/`dataset_info`, apis/inference.py:163-242)."""
         import jax
         import jax.numpy as jnp
-        key = (n, bool(return_heatmap))
-        if key not in self._jitted:
+        if flip_index is None:
             flip_index = self.dataset_info.flip_index
+        flip_index = tuple(int(i) for i in flip_index)
+        key = (n, bool(return_heatmap), flip_index)
+        if key not in self._jitted:
             model, cfg = self.model, self.cfg
             iw, ih = self.image_size
 
@@ -163,24 +168,34 @@ def _capture_intermediates(model: PoseModel, imgs_b, center_p, scale_p,
     functional counterpart of the reference's OutputHook
     (apis/inference.py:300, utils/hooks.py). `outputs` is an iterable of
     flax module names/paths (e.g. 'backbone', 'head')."""
+    import jax
     import jax.numpy as jnp
     names = set(outputs)
     iw, ih = model.image_size
     cfg = model.cfg
-    x = imgs_b.astype(jnp.float32) / 255.0
-    if cfg.use_udp:
-        mat = udp_warp_matrix(jnp.zeros(center_p.shape[0]),
-                              jnp.asarray(center_p), jnp.asarray(scale_p),
-                              (iw, ih))
-    else:
-        mat = affine_matrix(jnp.asarray(center_p), jnp.asarray(scale_p),
-                            jnp.zeros(center_p.shape[0]), (iw, ih))
-    crops = warp_affine_batch(x, mat, (iw, ih))
-    crops = (crops - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-    _, state = model.model.apply(
-        model.variables, crops, train=False,
-        capture_intermediates=lambda mdl, _: mdl.name in names,
-        mutable=['intermediates'])
+    cache_key = ('capture', imgs_b.shape[0], tuple(sorted(names)))
+    if cache_key not in model._jitted:
+        @jax.jit
+        def cap_fn(variables, imgs8, center, scale):
+            x = imgs8.astype(jnp.float32) / 255.0
+            if cfg.use_udp:
+                mat = udp_warp_matrix(jnp.zeros(center.shape[0]),
+                                      center, scale, (iw, ih))
+            else:
+                mat = affine_matrix(center, scale,
+                                    jnp.zeros(center.shape[0]), (iw, ih))
+            crops = warp_affine_batch(x, mat, (iw, ih))
+            crops = (crops - jnp.asarray(IMAGENET_MEAN)) \
+                / jnp.asarray(IMAGENET_STD)
+            _, state = model.model.apply(
+                variables, crops, train=False,
+                capture_intermediates=lambda mdl, _: mdl.name in names,
+                mutable=['intermediates'])
+            return state
+        model._jitted[cache_key] = cap_fn
+    state = model._jitted[cache_key](
+        model.variables, imgs_b, jnp.asarray(center_p),
+        jnp.asarray(scale_p))
     flat = {}
 
     def walk(tree, path):
@@ -270,7 +285,8 @@ def inference_top_down_pose_model(model: PoseModel, img,
         [center, np.tile(center[-1:], (nb - n, 1))])
     scale_p = np.concatenate([scale, np.tile(scale[-1:], (nb - n, 1))])
     imgs = jnp.asarray(img)[None]
-    fn = model.infer_fn(nb, return_heatmap=return_heatmap)
+    fn = model.infer_fn(nb, return_heatmap=return_heatmap,
+                        flip_index=info.flip_index)
     # the warp gathers from the single shared image for every box
     imgs_b = jnp.broadcast_to(imgs, (nb,) + img.shape)
     out = fn(model.variables, imgs_b,
@@ -457,8 +473,13 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
                 with_ae = list(wa)[:len(outs)]
             else:
                 with_ae = [o.shape[1] > k for o in outs]
+            # multi-stage (Hourglass-AE) protocol selects only the last
+            # stage at test time (reference select_output_index=[3])
+            select = ([len(outs) - 1]
+                      if getattr(estimator, '_multi_stage', False)
+                      else list(range(len(outs))))
             return split_ae_outputs(outs, k, [True] * len(outs), with_ae,
-                                    list(range(len(outs))))
+                                    select)
 
         hms, tags_o = apply_split(x)
         if with_flip:

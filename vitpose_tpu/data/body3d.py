@@ -149,18 +149,25 @@ class Body3DSemiSupervisionDataset:
     returning one merged dict whose unlabeled keys are prefixed
     ``unlabeled_`` (the reference achieves the same renaming in its
     pipeline via RenameKeys; here it is part of the wrapper so the
-    merged dict never collides). Deterministic given ``seed``."""
+    merged dict never collides). Deterministic given ``(seed, epoch)``;
+    call ``set_epoch`` each epoch so the pairing is re-drawn (the
+    reference redraws np.random per access — fresh pairs every epoch)."""
 
     def __init__(self, labeled_dataset, unlabeled_dataset, seed=0):
         self.labeled = labeled_dataset
         self.unlabeled = unlabeled_dataset
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.unlabeled)
 
     def __getitem__(self, i):
         data = {'unlabeled_' + k: v for k, v in self.unlabeled[i].items()}
-        rng = np.random.RandomState(self.seed + i)
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 7919 + i) % (2 ** 31))
         data.update(self.labeled[rng.randint(0, len(self.labeled))])
         return data

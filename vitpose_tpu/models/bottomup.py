@@ -180,6 +180,11 @@ class BottomUpEstimator:
             new_stats['head'] = variables['head'].get('batch_stats', {})
         else:
             out = self.head.apply(variables['head'], feat, train=train)
+        if self._multi_stage:
+            # AEMultiStageHead emits NCHW per stage; normalize to the
+            # estimator-wide NHWC convention so the training loss,
+            # multi-scale inference and infer all see one layout
+            out = [o.transpose(0, 2, 3, 1) for o in out]
         if mutable:
             return out, new_stats
         return out
@@ -190,9 +195,8 @@ class BottomUpEstimator:
                 out = self.apply(vv, xx)
                 if isinstance(out, (list, tuple)):
                     if self._multi_stage:
-                        # reference select_output_index=[last]; the
-                        # multi-stage head emits NCHW -> back to NHWC
-                        out = out[-1].transpose(0, 2, 3, 1)
+                        # reference select_output_index=[last]
+                        out = out[-1]
                     else:
                         out = reduce_multires_output(
                             out, self.num_joints,

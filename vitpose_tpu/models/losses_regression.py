@@ -244,7 +244,12 @@ def project_joints(x, intrinsics):
         intr = intr[:, None]
     f = intr[..., :2]
     c = intr[..., 2:4]
-    _x = jnp.clip(x[..., :2] / x[..., 2:], -1.0, 1.0)
+    # safe divide: an untrained trajectory head can put the root depth at
+    # ~0; x/0 -> inf would leak NaN through the clip's zero cotangent
+    # (0 * inf) even when the loss is warmup-gated to 0
+    z = x[..., 2:]
+    z = jnp.where(jnp.abs(z) < 1e-4, jnp.where(z < 0, -1e-4, 1e-4), z)
+    _x = jnp.clip(x[..., :2] / z, -1.0, 1.0)
     if intr.shape[-1] == 9:
         k = intr[..., 4:7]
         p = intr[..., 7:9]
@@ -267,15 +272,30 @@ def semi_supervision_loss(labeled_pose, unlabeled_pose, unlabeled_traj,
     bone-length consistency between unlabeled and labeled predictions.
     Functional warmup: pass ``warmup`` as a 0/1 scalar (e.g.
     ``iteration > warmup_iterations``) instead of the reference's stateful
-    iteration counter. Returns {'proj_loss', 'bone_loss'}."""
-    unlabeled_output = unlabeled_pose + unlabeled_traj
-    proj_2d = project_joints(unlabeled_output, intrinsics)
-    loss_proj = mpjpe_loss(proj_2d, unlabeled_target_2d,
-                           loss_weight=projection_loss_weight)
-    loss_bone = bone_loss(unlabeled_pose, labeled_pose, joint_parents,
-                          loss_weight=bone_loss_weight)
-    if warmup is not None:
+    iteration counter; the gated branch is SKIPPED via lax.cond — the
+    reference returns an empty loss dict during warmup, and merely
+    multiplying by 0 would still propagate NaN (0 * inf) from degenerate
+    inputs like an untrained trajectory head. Returns
+    {'proj_loss', 'bone_loss'}."""
+    def compute(ops):
+        lab, unl_pose, unl_traj, tgt_2d, intr = ops
+        unlabeled_output = unl_pose + unl_traj
+        proj_2d = project_joints(unlabeled_output, intr)
+        loss_proj = mpjpe_loss(proj_2d, tgt_2d,
+                               loss_weight=projection_loss_weight)
+        loss_bone = bone_loss(unl_pose, lab, joint_parents,
+                              loss_weight=bone_loss_weight)
+        return (jnp.asarray(loss_proj, jnp.float32),
+                jnp.asarray(loss_bone, jnp.float32))
+
+    ops = (labeled_pose, unlabeled_pose, unlabeled_traj,
+           unlabeled_target_2d, intrinsics)
+    if warmup is None:
+        loss_proj, loss_bone = compute(ops)
+    else:
         gate = jnp.asarray(warmup, jnp.float32)
-        loss_proj = loss_proj * gate
-        loss_bone = loss_bone * gate
+        loss_proj, loss_bone = jax.lax.cond(
+            gate > 0.5, compute,
+            lambda _: (jnp.zeros((), jnp.float32),
+                       jnp.zeros((), jnp.float32)), ops)
     return {'proj_loss': loss_proj, 'bone_loss': loss_bone}

@@ -86,7 +86,9 @@ def split_bottomup_variables(variables):
     """{'backbone': {params, batch_stats?}, 'head': ...} -> (params tree,
     batch_stats tree) so the optimizer touches ONLY params (BN running
     stats must not receive gradient updates)."""
-    params = {k: v['params'] for k, v in variables.items()}
+    # a parameterless submodule (e.g. the identity AEMultiStageHead of the
+    # hourglass_ae config) has no 'params' collection at all
+    params = {k: v.get('params', {}) for k, v in variables.items()}
     stats = {k: v.get('batch_stats', {}) for k, v in variables.items()}
     return params, stats
 
