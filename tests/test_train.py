@@ -232,3 +232,37 @@ def test_zero1_optimizer_state_sharding():
     new_state, metrics = jitted(sharded_state, place_batch(batch), rng)
     np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
                                rtol=1e-5)
+
+
+def test_zero1_layout_stable_across_steps():
+    """With zero1=True the returned state must keep the COMMITTED layout
+    (params replicated, moments data-sharded): without out_shardings XLA
+    returned data-sharded params after step 1, flipping the layout and
+    recompiling on step 2 (review finding, verified)."""
+    assert jax.device_count() >= 8
+    model = tiny_model(moe=True)
+    batch = make_batch(n=8)
+    batch['dataset_idx'] = jnp.arange(8, dtype=jnp.int32) % 3
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2)
+    rng = jax.random.PRNGKey(0)
+    init_expert = jnp.zeros(8, jnp.int32)
+    init_vars = model.init(rng, batch['imgs'], train=False, all_heads=True,
+                           expert_idx=init_expert)
+    tx = layer_decay_adamw(init_vars['params'], cfg, steps_per_epoch=10**6)
+    state = create_train_state(model, rng, batch['imgs'], tx,
+                               variables=init_vars)
+
+    mesh = make_mesh(n_data=8, n_expert=1)
+    step = make_moe_train_step(model, num_datasets=3)
+    jitted, sharded_state, place_batch = shard_train_step(
+        step, mesh, state, batch, zero1=True)
+
+    committed = [l.sharding for l in jax.tree.leaves(sharded_state.params)]
+    s1, _ = jitted(sharded_state, place_batch(batch), rng)
+    after1 = [l.sharding for l in jax.tree.leaves(s1.params)]
+    assert committed == after1, 'params layout changed across the step'
+    # every param stays replicated (no silent ZeRO-3 flip)
+    assert all(tuple(sh.spec) == () for sh in after1)
+    # and a second step runs with the same layout (no re-trace crash)
+    s2, _ = jitted(s1, place_batch(batch), rng)
+    assert [l.sharding for l in jax.tree.leaves(s2.params)] == committed

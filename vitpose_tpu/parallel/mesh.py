@@ -42,8 +42,10 @@ def make_mesh(n_data: Optional[int] = None, n_expert: int = 1,
     n_total = len(devices)
     if n_data is None:
         n_data = n_total // (n_expert * n_model)
-    assert n_data * n_expert * n_model == n_total, \
-        (n_data, n_expert, n_model, n_total)
+    if n_data * n_expert * n_model != n_total:
+        raise ValueError(
+            f'mesh axes data={n_data} x expert={n_expert} x '
+            f'model={n_model} must factor the device count {n_total}')
     if n_model == 1:
         arr = np.asarray(devices).reshape(n_data, n_expert)
         return Mesh(arr, ('data', 'expert'))
@@ -88,12 +90,14 @@ def _tp_spec(keys, leaf, mesh_shape):
     return spec if _divisible(leaf, spec, mesh_shape) else None
 
 
-def param_shardings(mesh: Mesh, params):
-    """Replicate all params except stacked MoE expert tensors (sharded over
-    `expert`) and, on meshes with a `model` axis, the FFN kernels
-    (Megatron tensor parallelism, see _tp_spec)."""
+def _param_spec_for(mesh: Mesh):
+    """The single param-placement rule shared by param_shardings and
+    shard_state: expert tensors over `expert` (only when dim 0 divides the
+    axis), FFN kernels over `model` (_tp_spec), everything else
+    replicated."""
     has_expert_axis = mesh.shape.get('expert', 1) > 1
     has_model_axis = mesh.shape.get('model', 1) > 1
+    n_expert = mesh.shape.get('expert', 1)
 
     def spec_for(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
@@ -101,12 +105,21 @@ def param_shardings(mesh: Mesh, params):
             tp = _tp_spec(keys, leaf, mesh.shape)
             if tp is not None:
                 return NamedSharding(mesh, tp)
-        if has_expert_axis and keys and keys[-1].startswith('expert_'):
-            if leaf.ndim >= 1:
-                return NamedSharding(mesh, P('expert'))
+        if (has_expert_axis and keys
+                and keys[-1].startswith('expert_')
+                and getattr(leaf, 'ndim', 0) >= 1
+                and leaf.shape[0] % n_expert == 0):
+            return NamedSharding(mesh, P('expert'))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    return spec_for
+
+
+def param_shardings(mesh: Mesh, params):
+    """Replicate all params except stacked MoE expert tensors (sharded over
+    `expert`) and, on meshes with a `model` axis, the FFN kernels
+    (Megatron tensor parallelism, see _tp_spec)."""
+    return jax.tree_util.tree_map_with_path(_param_spec_for(mesh), params)
 
 
 def batch_shardings(mesh: Mesh, batch):
@@ -145,24 +158,7 @@ def shard_state(mesh: Mesh, state, zero1: bool = False):
     everything else replicated. ``zero1=True`` additionally shards the
     optimizer moments over `data` (ZeRO stage 1; the reference has no
     counterpart — SURVEY §2.6 FSDP row)."""
-    has_expert_axis = mesh.shape.get('expert', 1) > 1
-    has_model_axis = mesh.shape.get('model', 1) > 1
-
-    n_expert = mesh.shape.get('expert', 1)
-
-    def spec_for(path, leaf):
-        keys = [getattr(p, 'key', str(p)) for p in path]
-        if has_model_axis:
-            tp = _tp_spec(keys, leaf, mesh.shape)
-            if tp is not None:
-                return NamedSharding(mesh, tp)
-        if (has_expert_axis and keys
-                and keys[-1].startswith('expert_')
-                and getattr(leaf, 'ndim', 0) >= 1
-                and leaf.shape[0] % n_expert == 0):
-            return NamedSharding(mesh, P('expert'))
-        return NamedSharding(mesh, P())
-
+    spec_for = _param_spec_for(mesh)
     n_data = mesh.shape.get('data', 1)
 
     def opt_spec_for(path, leaf):
@@ -176,7 +172,8 @@ def shard_state(mesh: Mesh, state, zero1: bool = False):
 
     def place(tree, spec_fn=None):
         specs = jax.tree_util.tree_map_with_path(spec_fn or spec_for, tree)
-        return jax.tree.map(jax.device_put, tree, specs)
+        # one device_put over matching pytrees batches the transfers
+        return jax.device_put(tree, specs)
 
     return state.replace(
         step=jax.device_put(state.step, NamedSharding(mesh, P())),
@@ -201,7 +198,15 @@ def shard_train_step(train_step, mesh: Mesh, state, sample_batch,
     batch_shard = batch_shardings(mesh, sample_batch)
 
     def place_batch(batch):
-        return jax.tree.map(jax.device_put, batch, batch_shard)
+        return jax.device_put(batch, batch_shard)
 
-    jitted = jax.jit(train_step, donate_argnums=(0,))
+    # pin the state layout on BOTH sides of the jit: without out_shardings
+    # XLA is free to return e.g. ZeRO-1 params sharded over `data`, which
+    # flips the committed layout and forces a re-trace/recompile on the
+    # next step (and every forward thereafter all-gathers the params)
+    state_shard = jax.tree.map(lambda leaf: leaf.sharding, sharded_state)
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(train_step, donate_argnums=(0,),
+                     in_shardings=(state_shard, batch_shard, repl),
+                     out_shardings=(state_shard, repl))
     return jitted, sharded_state, place_batch

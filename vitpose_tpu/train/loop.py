@@ -256,7 +256,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     sample = next(iter(loader))
     pre0 = preprocess(sample['imgs'], sample['center'], sample['scale'],
                       sample['rot'], sample['joints'], sample['vis'])
-    init_params = model.init(rng, pre0['imgs'], train=False)['params']
+    init_vars = model.init(rng, pre0['imgs'], train=False)
+    init_params = init_vars['params']
 
     if cfg.get('pretrained'):
         from ..utils.torch_ckpt import convert_backbone_checkpoint
@@ -270,7 +271,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         init_params = merged
 
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
-    state = create_train_state(model, rng, pre0['imgs'], tx)
+    state = create_train_state(model, rng, pre0['imgs'], tx,
+                               variables=init_vars)
     state = state.replace(params=jax.tree.map(jnp.asarray, init_params))
 
     # ---- mesh -------------------------------------------------------
@@ -456,9 +458,9 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
                        b0['joints'], b0['vis'])
     n0 = pre0['imgs'].shape[0]
     init_expert = jnp.zeros(n0, jnp.int32)
-    init_params = model.init(rng, pre0['imgs'], train=False,
-                             all_heads=True,
-                             expert_idx=init_expert)['params']
+    init_vars = model.init(rng, pre0['imgs'], train=False,
+                           all_heads=True, expert_idx=init_expert)
+    init_params = init_vars['params']
     if cfg.get('pretrained'):
         from ..utils.torch_ckpt import convert_backbone_checkpoint
         bb = convert_backbone_checkpoint(
@@ -470,7 +472,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
                                                  bb))
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
     state = create_train_state(model, rng, pre0['imgs'], tx,
-                               expert_idx=init_expert)
+                               expert_idx=init_expert, variables=init_vars)
     state = state.replace(params=jax.tree.map(jnp.asarray, init_params))
 
     n_dev = jax.device_count()

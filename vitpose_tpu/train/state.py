@@ -30,12 +30,26 @@ class TrainState:
         )
 
 
-def create_train_state(model, rng, sample_batch, tx, expert_idx=None):
-    """Initialize variables and optimizer state."""
-    # init through every head so extra (associate) head params materialize
-    all_heads = getattr(model.cfg, 'num_extra_heads', 0) > 0
-    variables = model.init(rng, sample_batch, train=False,
-                           expert_idx=expert_idx, all_heads=all_heads)
+def create_train_state(model, rng, sample_batch, tx, expert_idx=None,
+                       variables=None):
+    """Initialize variables and optimizer state.
+
+    ``variables``: pass a precomputed ``model.init`` result to skip the
+    (second) full init — callers that already initialized to build the
+    layer-decay optimizer reuse it. Models without TopDown's
+    ``expert_idx``/``all_heads`` kwargs (e.g. PoseLifter) are initialized
+    with the plain signature."""
+    if variables is None:
+        cfg = getattr(model, 'cfg', None)
+        if cfg is not None and hasattr(cfg, 'num_extra_heads'):
+            # init through every head so extra (associate) head params
+            # materialize
+            all_heads = cfg.num_extra_heads > 0
+            variables = model.init(rng, sample_batch, train=False,
+                                   expert_idx=expert_idx,
+                                   all_heads=all_heads)
+        else:
+            variables = model.init(rng, sample_batch, train=False)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(

@@ -64,18 +64,19 @@ def calibrate_act_scales(model, variables, batches: Sequence,
             if not interesting:
                 continue
             idx = _block_index(names)
-            amax = float(jnp.max(jnp.abs(val)))
             if 'fc1' in names:
                 # fc2's input is gelu(fc1 out); gelu's absmax equals the
                 # positive max of its input (monotone for x > ~1)
                 g = jax.nn.gelu(val, approximate=gelu_approx)
                 bump('fc2', idx, float(jnp.max(jnp.abs(g))))
-            elif 'norm2' in names:
-                bump('fc1', idx, amax)
-            elif 'norm1' in names:
-                bump('qkv', idx, amax)
-            elif 'proj_in' in names:
-                bump('proj', idx, amax)
+            else:
+                amax = float(jnp.max(jnp.abs(val)))
+                if 'norm2' in names:
+                    bump('fc1', idx, amax)
+                elif 'norm1' in names:
+                    bump('qkv', idx, amax)
+                elif 'proj_in' in names:
+                    bump('proj', idx, amax)
     depth = model.cfg.backbone.depth
     kinds = ('fc1', 'fc2') + (('qkv', 'proj') if attn else ())
     missing = [(k, i) for k in kinds for i in range(depth)
@@ -97,6 +98,12 @@ def int8_serving_config(cfg, scales, qkv: bool = False):
     if qkv and any(len(s) < 4 for s in scales):
         raise ValueError('qkv=True needs (fc1, fc2, qkv, proj) scales; '
                          'calibrate with attn=True')
+    if getattr(cfg.backbone, 'num_experts', 0) > 0:
+        # MoE blocks route to MoEMlp, which has no int8 path — setting the
+        # flag would silently serve bf16 while claiming int8
+        raise NotImplementedError(
+            'int8 serving is not implemented for MoE (num_experts > 0) '
+            'backbones: MoEMlp ignores int8_mlp')
     bb = dataclasses.replace(cfg.backbone, int8_mlp=True, int8_qkv=qkv,
                              int8_act_scales=tuple(
                                  tuple(s) for s in scales))
