@@ -170,3 +170,54 @@ def test_inference_dataset_info_drives_flip_pairs(tiny_pose_model):
     assert pose_coco[0]['keypoints'].shape == pose_ident[0]['keypoints'].shape
     assert not np.allclose(pose_coco[0]['keypoints'],
                            pose_ident[0]['keypoints'], atol=1e-6)
+
+
+@pytest.mark.parametrize('use_udp', [True, False])
+def test_train_flip_matches_reference_source_flip(use_udp):
+    """The device-side crop-frame flip (make_preprocess_fn flip=) must be
+    equivalent to the reference TopDownRandomFlip semantics: flip the
+    SOURCE image, mirror center/joints around W-1, reorder channels
+    (top_down_transform.py:122). Guards the round-2 regression where
+    flipped samples trained on unflipped pixels."""
+    from vitpose_tpu.data.pipeline import make_preprocess_fn
+    from vitpose_tpu.data.dataset_info import DatasetInfo
+
+    rng = np.random.RandomState(11)
+    W = 96
+    canvas = (rng.rand(1, W, W, 3) * 255).astype(np.uint8)
+    info = DatasetInfo.load('coco')
+    fi = np.asarray(info.flip_index)
+    joints = (rng.rand(1, 17, 2) * 60 + 10).astype(np.float32)
+    vis = np.ones((1, 17), np.float32)
+    center = np.array([[45.0, 50.0]], np.float32)
+    scale = np.array([[0.35, 0.45]], np.float32)
+    rot = np.zeros(1, np.float32)
+
+    rot = np.full(1, 15.0, np.float32)     # exactness incl. rotation
+    pre = make_preprocess_fn(image_size=(48, 64), heatmap_size=(12, 16),
+                             use_udp=use_udp, sigma=2.0)
+
+    # host flip semantics (sample_augmentations): mirror center/joints
+    # around the canvas width, reorder channels; device folds the SOURCE
+    # pixel mirror into the warp matrix via flip=True
+    center_f = center.copy()
+    center_f[0, 0] = W - center[0, 0] - 1
+    joints_f = joints[:, fi].copy()
+    joints_f[..., 0] = W - 1 - joints_f[..., 0]
+    ours = pre(canvas, center_f, scale, rot, joints_f, vis[:, fi],
+               np.array([True]))
+
+    # reference semantics: actually flip the source pixels
+    ref = pre(canvas[:, :, ::-1, :], center_f, scale, rot, joints_f,
+              vis[:, fi])
+
+    np.testing.assert_allclose(np.asarray(ours['imgs']),
+                               np.asarray(ref['imgs']), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours['target']),
+                               np.asarray(ref['target']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours['target_weight']),
+                               np.asarray(ref['target_weight']), atol=0)
+    # and the flip actually changes the crop vs ignoring the flag
+    plain = pre(canvas, center_f, scale, rot, joints_f, vis[:, fi])
+    assert not np.allclose(np.asarray(ours['imgs']),
+                           np.asarray(plain['imgs']), atol=1e-3)

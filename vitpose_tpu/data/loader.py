@@ -31,9 +31,10 @@ from .pipeline import AugmentConfig, sample_augmentations
 from ..ops.geometry import bbox_xywh2cs
 
 
-def _load_canvas(path, canvas_size, cv2_mod=None):
-    """Decode an image onto a static canvas; returns (canvas, scale_factor,
-    orig_w). Images larger than the canvas are uniformly downscaled."""
+def _load_canvas(path, canvas_size):
+    """Decode an image onto a static canvas; returns (canvas,
+    scale_factor). Images larger than the canvas are uniformly
+    downscaled."""
     import cv2
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
@@ -47,7 +48,7 @@ def _load_canvas(path, canvas_size, cv2_mod=None):
         h, w = img.shape[:2]
     canvas = np.zeros((canvas_size, canvas_size, 3), np.uint8)
     canvas[:h, :w] = img
-    return canvas, np.float32(s), w
+    return canvas, np.float32(s)
 
 
 class TopDownLoader:
@@ -82,12 +83,20 @@ class TopDownLoader:
         self.drop_last = is_train if drop_last is None else drop_last
         self.epoch = 0
         self.image_size = tuple(dataset.image_size)
+        self._pool = None
+
+    def _shard_len(self):
+        # every shard padded to the same (ceil) size, like the reference
+        # DistributedSampler (samplers/distributed_sampler.py:25-41) — a
+        # floor here would silently drop the tail records of the larger
+        # shards from evaluation
+        return -(-len(self.ds.db) // self.process_count)
 
     def __len__(self):
-        n = len(self.ds.db) // self.process_count
+        per = self._shard_len()
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return per // self.batch_size
+        return (per + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -98,8 +107,11 @@ class TopDownLoader:
         if self.is_train:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        # per-process shard (pad to divisibility like the reference sampler)
-        idx = idx[self.process_index::self.process_count]
+        if self.process_count > 1:
+            total = self._shard_len() * self.process_count
+            if total > n:       # wrap-around padding to divisibility
+                idx = np.concatenate([idx, idx[:total - n]])
+            idx = idx[self.process_index::self.process_count]
         return idx
 
     def _decode_chunk(self, recs):
@@ -115,12 +127,13 @@ class TopDownLoader:
                              self.canvas_size, 3), np.uint8)
         sfacs = np.empty(len(paths), np.float32)
         if self.num_workers > 1:
-            with futures.ThreadPoolExecutor(self.num_workers) as pool:
-                outs = list(pool.map(
-                    lambda p: _load_canvas(p, self.canvas_size), paths))
+            if self._pool is None:      # one pool for the loader lifetime
+                self._pool = futures.ThreadPoolExecutor(self.num_workers)
+            outs = list(self._pool.map(
+                lambda p: _load_canvas(p, self.canvas_size), paths))
         else:
             outs = [_load_canvas(p, self.canvas_size) for p in paths]
-        for j, (c, s, _) in enumerate(outs):
+        for j, (c, s) in enumerate(outs):
             canvases[j] = c
             sfacs[j] = s
         return canvases, sfacs
@@ -146,18 +159,20 @@ class TopDownLoader:
         joints = rec['joints_3d'][:, :2] * sfac
         vis = rec['joints_3d_visible'][:, 0]
 
+        flipped = False
         if self.is_train:
             r = dict(rec, center=center, scale=scale,
                      joints_3d=np.concatenate(
                          [joints, rec['joints_3d'][:, 2:]], axis=1),
                      joints_3d_visible=rec['joints_3d_visible'])
-            center, scale, rot, joints, vis, _ = sample_augmentations(
+            center, scale, rot, joints, vis, flipped = sample_augmentations(
                 rec_rng, r, self.ds.info, self.canvas_size, self.aug,
                 self.image_size)
         else:
             rot = np.float32(0.0)
 
         return dict(img=canvas, center=center, scale=scale, rot=rot,
+                    flip=bool(flipped),
                     joints=joints.astype(np.float32),
                     vis=vis.astype(np.float32),
                     bbox_score=np.float32(rec['bbox_score']),
@@ -189,6 +204,7 @@ class TopDownLoader:
                 center=np.stack([r['center'] for r in recs]),
                 scale=np.stack([r['scale'] for r in recs]),
                 rot=np.stack([r['rot'] for r in recs]),
+                flip=np.array([r['flip'] for r in recs], bool),
                 joints=np.stack([r['joints'] for r in recs]),
                 vis=np.stack([r['vis'] for r in recs]),
                 bbox_score=np.stack([r['bbox_score'] for r in recs]),
@@ -212,8 +228,16 @@ class MultiDatasetLoader:
     own dataset_idx) and samples uniformly over the union, like the
     reference's ConcatDataset training (datasets/builder.py:75-79)."""
 
-    def __init__(self, loaders):
+    def __init__(self, loaders, seed=0):
         self.loaders = loaders
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        """Re-seed the interleave order per epoch (child loaders get their
+        own set_epoch from the train loop); a fixed order would bias the
+        tail-of-epoch gradient toward one dataset for the whole run."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return sum(len(l) for l in self.loaders)
@@ -222,7 +246,7 @@ class MultiDatasetLoader:
         iters = [iter(l) for l in self.loaders]
         counts = [len(l) for l in self.loaders]
         order = np.concatenate([np.full(c, i) for i, c in enumerate(counts)])
-        np.random.RandomState(0).shuffle(order)
+        np.random.RandomState(self.seed * 9973 + self.epoch).shuffle(order)
         for i in order:
             try:
                 yield next(iters[i])

@@ -55,7 +55,15 @@ def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
                          aug: AugmentConfig, image_size):
     """Host-side: draw augmentation params for one record, mirroring the
     reference transforms' distributions. Mutates a copy of the record and
-    returns (center, scale, rot, joints, vis)."""
+    returns (center, scale, rot, joints, vis, flipped).
+
+    Flip (reference TopDownRandomFlip, top_down_transform.py:122) mirrors
+    the joints/center around the canvas width here on host — but the
+    SOURCE pixel mirror (the reference's ``img[:, ::-1]``) happens on
+    device, folded into the crop warp matrix by make_preprocess_fn's
+    ``flip`` argument. Callers must pass the returned ``flipped`` flag
+    through to the preprocess fn or flipped samples train on unflipped
+    pixels."""
     joints = record['joints_3d'][:, :2].copy()
     vis = record['joints_3d_visible'][:, 0].copy()
     center = np.asarray(record['center'], np.float32).copy()
@@ -121,22 +129,39 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
     """Build the jitted device-side preprocessing function.
 
     fn(imgs_uint8 [N,H,W,3], center [N,2], scale [N,2], rot [N],
-       joints [N,K,2], vis [N,K]) ->
+       joints [N,K,2], vis [N,K], flip [N] bool or None) ->
        dict(imgs [N,h,w,3] normalized, target [N,K,hh,hw], target_weight)
 
     Images must be pre-resized/padded to one static source shape on host
-    (the crop warp handles arbitrary geometry via center/scale).
+    (the crop warp handles arbitrary geometry via center/scale). ``flip``
+    ([N] bool or None) marks samples whose center/joints were mirrored by
+    sample_augmentations: for those, the SOURCE pixel mirror is folded
+    into the pixel warp matrix (src-mirror F composed on the right:
+    sampling the flipped canvas equals sampling the original at F(p)), so
+    the crop pixels match the mirrored labels exactly — for both warp
+    conventions and any rotation, with no pixel copies.
     """
     iw, ih = int(image_size[0]), int(image_size[1])
 
     @jax.jit
-    def preprocess(imgs, center, scale, rot, joints, vis):
+    def preprocess(imgs, center, scale, rot, joints, vis, flip=None):
         imgs = imgs.astype(jnp.float32) / 255.0
         if use_udp:
             mat = udp_warp_matrix(rot, center, scale, (iw, ih))
         else:
             mat = affine_matrix(center, scale, rot, (iw, ih))
-        crops = warp_affine_batch(imgs, mat, (iw, ih))
+        mat_pix = mat
+        if flip is not None:
+            # compose the source mirror: A'' = A @ F with
+            # F = [[-1, 0, S-1], [0, 1, 0]]  (S = canvas width)
+            f = jnp.asarray(flip).astype(bool)
+            s_w = imgs.shape[2]
+            col0 = mat[..., :, 0]
+            flipped_mat = jnp.stack(
+                [-col0, mat[..., :, 1],
+                 mat[..., :, 2] + (s_w - 1) * col0], axis=-1)
+            mat_pix = jnp.where(f[:, None, None], flipped_mat, mat)
+        crops = warp_affine_batch(imgs, mat_pix, (iw, ih))
         crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
         out = {'imgs': crops}
         if with_targets:
@@ -181,15 +206,23 @@ def photometric_distortion(rng: np.random.RandomState, img,
     if not contrast_last and rng.randint(2):
         img *= rng.uniform(*contrast_range)
 
-    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                       cv2.COLOR_RGB2HSV).astype(np.float32)
-    if rng.randint(2):
-        hsv[..., 1] *= rng.uniform(*saturation_range)
-    if rng.randint(2):
-        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) \
-            % 180
-    img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
-                       cv2.COLOR_HSV2RGB).astype(np.float32)
+    # draw the gates/factors in the reference's RNG order, but only
+    # round-trip through uint8 HSV when a branch actually fires (the
+    # reference applies no transform at all on a no-op draw; an
+    # unconditional conversion would quantize every image)
+    sat_gate = rng.randint(2)
+    sat_mult = rng.uniform(*saturation_range) if sat_gate else None
+    hue_gate = rng.randint(2)
+    hue_shift = rng.uniform(-hue_delta, hue_delta) if hue_gate else None
+    if sat_gate or hue_gate:
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_RGB2HSV).astype(np.float32)
+        if sat_gate:
+            hsv[..., 1] *= sat_mult
+        if hue_gate:
+            hsv[..., 0] = (hsv[..., 0] + hue_shift) % 180
+        img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
+                           cv2.COLOR_HSV2RGB).astype(np.float32)
 
     if contrast_last and rng.randint(2):
         img *= rng.uniform(*contrast_range)

@@ -81,7 +81,18 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
     return val_step, val_step_grouped
 
 
+# bounded: each entry pins a model object + its compiled executables, so an
+# unbounded id-keyed dict leaks across checkpoint/config sweeps
+_VAL_CACHE_MAX = 4
 _val_step_cache = {}
+
+
+def _val_cache_put(key, value):
+    if key not in _val_step_cache and \
+            len(_val_step_cache) >= _VAL_CACHE_MAX:
+        _val_step_cache.pop(next(iter(_val_step_cache)))
+    _val_step_cache[key] = value
+    return value
 
 
 def run_validation(model, variables, loader, use_udp=True,
@@ -104,11 +115,11 @@ def run_validation(model, variables, loader, use_udp=True,
            modulate_kernel, target_type, head_idx,
            tuple(flip_index.tolist()))
     if key not in _val_step_cache:
-        _val_step_cache[key] = make_val_step(
+        _val_cache_put(key, make_val_step(
             model, loader.image_size, use_udp=use_udp,
             post_process=post_process, modulate_kernel=modulate_kernel,
             flip_index=flip_index, target_type=target_type,
-            head_idx=head_idx)
+            head_idx=head_idx))
     val_step, val_step_grouped = _val_step_cache[key]
 
     def decode_group(batches):

@@ -255,7 +255,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
 
     sample = next(iter(loader))
     pre0 = preprocess(sample['imgs'], sample['center'], sample['scale'],
-                      sample['rot'], sample['joints'], sample['vis'])
+                      sample['rot'], sample['joints'], sample['vis'],
+                      sample.get('flip'))
     init_vars = model.init(rng, pre0['imgs'], train=False)
     init_params = init_vars['params']
 
@@ -335,7 +336,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         for it, batch in enumerate(loader):
             t_data += time.time() - t_last
             pre = preprocess(batch['imgs'], batch['center'], batch['scale'],
-                             batch['rot'], batch['joints'], batch['vis'])
+                             batch['rot'], batch['joints'], batch['vis'],
+                             batch.get('flip'))
             dev_batch = place_batch({'imgs': pre['imgs'],
                                      'target': pre['target'],
                                      'target_weight': pre['target_weight']})
@@ -455,7 +457,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
 
     b0 = next(iter(loaders[0]))
     pre0 = preprocs[0](b0['imgs'], b0['center'], b0['scale'], b0['rot'],
-                       b0['joints'], b0['vis'])
+                       b0['joints'], b0['vis'], b0.get('flip'))
     n0 = pre0['imgs'].shape[0]
     init_expert = jnp.zeros(n0, jnp.int32)
     init_vars = model.init(rng, pre0['imgs'], train=False,
@@ -525,12 +527,14 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
     for epoch in range(start_epoch, total_epochs):
         for l in loaders:
             l.set_epoch(epoch)
+        mixture.set_epoch(epoch)
         t_epoch = time.time()
         for it, batch in enumerate(mixture):
             d = int(batch['dataset_idx'][0])
             pre = preprocs[d](batch['imgs'], batch['center'],
                               batch['scale'], batch['rot'],
-                              batch['joints'], batch['vis'])
+                              batch['joints'], batch['vis'],
+                              batch.get('flip'))
             dev_batch = place_batch({
                 'imgs': pre['imgs'], 'target': pre['target'],
                 'target_weight': pre['target_weight'],
