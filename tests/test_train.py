@@ -266,3 +266,29 @@ def test_zero1_layout_stable_across_steps():
     # and a second step runs with the same layout (no re-trace crash)
     s2, _ = jitted(s1, place_batch(batch), rng)
     assert [l.sharding for l in jax.tree.leaves(s2.params)] == committed
+
+
+def test_freeze_tx_composes_with_layer_decay():
+    """freeze_tx(multi_transform) prunes the update tree per partition;
+    layer_decay_adamw's lr-scale stage must tolerate that (path-keyed
+    lookup) instead of crashing on structure mismatch (review finding,
+    reproduced with optax 0.2.x)."""
+    from vitpose_tpu.train.optim import (freeze_tx, make_freeze_mask,
+                                         layer_decay_adamw, OptimConfig)
+    model = tiny_model()
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((2, 64, 48, 3))
+    params = model.init(rng, imgs, train=False)['params']
+    cfg = OptimConfig(base_lr=1e-3, warmup_iters=1, num_layers=2)
+    tx = freeze_tx(layer_decay_adamw(params, cfg, steps_per_epoch=10),
+                   make_freeze_mask(params, frozen_stages=1))
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    frozen = [u for p, u in flat
+              if any('blocks_1' == getattr(k, 'key', '') for k in p)]
+    live = [u for p, u in flat
+            if any('head' == getattr(k, 'key', '') for k in p)]
+    assert frozen and all(np.allclose(u, 0) for u in frozen)
+    assert live and any(not np.allclose(u, 0) for u in live)

@@ -28,9 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _dot_dtype(dtype):
-    # MXU-friendly: bf16 inputs, f32 accumulate.
-    return jnp.float32
+# MXU-friendly accumulation dtype: bf16 inputs, f32 accumulate.
+F32_ACCUM = jnp.float32
 
 
 class DropPath(nn.Module):
@@ -158,7 +157,7 @@ class MoEMlp(nn.Module):
         b = jnp.einsum('ne,ep->np', onehot,
                        e_bias.astype(self.dtype))          # [N, part]
         part = jnp.einsum('nth,nhp->ntp', h, w,
-                          preferred_element_type=_dot_dtype(self.dtype))
+                          preferred_element_type=F32_ACCUM)
         part = (part + b[:, None, :]).astype(self.dtype)
         return jnp.concatenate([shared, part], axis=-1)
 

@@ -82,7 +82,12 @@ def make_lr_schedule(cfg: OptimConfig, steps_per_epoch: int,
         total = cfg.total_epochs * steps_per_epoch
 
         def main_fn(count):
-            frac = jnp.clip(count / max(total, 1), 0.0, 1.0)
+            # anneal over the POST-warmup span (reference cosine_scheduler,
+            # mmcv_custom/checkpoint.py:292, starts its cosine at frac=0
+            # after the warmup iters) so the curve is continuous at the
+            # warmup boundary
+            frac = jnp.clip((count - cfg.warmup_iters)
+                            / max(total - cfg.warmup_iters, 1), 0.0, 1.0)
             return cfg.base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
     else:
         boundaries = {e * steps_per_epoch: cfg.decay_factor
@@ -117,11 +122,20 @@ def layer_decay_adamw(params, cfg: OptimConfig, steps_per_epoch: int = 1000,
 
 
 def _scale_by_tree(scales):
+    # path-keyed lookup (default 1.0) rather than a structural tree.map:
+    # wrappers like optax.masked / multi_transform (freeze_tx) prune the
+    # update tree, and a captured full-params scale tree would then fail
+    # to match structurally
+    flat, _ = jax.tree_util.tree_flatten_with_path(scales)
+    table = {jax.tree_util.keystr(p): s for p, s in flat}
+
     def init_fn(params):
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
-        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+        def scale(path, u):
+            return u * table.get(jax.tree_util.keystr(path), 1.0)
+        return jax.tree_util.tree_map_with_path(scale, updates), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -135,7 +149,6 @@ def weight_norm_clip(params, max_norm=1.0, key_names=('kernel',)):
     it enforces the same invariant at every training forward (used by the
     VideoPose3D-style TCN/TemporalRegressionHead with max_norm=1).
     """
-    import jax
     import jax.numpy as jnp
 
     def clip(path, leaf):
@@ -161,7 +174,6 @@ def make_freeze_mask(params, frozen_stages=-1, freeze_attn=False,
     ``optax.masked(tx, mask)``.
     """
     import re
-    import jax
 
     def trainable(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
@@ -187,8 +199,7 @@ def make_freeze_mask(params, frozen_stages=-1, freeze_attn=False,
 def freeze_tx(tx, trainable_mask):
     """Wrap an optax transform so updates are ZEROED where the mask is
     False (optax.masked alone passes unmasked updates through unchanged)."""
-    import optax
-    labels = __import__('jax').tree.map(
-        lambda t: 'train' if t else 'freeze', trainable_mask)
+    labels = jax.tree.map(lambda t: 'train' if t else 'freeze',
+                          trainable_mask)
     return optax.multi_transform(
         {'train': tx, 'freeze': optax.set_to_zero()}, labels)

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..models.losses import joints_mse_loss, combined_target_mse_loss
 from ..ops.decode import pose_pck_accuracy
@@ -73,10 +74,16 @@ def make_train_step(model, target_type='GaussianHeatmap'):
         (loss, (new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
-        acc, cnt = pose_pck_accuracy(out, batch['target'],
-                                     batch['target_weight'] > 0)
-        metrics = {'heatmap_loss': loss, 'acc_pose': acc,
-                   'grad_norm': optax_global_norm(grads)}
+        metrics = {'heatmap_loss': loss,
+                   'grad_norm': optax.global_norm(grads)}
+        if target_type.lower() != 'combinedtarget':
+            # PCK is only defined for Gaussian heatmaps — the
+            # CombinedTarget output interleaves offset channels (3K), so
+            # argmax decoding is meaningless there (the reference's
+            # get_accuracy also skips it, topdown_heatmap_simple_head.py)
+            acc, cnt = pose_pck_accuracy(out, batch['target'],
+                                         batch['target_weight'] > 0)
+            metrics['acc_pose'] = acc
         return new_state, metrics
 
     return train_step
@@ -94,6 +101,11 @@ def make_moe_train_step(model, num_datasets):
             outs, new_stats = _apply_train(
                 model, params, state.batch_stats, batch['imgs'], rng,
                 expert_idx=ds_idx, all_heads=True)
+            if len(outs) != num_datasets:
+                raise ValueError(
+                    f'model has {len(outs)} heads but num_datasets='
+                    f'{num_datasets}: samples of unmatched datasets would '
+                    f'silently contribute no loss')
             total = 0.0
             losses = {}
             for d, out in enumerate(outs):
@@ -110,6 +122,7 @@ def make_moe_train_step(model, num_datasets):
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
         metrics = dict(losses)
         metrics['heatmap_loss'] = loss
+        metrics['grad_norm'] = optax.global_norm(grads)
         return new_state, metrics
 
     return train_step
@@ -126,7 +139,6 @@ def make_eval_step(model, flip_index=None):
     return eval_step
 
 
-def optax_global_norm(tree):
-    leaves = jax.tree.leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2)
-                        for x in leaves))
+# kept as an alias for backward compatibility; optax.global_norm is the
+# same quantity clip_by_global_norm acts on
+optax_global_norm = optax.global_norm
