@@ -252,3 +252,85 @@ def test_best_checkpoint_min_mode(tmp_path):
     ck2.save(1, _S(), metrics={'AP': 0.7})
     meta2 = json.load(open(str(tmp_path / 'ap' / 'meta.json')))
     assert meta2['best_epoch'] == 1 and meta2['best_value'] == 0.7
+
+
+def test_best_weights_survive_retention_gc(tmp_path):
+    """The best epoch's WEIGHTS must remain restorable after orbax's
+    max_to_keep garbage-collects its step dir (review finding: meta.json
+    pointed at a deleted checkpoint); switching the tracked metric in an
+    existing work_dir must reset best tracking."""
+    import jax.numpy as jnp
+    from vitpose_tpu.utils.checkpoint import CheckpointManager
+
+    def state(v):
+        class _S:
+            params = {'w': jnp.full((2,), float(v))}
+            batch_stats = {}
+            opt_state = {}
+            step = jnp.zeros((), jnp.int32)
+        return _S()
+
+    d = str(tmp_path / 'run')
+    ck = CheckpointManager(d, max_to_keep=2, save_best_metric='AP')
+    ck.save(0, state(0.0), metrics={'AP': 0.9})      # the best
+    for e in range(1, 4):                            # worse, GCs epoch 0
+        ck.save(e, state(e), metrics={'AP': 0.1 * e})
+    assert ck.latest_epoch() == 3
+    best = ck.restore_best()
+    assert best is not None
+    np.testing.assert_allclose(best['params']['w'], [0.0, 0.0])
+
+    # metric switch resets best tracking instead of comparing AP vs NME
+    ck2 = CheckpointManager(d, save_best_metric='NME')
+    assert ck2.best_value == np.inf
+
+
+def test_pth_reader_rejects_out_of_bounds_view(tmp_path):
+    """A crafted size/stride view larger than its storage must be refused
+    (the safe loader otherwise reads out-of-bounds process memory)."""
+    import pytest
+    from vitpose_tpu.utils import pth_reader as PR
+
+    class _PH:
+        storage_type = 'FloatStorage'
+        key = 'k0'
+        numel = 4
+
+    raw = np.arange(4, dtype=np.float32).tobytes()
+    obj = ('tensor', _PH(), 0, (2 ** 20,), (1,))
+    with pytest.raises(ValueError, match='exceeds storage'):
+        PR._materialize(obj, lambda k: raw)
+    with pytest.raises(ValueError, match='exceeds storage'):
+        PR._materialize(('tensor', _PH(), 2, (2, 2), (2, 1)),
+                        lambda k: raw)
+    ok = PR._materialize(('tensor', _PH(), 0, (2, 2), (2, 1)),
+                         lambda k: raw)
+    np.testing.assert_allclose(ok, [[0, 1], [2, 3]])
+
+
+def test_pos_embed_clsless_and_distilled_sources():
+    """_interpolate_pos_embed must adapt cls-less and 2-prefix-token
+    sources to the flax [1, num_patches+1, C] shape (review finding: they
+    previously crashed or silently mismatched)."""
+    from vitpose_tpu.utils.torch_ckpt import _interpolate_pos_embed
+
+    c = 8
+    # cls-less source already at the target grid
+    out = _interpolate_pos_embed(np.ones((1, 192, c), np.float32), 192,
+                                 (16, 12))
+    assert out.shape == (1, 193, c) and np.allclose(out[:, 0], 0)
+    # cls-less 14x14 source -> 16x12 grid
+    out = _interpolate_pos_embed(
+        np.random.RandomState(0).randn(1, 196, c).astype(np.float32),
+        192, (16, 12))
+    assert out.shape == (1, 193, c) and np.allclose(out[:, 0], 0)
+    # distilled source: 2 prefix tokens + 14x14
+    out = _interpolate_pos_embed(
+        np.random.RandomState(1).randn(1, 198, c).astype(np.float32),
+        192, (16, 12))
+    assert out.shape == (1, 193, c)
+    # classic cls + 14x14 still exact
+    out = _interpolate_pos_embed(
+        np.random.RandomState(2).randn(1, 197, c).astype(np.float32),
+        192, (16, 12))
+    assert out.shape == (1, 193, c)

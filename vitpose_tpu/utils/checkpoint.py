@@ -44,10 +44,16 @@ class CheckpointManager:
         self.mode = mode
         self.best_value = np.inf if mode == 'min' else -np.inf
         self._meta_path = os.path.join(self.directory, 'meta.json')
+        self._best_path = os.path.join(self.directory, 'best.npz')
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
-                self.best_value = json.load(f).get('best_value',
-                                                   self.best_value)
+                meta = json.load(f)
+            # only adopt a stored best when it tracked the SAME metric —
+            # a work_dir switched from AP (max) to e.g. NME (min) must
+            # start fresh, not compare incomparable values
+            if meta.get('metric', self.save_best_metric) == \
+                    self.save_best_metric:
+                self.best_value = meta.get('best_value', self.best_value)
 
     def save(self, epoch, state, metrics: Optional[dict] = None, meta=None):
         ocp = _ocp()
@@ -59,6 +65,12 @@ class CheckpointManager:
         }
         self.mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
+        # host-side json/best writes happen on ONE process only — in a
+        # multi-host run every process calls save() (the orbax save is
+        # collective) and concurrent writes to a shared work_dir would
+        # corrupt the jsons
+        if jax.process_index() != 0:
+            return
         info = {'epoch': epoch, 'meta': meta or {},
                 'metrics': {k: float(v) for k, v in (metrics or {}).items()}}
         with open(os.path.join(self.directory, f'info_{epoch}.json'),
@@ -70,13 +82,29 @@ class CheckpointManager:
                 else v > self.best_value
             if better:
                 self.best_value = v
+                # persist the best WEIGHTS separately: orbax max_to_keep
+                # retains only the newest steps, so the best epoch's
+                # checkpoint would otherwise be garbage-collected
+                save_params_npz(self._best_path, {
+                    'params': jax.tree.map(np.asarray, state.params),
+                    'batch_stats': jax.tree.map(np.asarray,
+                                                state.batch_stats),
+                })
                 with open(self._meta_path, 'w') as f:
                     json.dump({'best_value': v, 'best_epoch': epoch,
                                'metric': self.save_best_metric,
-                               'mode': self.mode}, f)
+                               'mode': self.mode,
+                               'best_weights': self._best_path}, f)
 
     def latest_epoch(self):
         return self.mgr.latest_step()
+
+    def restore_best(self):
+        """The separately-persisted best weights ({params, batch_stats}
+        variables dict), or None if no best was recorded yet."""
+        if not os.path.exists(self._best_path):
+            return None
+        return load_params_npz(self._best_path)
 
     def restore(self, state, epoch=None):
         """Restore into the structure of `state`; returns (state, epoch)."""

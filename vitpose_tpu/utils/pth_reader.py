@@ -1,8 +1,9 @@
 """Pure-python torch checkpoint reader — no torch dependency.
 
 Parses the torch zip serialization format (a zip archive containing
-`data.pkl` plus one file per tensor storage) and the legacy pickle format,
-materializing tensors as numpy arrays. Used as the fallback loader in
+`data.pkl` plus one file per tensor storage), materializing tensors as
+numpy arrays; the legacy non-zip pickle format is NOT supported here
+(install torch for those). Used as the fallback loader in
 `torch_ckpt.load_torch_state_dict` when torch isn't installed; with torch
 present the torch loader is preferred (it covers every edge case).
 
@@ -108,7 +109,24 @@ def _materialize(obj, storages):
         else:
             flat = np.frombuffer(raw, dtype=np_dtype)
         if not size:
+            if not 0 <= offset < flat.size:
+                raise ValueError(
+                    f'tensor offset {offset} out of bounds for storage of '
+                    f'{flat.size} elements')
             return flat[offset].copy()
+        # bounds-check the pickle-controlled view BEFORE as_strided: a
+        # crafted size/stride/offset would otherwise read out-of-bounds
+        # process memory through the "safe" loader
+        max_index = offset + sum(
+            (d - 1) * s for d, s in zip(size, stride) if d > 0)
+        n_elems = int(np.prod([max(d, 0) for d in size]))
+        if (offset < 0 or any(d < 0 for d in size)
+                or any(s < 0 for s in stride)
+                or (n_elems > 0 and max_index >= flat.size)):
+            raise ValueError(
+                f'tensor view (offset={offset}, size={tuple(size)}, '
+                f'stride={tuple(stride)}) exceeds storage of '
+                f'{flat.size} elements')
         arr = np.lib.stride_tricks.as_strided(
             flat[offset:],
             shape=size,
@@ -125,7 +143,16 @@ def _materialize(obj, storages):
 
 
 def load_pth(path: str) -> Dict[str, Any]:
-    """Load a torch .pth (zip format) into nested python/numpy objects."""
+    """Load a torch .pth (zip format) into nested python/numpy objects.
+
+    Only the modern zip container is supported; legacy
+    (`_use_new_zipfile_serialization=False`) pickles need torch itself.
+    """
+    if not zipfile.is_zipfile(path):
+        raise ValueError(
+            f'{path} is not a torch zip-format checkpoint; the legacy '
+            f'non-zip torch pickle format is not supported by the '
+            f'torch-free reader — install torch to load it')
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
         pkl_name = next(n for n in names if n.endswith('data.pkl'))

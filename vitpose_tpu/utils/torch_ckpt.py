@@ -37,17 +37,27 @@ def load_torch_state_dict(path, allow_unsafe=False):
     Uses torch when available; otherwise the pure-python zip/pickle reader
     (utils/pth_reader.py). Loads with ``weights_only=True``; legacy pickles
     that need arbitrary-object unpickling (full code execution on load) are
-    refused unless the caller explicitly passes ``allow_unsafe=True``."""
+    refused unless the caller explicitly passes ``allow_unsafe=True`` (or
+    sets ``VITPOSE_ALLOW_UNSAFE_CKPT=1`` — the escape hatch for CLI entry
+    points that don't thread the flag)."""
+    import os
+    import pickle as _pickle
+    allow_unsafe = allow_unsafe or \
+        os.environ.get('VITPOSE_ALLOW_UNSAFE_CKPT', '0') == '1'
     try:
         import torch
         try:
             ckpt = torch.load(path, map_location='cpu', weights_only=True)
-        except Exception:
+        except (_pickle.UnpicklingError, RuntimeError) as e:
+            # only pickle-safety refusals reach here; missing files and
+            # corrupt archives raise their own error types and propagate
             if not allow_unsafe:
                 raise ValueError(
-                    f'{path} is not loadable with weights_only=True; '
-                    'loading it would execute arbitrary pickled code. Pass '
-                    'allow_unsafe=True only for checkpoints you trust.')
+                    f'{path} is not loadable with weights_only=True '
+                    f'({e}); loading it would execute arbitrary pickled '
+                    'code. Pass allow_unsafe=True (or set '
+                    'VITPOSE_ALLOW_UNSAFE_CKPT=1) only for checkpoints '
+                    'you trust.') from e
             ckpt = torch.load(path, map_location='cpu', weights_only=False)
     except ImportError:
         from .pth_reader import load_pth
@@ -67,20 +77,32 @@ def load_torch_state_dict(path, allow_unsafe=False):
 
 
 def _interpolate_pos_embed(pos, num_patches, grid_hw):
-    """Bicubic-regrid [1, L, C] pos embed to `num_patches`, keeping any
-    cls token; uses torch for exact a=-0.75 bicubic parity."""
-    if pos.shape[1] == num_patches + 1 or pos.shape[1] == num_patches:
+    """Bicubic-regrid [1, L, C] pos embed to the flax param shape
+    [1, num_patches + 1, C] (cls slot + grid); uses torch for exact
+    a=-0.75 bicubic parity. Handles cls-bearing, cls-less, and
+    distilled (2 prefix tokens) sources — the prefix size is inferred
+    as the smallest e in {1, 0, 2} leaving a square source grid."""
+    l = pos.shape[1]
+    c = pos.shape[-1]
+    if l == num_patches + 1:
         return pos
+    if l == num_patches:            # cls-less source matching the grid:
+        zero_cls = np.zeros((1, 1, c), pos.dtype)
+        return np.concatenate([zero_cls, pos], axis=1)
+    extra = next((e for e in (1, 0, 2)
+                  if int(round((l - e) ** 0.5)) ** 2 == l - e), None)
+    if extra is None:
+        raise ValueError(
+            f'cannot infer a square source grid from pos_embed length {l}')
+    cls_tok = (pos[:, :1] if extra
+               else np.zeros((1, 1, c), pos.dtype))
+    patch_pos = pos[:, extra:]
+    side = int(round(patch_pos.shape[1] ** 0.5))
+    h, w = grid_hw
     import torch
     import torch.nn.functional as F
-    has_cls = True  # pretraining ViTs carry a cls token
-    cls_tok, patch_pos = pos[:, :1], pos[:, 1:]
-    l_old = patch_pos.shape[1]
-    # assume the source grid is square (MAE/ImageNet pretraining)
-    side = int(round(l_old ** 0.5))
-    h, w = grid_hw
-    t = torch.from_numpy(patch_pos.reshape(1, side, side, -1)
-                         .transpose(0, 3, 1, 2))
+    t = torch.from_numpy(np.ascontiguousarray(
+        patch_pos.reshape(1, side, side, -1).transpose(0, 3, 1, 2)))
     t = F.interpolate(t, size=(h, w), mode='bicubic', align_corners=False)
     new_patch = t.permute(0, 2, 3, 1).reshape(1, h * w, -1).numpy()
     return np.concatenate([cls_tok, new_patch], axis=1)
@@ -157,8 +179,9 @@ def _set(tree, path, value):
     node[path[-1]] = value
 
 
-def convert_backbone(sd, params, prefix=''):
-    """Map torch ViT(MoE) backbone tensors into flax param dict `params`."""
+def convert_backbone(sd, params=None, prefix=''):
+    """Map torch ViT(MoE) backbone tensors -> flax param dict (`params`
+    is accepted for backward compatibility and ignored)."""
     def g(name):
         return sd.get(prefix + name)
 
@@ -256,11 +279,12 @@ def convert_head(sd, prefix='keypoint_head.'):
     return params, stats
 
 
-def convert_topdown_checkpoint(path_or_sd, model_cfg, patch_padding='pad'):
+def convert_topdown_checkpoint(path_or_sd, model_cfg, patch_padding='pad',
+                               allow_unsafe=False):
     """Full conversion: reference TopDown .pth -> flax variables for
     TopDownModel(model_cfg). Applies pos-embed regrid and patch-kernel
     adaptation for the target input geometry."""
-    sd = (load_torch_state_dict(path_or_sd)
+    sd = (load_torch_state_dict(path_or_sd, allow_unsafe=allow_unsafe)
           if isinstance(path_or_sd, str) else dict(path_or_sd))
     bb = model_cfg.backbone
 
@@ -288,10 +312,11 @@ def convert_topdown_checkpoint(path_or_sd, model_cfg, patch_padding='pad'):
 
 
 def convert_backbone_checkpoint(path_or_sd, model_cfg, num_experts=0,
-                                part_dim=0, patch_padding='pad'):
+                                part_dim=0, patch_padding='pad',
+                                allow_unsafe=False):
     """MAE/pretraining checkpoint (backbone-only keys, no 'backbone.'
     prefix) -> flax backbone params for fine-tuning init."""
-    sd = (load_torch_state_dict(path_or_sd)
+    sd = (load_torch_state_dict(path_or_sd, allow_unsafe=allow_unsafe)
           if isinstance(path_or_sd, str) else dict(path_or_sd))
     bb = model_cfg.backbone
     if 'patch_embed.proj.weight' in sd:
