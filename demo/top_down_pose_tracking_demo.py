@@ -62,7 +62,8 @@ def main():
             model, frame[..., ::-1], person)
         pose_results, next_id = get_track_id(
             pose_results, results_last, next_id,
-            use_oks=args.use_oks_tracking, tracking_thr=args.tracking_thr)
+            use_oks=args.use_oks_tracking, tracking_thr=args.tracking_thr,
+            bbox_format='xywh')
         results_last = pose_results
         vis = vis_pose_result(model, frame[..., ::-1], pose_results,
                               kpt_score_thr=args.kpt_thr)

@@ -128,3 +128,64 @@ def test_get_track_id_oks_mode():
     cur, next_id = get_track_id([pose(103)], [dict(r) for r in last],
                                 next_id=next_id, use_oks=True)
     assert cur[0]['track_id'] == 0 and next_id == 1
+
+
+def test_track_id_xywh_and_bboxless_results():
+    """Review-finding guards: (a) xywh boxes (the default format of
+    inference_top_down_pose_model) must track stably via
+    bbox_format='xywh' — treating them as corners gave zero IoU and a
+    fresh id every frame; (b) bottom-up results carrying 'area' but no
+    'bbox' must not crash IoU tracking."""
+    from vitpose_tpu.api.tracking import get_track_id
+
+    kp = np.zeros((17, 3), np.float32)
+    kp[:, 0] = np.linspace(310, 370, 17)
+    kp[:, 1] = np.linspace(110, 280, 17)
+    kp[:, 2] = 1.0
+
+    def person(x):
+        return {'bbox': np.array([x, 100.0, 80.0, 200.0]),  # xywh
+                'keypoints': kp.copy()}
+
+    r0, next_id = get_track_id([person(300.0)], [], 0, bbox_format='xywh')
+    r1, next_id = get_track_id([person(305.0)], [dict(r) for r in r0],
+                               next_id, bbox_format='xywh')
+    assert r0[0]['track_id'] == r1[0]['track_id'] == 0
+    assert next_id == 1
+    # converted in place to xyxy: corners, not sizes
+    assert r1[0]['bbox'][2] > 300
+
+    # bottom-up style: area present, bbox absent
+    bu = [{'keypoints': kp.copy(), 'area': 1000.0}]
+    t0, nid = get_track_id([dict(p) for p in bu], [], 0)
+    t1, nid = get_track_id([dict(p) for p in bu],
+                           [dict(r) for r in t0], nid)
+    assert t1[0]['track_id'] == t0[0]['track_id']
+
+
+def test_lifter_causal_target_and_traj_output():
+    """causal windows target the LAST frame (reference target_idx=-1) and
+    with_traj lifters return keypoints_3d + traj without crashing."""
+    import jax
+    from vitpose_tpu.models.pose3d import PoseLifter
+    from vitpose_tpu.api.inference_3d import (extract_pose_sequence,
+                                              inference_pose_lifter_model)
+
+    model = PoseLifter(num_joints=17, stem_channels=32, kernel_sizes=(3, 3),
+                       with_traj=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, np.zeros((1, 9, 17, 2), np.float32))
+
+    def frame(i):
+        kp = np.full((17, 3), float(i), np.float32)
+        return [{'keypoints': kp, 'track_id': 0}]
+
+    frames = [frame(i) for i in range(30)]
+    seq = extract_pose_sequence(frames, 20, causal=True, seq_len=9)
+    assert len(seq) == 9 and seq[-1][0]['keypoints'][0, 0] == 20.0
+    res = inference_pose_lifter_model(model, variables, seq,
+                                      image_size=(100, 100), causal=True)
+    # the returned person dict is the TARGET (last) frame's person
+    assert res[0]['keypoints'][0, 0] == 20.0
+    assert res[0]['keypoints_3d'].shape == (17, 3)
+    assert res[0]['traj'].shape == (1, 3)

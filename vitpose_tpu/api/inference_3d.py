@@ -44,23 +44,31 @@ def _normalize_sequence(kp_seq, image_size=None):
 
 def inference_pose_lifter_model(model, variables, pose_results_2d,
                                 image_size=None, with_track_id=True,
-                                norm_pose_2d=False):
+                                norm_pose_2d=False, causal=False):
     """Lift a temporal sequence of 2D poses to 3D.
 
     Args:
       model: vitpose_tpu.models.pose3d.PoseLifter
       pose_results_2d: list over T frames of lists of person dicts with
         'keypoints' [K, 3] (+ optional 'track_id').
+      image_size: (w, h) — when given, 2D coords are normalized to the
+        VideoPose3D [-1, 1] frame the lifters train on (applied whenever
+        provided; ``norm_pose_2d`` is the older alias for the same
+        normalization and is kept for compatibility).
+      causal: the window came from extract_pose_sequence(causal=True), so
+        the TARGET frame is the last one, not the middle (reference
+        inference_3d.py target_idx = -1 when causal).
 
-    Returns: list of dicts with 'keypoints_3d' [K, 3] for each person of
-    the center frame.
+    Returns: list of dicts with 'keypoints_3d' [K, 3] (and, for with_traj
+    lifters, 'traj' [1, 3]) for each person of the target frame.
     """
     import jax.numpy as jnp
 
     t_len = model.receptive_field
     assert len(pose_results_2d) == t_len, \
         f'need a {t_len}-frame window, got {len(pose_results_2d)}'
-    center = pose_results_2d[len(pose_results_2d) // 2]
+    target_idx = -1 if causal else len(pose_results_2d) // 2
+    center = pose_results_2d[target_idx]
 
     results = []
     for person in center:
@@ -77,10 +85,15 @@ def inference_pose_lifter_model(model, variables, pose_results_2d,
                 match = frame[0]
             seq.append(match['keypoints'] if match is not None
                        else person['keypoints'])
-        kp = _normalize_sequence(np.stack(seq),
-                                 image_size if norm_pose_2d else None)
+        kp = _normalize_sequence(np.stack(seq), image_size)
         out = model.apply(variables, jnp.asarray(kp)[None], train=False)
         res = dict(person)
-        res['keypoints_3d'] = np.asarray(out)[0]
+        if isinstance(out, tuple):
+            # with_traj lifter: (pose, traj) — keep the global root too
+            pose3d, traj = out
+            res['keypoints_3d'] = np.asarray(pose3d)[0]
+            res['traj'] = np.asarray(traj)[0]
+        else:
+            res['keypoints_3d'] = np.asarray(out)[0]
         results.append(res)
     return results

@@ -24,21 +24,24 @@ def _compute_iou(a, b):
 
 
 def _fill_area(results):
+    """Unconditionally (re)derive area and ensure an xyxy bbox, like the
+    reference _get_area (inference_tracking.py) — results that carry
+    'area' but no 'bbox' (bottom-up poses) get a keypoint-extent bbox."""
     for r in results:
-        if 'bbox' in r and r.get('area') is None or 'area' not in r:
-            if 'bbox' in r:
-                b = r['bbox']
-                r['area'] = float((b[2] - b[0]) * (b[3] - b[1]))
-            else:
-                kp = r['keypoints']
-                xs = kp[:, 0][kp[:, 0] > 0]
-                ys = kp[:, 1][kp[:, 1] > 0]
-                xmin = xs.min() if xs.size else 1e10
-                ymin = ys.min() if ys.size else 1e10
-                xmax = kp[:, 0].max()
-                ymax = kp[:, 1].max()
-                r['area'] = float((xmax - xmin) * (ymax - ymin))
-                r['bbox'] = np.array([xmin, ymin, xmax, ymax])
+        if r.get('bbox') is not None:
+            b = r['bbox']
+            r['area'] = float(max(0.0, b[2] - b[0])
+                              * max(0.0, b[3] - b[1]))
+        else:
+            kp = np.asarray(r['keypoints'])
+            xs = kp[:, 0][kp[:, 0] > 0]
+            ys = kp[:, 1][kp[:, 1] > 0]
+            xmin = xs.min() if xs.size else 1e10
+            ymin = ys.min() if ys.size else 1e10
+            xmax = kp[:, 0].max()
+            ymax = kp[:, 1].max()
+            r['area'] = float((xmax - xmin) * (ymax - ymin))
+            r['bbox'] = np.array([xmin, ymin, xmax, ymax])
     return results
 
 
@@ -65,10 +68,26 @@ def _match(res, results_last, thr, use_oks):
 
 def get_track_id(results, results_last, next_id, min_keypoints=3,
                  use_oks=False, tracking_thr=0.3, use_one_euro=False,
-                 fps=None):
+                 fps=None, bbox_format='xyxy'):
     """Assign track ids to `results` by matching against `results_last`.
     Returns (results with 'track_id', next_id). Parity:
-    inference_tracking.py:167."""
+    inference_tracking.py:167.
+
+    ``bbox_format``: format of the incoming results' bbox ('xyxy' like
+    the reference, or 'xywh' as returned by inference_top_down_pose_model
+    with its default format). Boxes are converted to xyxy in place so IoU
+    and area are computed on corner coordinates."""
+    if bbox_format == 'xywh':
+        for r in results:
+            b = r.get('bbox')
+            if b is not None:
+                b = np.asarray(b, np.float32).copy()
+                b[2] = b[0] + b[2]
+                b[3] = b[1] + b[3]
+                r['bbox'] = b
+    elif bbox_format != 'xyxy':
+        raise ValueError(f'bbox_format must be xyxy or xywh, '
+                         f'got {bbox_format!r}')
     results = _fill_area(results)
     for res in results:
         track_id, results_last, match = _match(res, results_last,

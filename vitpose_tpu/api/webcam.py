@@ -90,8 +90,9 @@ class PoseNode(Node):
         results, _ = inference_top_down_pose_model(
             self.model, msg['frame'], msg['person_results'])
         if self.track:
+            # DetectorNode boxes are xywh (inference_top_down default)
             results, self._next_id = get_track_id(
-                results, self._last, self._next_id)
+                results, self._last, self._next_id, bbox_format='xywh')
             self._last = [dict(r) for r in results]
         msg['pose_results'] = results
         return msg
@@ -121,10 +122,14 @@ class VideoSink(Node):
         self.frames_written = 0
 
     def process(self, msg):
-        frame = msg.get('vis_frame')
-        if frame is None or self.out_path is None:
+        if self.out_path is None:
             return msg
         import cv2
+        frame = msg.get('vis_frame')
+        if frame is None:
+            # headless chains without a visualizer still record: the raw
+            # source frame is RGB -> convert for the BGR video writer
+            frame = cv2.cvtColor(msg['frame'], cv2.COLOR_RGB2BGR)
         if self._writer is None:
             self._size = (frame.shape[1], frame.shape[0])
             self._writer = cv2.VideoWriter(
@@ -184,7 +189,13 @@ class EffectNode(Node):
 
     def process(self, msg):
         import cv2
-        frame = msg.get('vis_frame', msg['frame']).copy()
+        frame = msg.get('vis_frame')
+        if frame is None:
+            # no visualizer upstream: source frames are RGB but vis_frame
+            # is BGR by contract (VideoSink writes it via cv2) — convert
+            frame = cv2.cvtColor(msg['frame'], cv2.COLOR_RGB2BGR)
+        else:
+            frame = frame.copy()
         for res in msg.get('pose_results', []):
             kp = np.asarray(res['keypoints'])
             if len(self.eye_ids) != 2:
