@@ -220,3 +220,99 @@ def test_crowdpose_evaluate_uses_crowd_protocol():
     stats = ds.evaluate(_fake_results(ds, noise=1.0))
     assert {'AP', 'AP (E)', 'AP (M)', 'AP (H)'} <= set(stats)
     assert stats['AP'] > 0.5          # near-GT predictions
+
+
+def test_wholebody_face_and_hand_subset_loading():
+    """coco_wholebody_face / coco_wholebody_hand must read the PART's own
+    keypoints and box (reference face_coco_wholebody_dataset.py /
+    hand_coco_wholebody_dataset.py) — previously every annotation was
+    silently dropped and the datasets were empty."""
+    import json
+    from vitpose_tpu.data import TopDownDataset
+
+    ann_file = '/root/reference/tests/data/coco/test_coco_wholebody.json'
+    prefix = '/root/reference/tests/data/coco/'
+    raw = json.load(open(ann_file))
+
+    face = TopDownDataset(ann_file, prefix,
+                          dataset_info='coco_wholebody_face',
+                          image_size=(256, 256), heatmap_size=(64, 64))
+    n_face_valid = sum(1 for a in raw['annotations']
+                       if a.get('face_valid')
+                       and max(a.get('face_kpts', [0])) > 0)
+    assert len(face) == n_face_valid > 0
+    r = face.db[0]
+    assert r['joints_3d'].shape == (68, 3)
+    src = next(a for a in raw['annotations']
+               if a.get('face_valid') and max(a['face_kpts']) > 0)
+    np.testing.assert_allclose(r['bbox'][:2], src['face_box'][:2])
+
+    hand = TopDownDataset(ann_file, prefix,
+                          dataset_info='coco_wholebody_hand',
+                          image_size=(256, 256), heatmap_size=(64, 64))
+    n_hands = sum((1 if (a.get(f'{s}hand_valid')
+                         and max(a.get(f'{s}hand_kpts', [0])) > 0) else 0)
+                  for a in raw['annotations'] for s in ('left', 'right'))
+    assert len(hand) == n_hands > 0
+    assert hand.db[0]['joints_3d'].shape == (21, 3)
+
+
+def test_multicategory_map_evaluates_every_species():
+    """AP-10K-style multi-category jsons: detections must carry the GT
+    record's category and the evaluator must score per category —
+    previously every non-first species' GT was dropped and their
+    predictions counted as false positives."""
+    import json
+    import tempfile
+    from vitpose_tpu.data import TopDownDataset
+
+    k = 5
+    kp = lambda off: [float(10 + off), 20.0, 2.0] * k
+    data = {
+        'images': [{'id': 1, 'file_name': 'a.jpg', 'width': 100,
+                    'height': 100},
+                   {'id': 2, 'file_name': 'b.jpg', 'width': 100,
+                    'height': 100}],
+        'annotations': [
+            {'id': 1, 'image_id': 1, 'category_id': 1, 'iscrowd': 0,
+             'bbox': [5, 5, 40, 40], 'area': 1600, 'num_keypoints': k,
+             'keypoints': kp(0)},
+            {'id': 2, 'image_id': 2, 'category_id': 7, 'iscrowd': 0,
+             'bbox': [5, 5, 40, 40], 'area': 1600, 'num_keypoints': k,
+             'keypoints': kp(0)},
+        ],
+        'categories': [{'id': 1, 'name': 'cat'}, {'id': 7, 'name': 'dog'}],
+    }
+    from vitpose_tpu.data.dataset_info import DatasetInfo
+    info = DatasetInfo(
+        dataset_name='multispecies',
+        keypoint_names=[str(i) for i in range(k)],
+        keypoint_swap=[''] * k, keypoint_type=[''] * k,
+        sigmas=np.full(k, 0.05), joint_weights=np.ones(k), skeleton=[])
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, 'ann.json')
+        json.dump(data, open(p, 'w'))
+        ds = TopDownDataset(p, td, dataset_info=info, test_mode=True,
+                            use_gt_bbox=True)
+        assert len(ds) == 2
+        # perfect predictions for BOTH species
+        results = []
+        for rec in ds.db:
+            preds = np.concatenate(
+                [rec['joints_3d'][:, :2],
+                 np.ones((k, 1), np.float32)], axis=1)[None]
+            boxes = np.array([[*rec['center'], *rec['scale'], 1600.0, 0.9]]
+                             if 'center' in rec else
+                             [[0, 0, 1, 1, 1600.0, 0.9]], np.float32)
+            c, s = rec.get('center'), rec.get('scale')
+            if c is None:
+                from vitpose_tpu.ops.geometry import bbox_xywh2cs
+                c, s = bbox_xywh2cs(rec['bbox'], 1.0)
+            results.append({
+                'preds': preds,
+                'boxes': np.array([[c[0], c[1], s[0], s[1], 1600.0, 0.9]],
+                                  np.float32),
+                'image_paths': [rec['image_file']],
+                'bbox_ids': [rec['bbox_id']]})
+        stats = ds.evaluate(results, metric='mAP')
+        assert stats['AP'] > 0.99, stats

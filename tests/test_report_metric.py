@@ -73,9 +73,18 @@ def test_nme_interocular_and_boxsize():
     ds = TopDownDataset(FIXTURE, PREFIX, dataset_info='coco',
                         test_mode=True, use_gt_bbox=True)
     results = _fake_results(ds, rng, shuffle=False)
-    # default (non-face dataset): box_size factor = 1 -> NME == EPE
+    # non-landmark dataset without per-record box_size: NME must hard-fail
+    # (a silent factor-1 fallback would report raw pixel error as NME)
+    import pytest
+    with pytest.raises(KeyError, match='box_size'):
+        ds.evaluate(results, metric='NME')
+    # with box_size annotated, box-size normalization applies
+    for rec in ds.db:
+        rec['box_size'] = 1.0
     stats = ds.evaluate(results, metric=['NME', 'EPE'])
     assert abs(stats['NME'] - stats['EPE']) < 1e-5
+    for rec in ds.db:
+        del rec['box_size']
 
     # landmark-pair normalization: pretend this is horse10 (pair 0,1)
     ds.info.dataset_name = 'horse10'

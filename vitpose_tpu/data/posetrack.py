@@ -155,6 +155,12 @@ class PoseTrackDataset(TopDownDataset):
     def evaluate(self, results, res_folder=None, metric='mAP',
                  rle_score=False, **kw):
         """Rescoring + OKS-NMS, per-video json writing, poseval-style AP."""
+        metrics = (list(metric) if isinstance(metric, (list, tuple))
+                   else [metric])
+        for m in metrics:
+            if m != 'mAP':
+                raise KeyError(f'metric {m} is not supported '
+                               '(PoseTrack evaluates poseval mAP)')
         detections = self._collect_detections(results, None, rle_score)
         by_image = defaultdict(list)
         for det in detections:

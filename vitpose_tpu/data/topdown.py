@@ -71,6 +71,10 @@ class TopDownDataset:
                  test_mode=False, dataset_idx=0, max_num_joints=None,
                  soft_nms=False, nms_thr=1.0, oks_thr=0.9, vis_thr=0.2,
                  use_nms=True, canvas_size=640):
+        # nms_thr is accepted for reference data_cfg compatibility but,
+        # exactly like the reference TopDownCocoDataset, evaluation only
+        # consumes oks_thr (oks_nms) — nms_thr belongs to the upstream
+        # person detector.
         self.info = (dataset_info if isinstance(dataset_info, DatasetInfo)
                      else DatasetInfo.load(dataset_info))
         self.ann_file = ann_file
@@ -142,73 +146,95 @@ class TopDownDataset:
                 #     obj['bbox'] feeds _xywh2cs directly
                 #     (e.g. face_300w_dataset.py:91).
                 name = self.info.dataset_name
-                x, y, w, h = ann['bbox']
-                if name in _CLIP_NONE:
-                    if w <= 0 or h <= 0:
-                        continue
-                    x1, y1, x2, y2 = x, y, x + w, y + h
+                # COCO-WholeBody part subsets read the part's OWN keypoints
+                # and box (reference face_coco_wholebody_dataset.py /
+                # hand_coco_wholebody_dataset.py: face_valid + face_box,
+                # {left,right}hand_valid + boxes — one record per valid
+                # hand); every other dataset reads ann['bbox'] +
+                # ann['keypoints']
+                if name == 'coco_wholebody_face':
+                    variants = [(list(ann['face_kpts']), ann['face_box'])] \
+                        if (ann.get('face_valid')
+                            and max(ann.get('face_kpts', [0])) > 0) else []
+                elif name == 'coco_wholebody_hand':
+                    variants = [
+                        (list(ann[f'{s}hand_kpts']), ann[f'{s}hand_box'])
+                        for s in ('left', 'right')
+                        if (ann.get(f'{s}hand_valid')
+                            and max(ann.get(f'{s}hand_kpts', [0])) > 0)]
                 else:
-                    m1 = 1 if name in _CLIP_W_MINUS1 else 0
-                    x1, y1 = max(0, x), max(0, y)
-                    x2 = min(width - 1, x1 + max(0, w - m1))
-                    y2 = min(height - 1, y1 + max(0, h - m1))
-                    if ann.get('area', 1) <= 0 or x2 <= x1 or y2 <= y1:
+                    if max(ann['keypoints']) == 0:
                         continue
-                if max(ann['keypoints']) == 0:
-                    continue
-                if ann.get('num_keypoints', 1) == 0:
-                    continue
-                kp_list = list(ann['keypoints'])
-                # COCO-WholeBody splits keypoints across part fields
-                # (reference topdown_coco_wholebody_dataset.py concatenates
-                # body+foot+face+lefthand+righthand)
-                if len(kp_list) // 3 < k:
-                    for part in ('foot_kpts', 'face_kpts', 'lefthand_kpts',
-                                 'righthand_kpts'):
-                        if part in ann:
-                            kp_list = kp_list + list(ann[part])
-                if len(kp_list) // 3 != k:
-                    continue
-                kp = np.asarray(kp_list, np.float32).reshape(-1, 3)
-                joints = np.zeros((k, 3), np.float32)
-                visible = np.zeros((k, 3), np.float32)
-                joints[:, :2] = kp[:, :2]
-                visible[:, :2] = np.minimum(1, kp[:, 2:3])
-                rec = dict(
-                    image_file=os.path.join(self.img_prefix,
-                                            self.id2name[img_id]),
-                    bbox=np.array([x1, y1, x2 - x1, y2 - y1], np.float32),
-                    rotation=0.0,
-                    joints_3d=joints,
-                    joints_3d_visible=visible,
-                    dataset=self.info.dataset_name,
-                    dataset_idx=self.dataset_idx,
-                    bbox_score=1.0,
-                    bbox_id=bbox_id,
-                )
-                # face-zoo annotations carry an explicit center/scale
-                # (reference face_300w_dataset.py:87-89: center as-is,
-                # scalar scale -> [s, s] * 1.25); records with center/
-                # scale bypass the loader's bbox->cs derivation. The 1.25
-                # padding is a FACE convention — other mmpose jsons that
-                # carry center/scale (e.g. mpii_trb) store it pre-padded
-                # and are used as-is.
-                if 'center' in ann and 'scale' in ann:
-                    pad = (1.25 if self.info.dataset_name in
-                           ('300w', 'aflw', 'cofw', 'wflw',
-                            'coco_wholebody_face') else 1.0)
-                    rec['center'] = np.asarray(ann['center'], np.float32)
-                    rec['scale'] = (np.asarray([ann['scale'], ann['scale']]
-                                               if np.isscalar(ann['scale'])
-                                               else ann['scale'],
-                                               np.float32) * pad)
-                # PCKh / AFLW-NME normalizers when annotated
-                if 'head_size' in ann:
-                    rec['head_size'] = float(ann['head_size'])
-                if 'box_size' in ann:
-                    rec['box_size'] = float(ann['box_size'])
-                db.append(rec)
-                bbox_id += 1
+                    if ann.get('num_keypoints', 1) == 0:
+                        continue
+                    kp_list = list(ann['keypoints'])
+                    # COCO-WholeBody splits keypoints across part fields
+                    # (reference topdown_coco_wholebody_dataset.py
+                    # concatenates body+foot+face+lefthand+righthand)
+                    if len(kp_list) // 3 < k:
+                        for part in ('foot_kpts', 'face_kpts',
+                                     'lefthand_kpts', 'righthand_kpts'):
+                            if part in ann:
+                                kp_list = kp_list + list(ann[part])
+                    variants = [(kp_list, ann['bbox'])]
+                for kp_list, box in variants:
+                    x, y, w, h = box
+                    if name in _CLIP_NONE:
+                        if w <= 0 or h <= 0:
+                            continue
+                        x1, y1, x2, y2 = x, y, x + w, y + h
+                    else:
+                        m1 = 1 if name in _CLIP_W_MINUS1 else 0
+                        x1, y1 = max(0, x), max(0, y)
+                        x2 = min(width - 1, x1 + max(0, w - m1))
+                        y2 = min(height - 1, y1 + max(0, h - m1))
+                        if ann.get('area', 1) <= 0 or x2 <= x1 or y2 <= y1:
+                            continue
+                    if len(kp_list) // 3 != k:
+                        continue
+                    kp = np.asarray(kp_list, np.float32).reshape(-1, 3)
+                    joints = np.zeros((k, 3), np.float32)
+                    visible = np.zeros((k, 3), np.float32)
+                    joints[:, :2] = kp[:, :2]
+                    visible[:, :2] = np.minimum(1, kp[:, 2:3])
+                    rec = dict(
+                        image_file=os.path.join(self.img_prefix,
+                                                self.id2name[img_id]),
+                        bbox=np.array([x1, y1, x2 - x1, y2 - y1],
+                                      np.float32),
+                        rotation=0.0,
+                        joints_3d=joints,
+                        joints_3d_visible=visible,
+                        dataset=self.info.dataset_name,
+                        dataset_idx=self.dataset_idx,
+                        bbox_score=1.0,
+                        bbox_id=bbox_id,
+                        category_id=ann.get('category_id', 1),
+                    )
+                    # face-zoo annotations carry an explicit center/
+                    # scale (reference face_300w_dataset.py:87-89: center
+                    # as-is, scalar scale -> [s, s] * 1.25); records with
+                    # center/scale bypass the loader's bbox->cs
+                    # derivation. The 1.25 padding is a FACE convention —
+                    # other mmpose jsons that carry center/scale (e.g.
+                    # mpii_trb) store it pre-padded and are used as-is.
+                    if 'center' in ann and 'scale' in ann:
+                        pad = (1.25 if self.info.dataset_name in
+                               ('300w', 'aflw', 'cofw', 'wflw',
+                                'coco_wholebody_face') else 1.0)
+                        rec['center'] = np.asarray(ann['center'],
+                                                   np.float32)
+                        rec['scale'] = (np.asarray(
+                            [ann['scale'], ann['scale']]
+                            if np.isscalar(ann['scale'])
+                            else ann['scale'], np.float32) * pad)
+                    # PCKh / AFLW-NME normalizers when annotated
+                    if 'head_size' in ann:
+                        rec['head_size'] = float(ann['head_size'])
+                    if 'box_size' in ann:
+                        rec['box_size'] = float(ann['box_size'])
+                    db.append(rec)
+                    bbox_id += 1
         return db
 
     def _load_det_db(self):
@@ -333,6 +359,15 @@ class TopDownDataset:
                                        keepdims=True)
                 factor = np.tile(inter, [1, 2])
             else:
+                # box_size normalization (AFLW protocol) — hard-fail when
+                # the annotations don't carry it: a silent 1.0 fallback
+                # would report raw pixel error as "NME"
+                if not all('box_size' in rec for rec in self.db):
+                    raise KeyError(
+                        f"NME for dataset '{name}' normalizes by the "
+                        f"per-record 'box_size' annotation, which is "
+                        f"missing from this json (reference "
+                        f"face_aflw_dataset.py:130)")
                 factor = np.tile(box_sizes, [1, 2])
             info['NME'] = float(keypoint_nme(outputs, gts, masks, factor))
         return info
@@ -347,10 +382,7 @@ class TopDownDataset:
             paths = result['image_paths']
             bbox_ids = result['bbox_ids']
             for i in range(len(paths)):
-                rel = paths[i][len(self.img_prefix):].lstrip('/')
-                image_id = self.name2id[os.path.basename(rel)] \
-                    if os.path.basename(rel) in self.name2id \
-                    else self.name2id[rel]
+                image_id = self._path_to_id(paths[i])
                 kpts[image_id].append(dict(
                     keypoints=preds[i],
                     center=boxes[i][0:2], scale=boxes[i][2:4],
@@ -385,19 +417,27 @@ class TopDownDataset:
             else:
                 valid.append(items)
 
+        cat_by_key = {(self._path_to_id(r['image_file']),
+                       int(r['bbox_id'])): int(r.get('category_id', 1))
+                      for r in self.db}
         detections = []
         for items in valid:
             for p in items:
                 kp = np.asarray(p['keypoints'], np.float64)
                 detections.append(dict(
                     image_id=int(p['image_id']),
-                    category_id=1,
+                    # per-record category (multi-species datasets like
+                    # AP-10K evaluate per category, reference
+                    # animal_ap10k_dataset.py:329)
+                    category_id=cat_by_key.get(
+                        (int(p['image_id']), int(p['bbox_id'])), 1),
                     keypoints=kp.flatten().tolist(),
                     score=float(p['score']),
                     center=np.asarray(p['center']).tolist(),
                     scale=np.asarray(p['scale']).tolist(),
                 ))
         if res_folder is not None:
+            os.makedirs(res_folder, exist_ok=True)
             with open(os.path.join(res_folder,
                                    'result_keypoints.json'), 'w') as f:
                 json.dump(detections, f)

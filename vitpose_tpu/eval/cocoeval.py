@@ -90,12 +90,12 @@ class CocoKeypointEval:
         self.max_dets = max_dets
 
     # ------------------------------------------------------------------
-    def _gather(self, coco_dt, img_ids=None):
-        """Group gt/dt per image for the person category."""
+    def _gather(self, coco_dt, img_ids=None, cat=None):
+        """Group gt/dt per image for one category (default: first)."""
         img_ids = img_ids if img_ids is not None else \
             self.coco_gt.getImgIds()
         cat_ids = self.coco_gt.getCatIds() or [1]
-        cat = cat_ids[0]
+        cat = cat if cat is not None else cat_ids[0]
         per_img = {}
         for img_id in img_ids:
             gts = [g for g in self.coco_gt.loadAnns(
@@ -197,48 +197,64 @@ class CocoKeypointEval:
     def evaluate(self, coco_dt, img_ids=None):
         """coco_dt: CocoIndex from loadRes. Returns dict of the 10 stats.
         `img_ids` restricts evaluation to an image subset."""
-        per_img = self._gather(coco_dt, img_ids)
         t_n, r_n = len(self.oks_thrs), len(self.rec_thrs)
+        # per-category evaluation like COCOeval: precision/recall get a
+        # category axis and the final means average over categories with
+        # GT (multi-species datasets like AP-10K need this; single-cat
+        # datasets reduce to the old behavior)
+        cat_ids = self.coco_gt.getCatIds() or [1]
         stats = {}
         results = {}
         for a_name, a_rng in self.area_rngs:
-            scores_all, matched_all, ignore_all = [], [], []
-            n_gt = 0
-            for img_id, (gts, dts) in per_img.items():
-                s, m, ig, ng = self._match_image(gts, dts, a_rng)
-                scores_all.append(s)
-                matched_all.append(m)
-                ignore_all.append(ig)
-                n_gt += ng
-            scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
-            matched = (np.concatenate(matched_all, axis=1)
-                       if matched_all else np.zeros((t_n, 0), bool))
-            ignored = (np.concatenate(ignore_all, axis=1)
-                       if ignore_all else np.zeros((t_n, 0), bool))
-            order = np.argsort(-scores, kind='mergesort')
-            matched = matched[:, order]
-            ignored = ignored[:, order]
+            precisions, recalls = [], []
+            n_gt_total = 0
+            for cat in cat_ids:
+                per_img = self._gather(coco_dt, img_ids, cat=cat)
+                scores_all, matched_all, ignore_all = [], [], []
+                n_gt = 0
+                for img_id, (gts, dts) in per_img.items():
+                    s, m, ig, ng = self._match_image(gts, dts, a_rng)
+                    scores_all.append(s)
+                    matched_all.append(m)
+                    ignore_all.append(ig)
+                    n_gt += ng
+                scores = (np.concatenate(scores_all) if scores_all
+                          else np.zeros(0))
+                matched = (np.concatenate(matched_all, axis=1)
+                           if matched_all else np.zeros((t_n, 0), bool))
+                ignored = (np.concatenate(ignore_all, axis=1)
+                           if ignore_all else np.zeros((t_n, 0), bool))
+                order = np.argsort(-scores, kind='mergesort')
+                matched = matched[:, order]
+                ignored = ignored[:, order]
 
-            precision = -np.ones((t_n, r_n))
-            recall = -np.ones(t_n)
-            if n_gt > 0:
-                for ti in range(t_n):
-                    keep = ~ignored[ti]
-                    tp = np.cumsum(matched[ti][keep])
-                    fp = np.cumsum(~matched[ti][keep])
-                    nd = len(tp)
-                    rc = tp / n_gt
-                    pr = tp / np.maximum(tp + fp, np.spacing(1))
-                    recall[ti] = rc[-1] if nd else 0.0
-                    # monotone non-increasing precision envelope
-                    pr = np.maximum.accumulate(pr[::-1])[::-1] if nd else pr
-                    inds = np.searchsorted(rc, self.rec_thrs, side='left')
-                    q = np.zeros(r_n)
-                    valid = inds < nd
-                    q[valid] = pr[inds[valid]]
-                    precision[ti] = np.where(
-                        valid | (np.arange(r_n) < 0), q, 0.0)
-            results[a_name] = (precision, recall, n_gt)
+                precision = -np.ones((t_n, r_n))
+                recall = -np.ones(t_n)
+                if n_gt > 0:
+                    for ti in range(t_n):
+                        keep = ~ignored[ti]
+                        tp = np.cumsum(matched[ti][keep])
+                        fp = np.cumsum(~matched[ti][keep])
+                        nd = len(tp)
+                        rc = tp / n_gt
+                        pr = tp / np.maximum(tp + fp, np.spacing(1))
+                        recall[ti] = rc[-1] if nd else 0.0
+                        # monotone non-increasing precision envelope
+                        pr = (np.maximum.accumulate(pr[::-1])[::-1]
+                              if nd else pr)
+                        inds = np.searchsorted(rc, self.rec_thrs,
+                                               side='left')
+                        q = np.zeros(r_n)
+                        valid = inds < nd
+                        q[valid] = pr[inds[valid]]
+                        precision[ti] = np.where(
+                            valid | (np.arange(r_n) < 0), q, 0.0)
+                precisions.append(precision)
+                recalls.append(recall)
+                n_gt_total += n_gt
+            precision = np.stack(precisions, axis=-1)   # [T, R, K]
+            recall = np.stack(recalls, axis=-1)         # [T, K]
+            results[a_name] = (precision, recall, n_gt_total)
 
         def _ap(a_name, thr=None):
             p, _, n_gt = results[a_name]
