@@ -76,3 +76,31 @@ def test_weight_norm_clip():
                                   np.asarray(params['conv']['bias']))
     np.testing.assert_array_equal(np.asarray(out['small']['kernel']),
                                   np.asarray(params['small']['kernel']))
+
+
+def test_train_model_routes_mpii_dataset(tmp_path):
+    """train_model must build the MPII list-format dataset class from
+    data.dataset (review finding: it always built the COCO-format
+    TopDownDataset, so MPII training crashed at json load)."""
+    from vitpose_tpu.train.loop import train_model
+
+    cfg = {
+        'model': dict(variant='s', img_size=(64, 64), out_channels=16,
+                      backbone_overrides=dict(embed_dim=32, depth=1,
+                                              num_heads=4),
+                      deconv_filters=(16, 16), deconv_kernels=(4, 4),
+                      flip_test=False, use_udp=False),
+        'data': dict(dataset='mpii', image_size=(64, 64),
+                     heatmap_size=(16, 16), batch_size=2, num_workers=1,
+                     canvas_size=640,
+                     train=dict(ann_file=f"{REF}/test_mpii.json",
+                                img_prefix=REF + "/"),
+                     aug=dict(flip_prob=0.0, half_body_prob=0.0,
+                              scale_factor=0.0, rot_prob=0.0)),
+        'target': dict(encoding='MSRA', sigma=2.0),
+        'optimizer': dict(base_lr=1e-4, warmup_iters=1, total_epochs=1),
+        'runtime': dict(work_dir=str(tmp_path), log_interval=1,
+                        eval_interval=0, ckpt_interval=0),
+    }
+    train_model(cfg)
+    assert (tmp_path / 'train.log.json').exists()

@@ -50,7 +50,14 @@ def main():
     rng = jax.random.PRNGKey(0)
     if args.checkpoint:
         from tools.test import load_variables
-        variables = load_variables(args.checkpoint, model.cfg)
+        # route CNN-zoo checkpoints through their converters, exactly
+        # like tools/test.py (a .pth for hrnet etc. would otherwise hit
+        # the ViT converter)
+        variables = load_variables(
+            args.checkpoint, model.cfg,
+            backbone_type=cfg['model'].get('backbone_type', 'vit'),
+            num_units=cfg['model'].get('num_units', 4),
+            use_prm=cfg['model'].get('use_prm', False))
     else:
         variables = model.init(rng, jnp.zeros((1, ih, iw, 3)))
     fi = None if args.no_flip else DatasetInfo.load(

@@ -122,6 +122,9 @@ def main():
     ap.add_argument('--variant', default='s')
     ap.add_argument('--checkpoint', default=None)
     ap.add_argument('--port', type=int, default=8080)
+    ap.add_argument('--host', default='127.0.0.1',
+                    help='bind address (0.0.0.0 to expose beyond the '
+                         'host/container)')
     ap.add_argument('--config', default=None,
                     help='optional config file (overrides --variant)')
     ap.add_argument('--fast', action='store_true',
@@ -168,6 +171,12 @@ def main():
                   flush=True)
     if backbone_type == 'vit':
         model = init_pose_model(model_cfg, checkpoint=args.checkpoint)
+        if args.config:
+            # the config's dataset drives flip pairs/skeleton/metadata
+            # (init_pose_model from a bare TopDownConfig defaults to coco)
+            from vitpose_tpu.data import DatasetInfo
+            model.dataset_info = DatasetInfo.load(
+                file_cfg['data'].get('dataset', 'coco'))
     else:
         # CNN config zoo: serve the ACTUAL configured architecture (the
         # generic estimator), not a ViT built from the placeholder cfg
@@ -181,8 +190,10 @@ def main():
                 convert_generic_topdown_checkpoint)
             variables = jax.tree.map(
                 jnp.asarray,
-                convert_generic_topdown_checkpoint(args.checkpoint,
-                                                   backbone_type))
+                convert_generic_topdown_checkpoint(
+                    args.checkpoint, backbone_type,
+                    num_units=file_cfg['model'].get('num_units', 4),
+                    use_prm=file_cfg['model'].get('use_prm', False)))
         else:
             variables = built.init(jax.random.PRNGKey(0),
                                    jnp.zeros((1, ih, iw, 3)))
@@ -207,8 +218,8 @@ def main():
         model.model = TopDownModel(int8_serving_config(model_cfg, scales,
                                                        qkv=args.int8_qkv))
         model._jitted.clear()          # force re-trace with the int8 path
-    server = HTTPServer(('127.0.0.1', args.port), make_handler(model))
-    print(f'serving on http://127.0.0.1:{args.port} '
+    server = HTTPServer((args.host, args.port), make_handler(model))
+    print(f'serving on http://{args.host}:{args.port} '
           f'(POST /predict, GET /health)', flush=True)
     server.serve_forever()
 

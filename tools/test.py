@@ -5,8 +5,9 @@ Usage:
   python tools/test.py CONFIG CHECKPOINT [--cfg-options ...]
       [--out results.json]
 
-CHECKPOINT may be a torch .pth (converted on the fly), an orbax checkpoint
-directory, or an .npz from save_params_npz.
+CHECKPOINT may be a torch .pth (converted on the fly) or an .npz from
+save_params_npz (for orbax training checkpoints, resume via tools/train.py
+or export them with save_params_npz first).
 """
 import argparse
 import json
@@ -64,9 +65,7 @@ def main():
 
     from vitpose_tpu.utils.config import load_config, apply_options
     from vitpose_tpu.train.loop import build_model_from_cfg
-    from vitpose_tpu.data import (TopDownDataset, WholeBodyDataset,
-                                  PoseTrackDataset, JhmdbDataset)
-    from vitpose_tpu.data.mpii import MpiiDataset, MpiiTrbDataset
+    from vitpose_tpu.data import topdown_dataset_cls
     from vitpose_tpu.data.loader import TopDownLoader
     from vitpose_tpu.eval.loop import run_validation
 
@@ -79,11 +78,7 @@ def main():
 
     dcfg = cfg['data']
     name = dcfg.get('dataset', 'coco')
-    ds_cls = {'coco_wholebody': WholeBodyDataset,
-              'posetrack18': PoseTrackDataset,
-              'jhmdb': JhmdbDataset,
-              'mpii': MpiiDataset,
-              'mpii_trb': MpiiTrbDataset}.get(name, TopDownDataset)
+    ds_cls = topdown_dataset_cls(name)
     ds = ds_cls(
         dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
         dataset_info=name,
@@ -100,6 +95,7 @@ def main():
     results = run_validation(model, variables, loader, use_udp=mcfg.use_udp,
                              post_process=mcfg.post_process,
                              modulate_kernel=mcfg.modulate_kernel,
+                             target_type=mcfg.target_type,
                              progress=True)
     if args.show_dir:
         import numpy as np

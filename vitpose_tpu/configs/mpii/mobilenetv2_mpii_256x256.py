@@ -18,7 +18,7 @@ model = dict(
     use_udp=False,
     shift_heatmap=True,
 )
-data = dict(dataset='mpii', dataset_class='mpii',
+data = dict(dataset='mpii',
             image_size=(256, 256), heatmap_size=(64, 64),
             batch_size=64, canvas_size=1440, num_workers=8,
             train=dict(ann_file=f'{_ROOT}/annotations/mpii_train.json',

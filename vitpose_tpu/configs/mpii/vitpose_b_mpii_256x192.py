@@ -6,7 +6,7 @@ model = dict(variant='b', img_size=(256, 192), out_channels=16,
              head='heatmap', dtype='bfloat16', flip_test=True,
              post_process='default', use_udp=True,
              backbone_overrides=dict(fused_attention=True))
-data = dict(dataset='mpii', dataset_class='mpii',
+data = dict(dataset='mpii',
             image_size=(192, 256), heatmap_size=(48, 64),
             batch_size=64, canvas_size=1440, num_workers=8,
             train=dict(ann_file=f'{_ROOT}/annotations/mpii_train.json',

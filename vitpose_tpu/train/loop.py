@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..data import TopDownDataset
+from ..data import TopDownDataset, topdown_dataset_cls
 from ..data.loader import TopDownLoader
 from ..data.pipeline import AugmentConfig, make_preprocess_fn
 from ..models import TopDownModel, make_config
@@ -226,9 +226,10 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     dcfg = cfg['data']
     image_size = tuple(dcfg.get('image_size', (192, 256)))
     heatmap_size = tuple(dcfg.get('heatmap_size', (48, 64)))
-    train_ds = TopDownDataset(
+    ds_name = dcfg.get('dataset', 'coco')
+    train_ds = topdown_dataset_cls(ds_name)(
         dcfg['train']['ann_file'], dcfg['train']['img_prefix'],
-        dataset_info=dcfg.get('dataset', 'coco'),
+        dataset_info=ds_name,
         image_size=image_size, heatmap_size=heatmap_size,
         use_gt_bbox=dcfg['train'].get('use_gt_bbox', True))
     n_proc = jax.process_count()
@@ -307,9 +308,10 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     # ---- val loader -------------------------------------------------
     val_loader = None
     if 'val' in dcfg:
-        val_ds = TopDownDataset(
+        val_name = dcfg.get('dataset', 'coco')
+        val_ds = topdown_dataset_cls(val_name)(
             dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
-            dataset_info=dcfg.get('dataset', 'coco'),
+            dataset_info=val_name,
             image_size=image_size, heatmap_size=heatmap_size,
             test_mode=True,
             use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
@@ -362,7 +364,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                       epoch_time=time.time() - t_epoch)
 
         stats = None
-        if val_loader is not None and (epoch + 1) % eval_interval == 0:
+        if val_loader is not None and eval_interval \
+                and (epoch + 1) % eval_interval == 0:
             variables = {'params': state.params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
@@ -376,7 +379,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
             record.update({k: float(v) for k, v in stats.items()})
         _log(work_dir, record, tensorboard=use_tb)
 
-        if (epoch + 1) % ckpt_interval == 0 or epoch == total_epochs - 1:
+        if (ckpt_interval and (epoch + 1) % ckpt_interval == 0) \
+                or epoch == total_epochs - 1:
             ckpt.save(epoch, state, metrics=stats)
     return state
 
@@ -422,7 +426,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
 
     datasets, loaders, preprocs = [], [], []
     for i, entry in enumerate(dcfg['train']):
-        ds = TopDownDataset(
+        ds = topdown_dataset_cls(entry.get('dataset', 'coco'))(
             entry['ann_file'], entry['img_prefix'],
             dataset_info=entry.get('dataset', 'coco'),
             image_size=image_size, heatmap_size=heatmap_size,
@@ -507,7 +511,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
     val_loader = None
     if 'val' in dcfg:
         vcfg = dcfg['val']
-        val_ds = TopDownDataset(
+        val_ds = topdown_dataset_cls(vcfg.get('dataset', 'coco'))(
             vcfg['ann_file'], vcfg['img_prefix'],
             dataset_info=vcfg.get('dataset', 'coco'),
             image_size=image_size, heatmap_size=heatmap_size,
@@ -551,7 +555,8 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
         record = dict(mode='epoch', epoch=epoch,
                       epoch_time=time.time() - t_epoch)
         stats = None
-        if val_loader is not None and (epoch + 1) % eval_interval == 0:
+        if val_loader is not None and eval_interval \
+                and (epoch + 1) % eval_interval == 0:
             variables = {'params': state.params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
@@ -563,6 +568,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
             stats = val_loader.ds.evaluate(results)
             record.update({k: float(v) for k, v in stats.items()})
         _log(work_dir, record)
-        if (epoch + 1) % ckpt_interval == 0 or epoch == total_epochs - 1:
+        if (ckpt_interval and (epoch + 1) % ckpt_interval == 0) \
+                or epoch == total_epochs - 1:
             ckpt.save(epoch, state, metrics=stats)
     return state
