@@ -18,6 +18,18 @@ if os.environ.get('JAX_PLATFORMS'):
     jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
 
 
+def _replace_path_in_dict(d, old, new):
+    """Recursively rewrite path prefixes in a config dict (counterpart of
+    the fork's raplace_path_in_dict, tools/train.py:80-87)."""
+    items = d.items() if isinstance(d, dict) else enumerate(d)
+    for k, v in items:
+        if isinstance(v, (dict, list)):
+            _replace_path_in_dict(v, old, new)
+        elif isinstance(v, str) and (v == old or v.startswith(old + '/')):
+            d[k] = new + v[len(old):]
+    return d
+
+
 def main():
     ap = argparse.ArgumentParser(description='Train a top-down pose model')
     ap.add_argument('config')
@@ -38,6 +50,12 @@ def main():
     from vitpose_tpu.train.loop import train_model
 
     cfg = apply_options(load_config(args.config), args.cfg_options)
+    if 'PATH_TO_DATA' in os.environ:
+        # relocatable data roots (fork tools/train.py:93-99 substitutes a
+        # hardcoded prefix; here the old prefix defaults to 'data' and can
+        # be overridden via PATH_TO_DATA_OLD)
+        _replace_path_in_dict(cfg, os.environ.get('PATH_TO_DATA_OLD', 'data'),
+                              os.environ['PATH_TO_DATA'])
     if args.seed is not None:
         cfg.setdefault('runtime', {})['seed'] = args.seed
     if args.autoscale_lr:
