@@ -88,6 +88,46 @@ def test_train_loop_with_eval_and_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_loop_frozen_stages(tmp_path):
+    """optimizer.frozen_stages freezes patch_embed + blocks 1..N through
+    the config path (reference vit.py:249 _freeze_stages)."""
+    import jax
+    import numpy as np
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+
+    work_dir = str(tmp_path / "wd")
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    cfg['model'] = dict(variant='s', img_size=(64, 48), out_channels=17,
+                        head='heatmap', flip_test=True, use_udp=True,
+                        backbone_overrides=dict(embed_dim=32, depth=2,
+                                                num_heads=4))
+    cfg['optimizer']['frozen_stages'] = 1
+    cfg['optimizer']['total_epochs'] = 1
+    cfg['runtime']['eval_interval'] = 10      # skip eval for speed
+    state = train_model(cfg, work_dir=work_dir, max_steps=3)
+    p = state.params['backbone']
+
+    cfg2 = dict(cfg)
+    cfg2['optimizer'] = dict(cfg['optimizer'])
+    del cfg2['optimizer']['frozen_stages']
+    state2 = train_model(cfg2, work_dir=str(tmp_path / "wd2"), max_steps=3)
+    p2 = state2.params['backbone']
+
+    # Same seed + data: were frozen_stages a no-op the two runs would be
+    # bit-identical. The frozen leaves (patch_embed, blocks_1) must differ
+    # because only the unfrozen run trained them; the trainable blocks_0
+    # (reference quirk: freezing starts at block 1) must match because
+    # identical updates flowed through both runs' first steps only if the
+    # frozen leaves actually stayed put — so just assert divergence where
+    # training was suppressed.
+    for name in ('patch_embed', 'blocks_1'):
+        a = np.asarray(jax.tree.leaves(p[name])[0])
+        b = np.asarray(jax.tree.leaves(p2[name])[0])
+        assert not np.allclose(a, b), f'{name} should be frozen vs trained'
+
+
+@pytest.mark.slow
 def test_train_loop_cnn_backbone(tmp_path):
     """The generic (CNN-backbone) estimator trains through the same loop:
     build from config, 2 steps, finite decreasing loss."""

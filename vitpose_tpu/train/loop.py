@@ -59,6 +59,23 @@ def _log_tensorboard(work_dir, record):
                                   step=step)
 
 
+def _pop_freeze_options(ocfg_d: dict):
+    """Extract the backbone-freezing keys from an optimizer config dict
+    (reference vit.py:249 `_freeze_stages` options, exposed via config as
+    optimizer.frozen_stages / freeze_attn / freeze_ffn)."""
+    return dict(frozen_stages=ocfg_d.pop('frozen_stages', -1),
+                freeze_attn=ocfg_d.pop('freeze_attn', False),
+                freeze_ffn=ocfg_d.pop('freeze_ffn', False))
+
+
+def _apply_freeze(tx, init_params, freeze_kw):
+    if freeze_kw['frozen_stages'] < 0 and not freeze_kw['freeze_attn'] \
+            and not freeze_kw['freeze_ffn']:
+        return tx
+    from .optim import make_freeze_mask, freeze_tx
+    return freeze_tx(tx, make_freeze_mask(init_params, **freeze_kw))
+
+
 def build_model_from_cfg(mcfg: dict):
     mcfg = dict(mcfg)
     family = mcfg.pop('family', 'topdown')
@@ -251,6 +268,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     model = build_model_from_cfg(cfg['model'])
     ocfg_d = dict(cfg.get('optimizer', {}))
     total_epochs = ocfg_d.pop('total_epochs', 210)
+    freeze_kw = _pop_freeze_options(ocfg_d)
     ocfg = OptimConfig(num_layers=model.cfg.backbone.depth, **ocfg_d)
     steps_per_epoch = max(1, len(loader))
 
@@ -273,6 +291,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         init_params = merged
 
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
+    tx = _apply_freeze(tx, init_params, freeze_kw)
     state = create_train_state(model, rng, pre0['imgs'], tx,
                                variables=init_vars)
     state = state.replace(params=jax.tree.map(jnp.asarray, init_params))
@@ -456,6 +475,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
         'need one associate head per extra dataset'
     ocfg_d = dict(cfg.get('optimizer', {}))
     total_epochs = ocfg_d.pop('total_epochs', 210)
+    freeze_kw = _pop_freeze_options(ocfg_d)
     ocfg = OptimConfig(num_layers=model.cfg.backbone.depth, **ocfg_d)
     steps_per_epoch = max(1, len(mixture))
 
@@ -477,6 +497,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
                            backbone=_merge_trees(init_params['backbone'],
                                                  bb))
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
+    tx = _apply_freeze(tx, init_params, freeze_kw)
     state = create_train_state(model, rng, pre0['imgs'], tx,
                                expert_idx=init_expert, variables=init_vars)
     state = state.replace(params=jax.tree.map(jnp.asarray, init_params))
