@@ -65,6 +65,14 @@ def test_match_predictions_perfect_and_missing():
     assert all(m[0] is None and m[2] == 0.0 for m in matches0)
 
 
+def test_match_predictions_non_coco_returns_none():
+    tn = _load('test_new')
+
+    class _MpiiLike:
+        num_joints = 16
+    assert tn.match_predictions(_MpiiLike(), []) is None
+
+
 def test_draw_pose_dashed_and_solid():
     tn = _load('test_new')
     img = np.zeros((64, 64, 3), np.uint8)

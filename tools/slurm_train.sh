@@ -2,9 +2,11 @@
 # SLURM training launcher (counterpart of reference tools/slurm_train.sh,
 # which wraps `srun ... tools/train.py --launcher slurm`).
 #
-# One task per TPU host; jax.distributed reads the SLURM_* environment
-# (SLURM_PROCID / SLURM_NTASKS / node list) automatically, so no explicit
-# coordinator wiring is needed beyond the task layout.
+# One task per TPU host; tools/train.py calls init_distributed() at
+# startup, which sees SLURM_NTASKS > 1 and lets jax.distributed's SLURM
+# cluster detection (SLURM_PROCID / SLURM_NTASKS / node list) wire the
+# coordinator — no explicit address plumbing needed beyond the task
+# layout.
 #
 # Usage:
 #   [NTASKS=N] [CPUS_PER_TASK=C] [SRUN_ARGS=...] \

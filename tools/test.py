@@ -48,6 +48,30 @@ def load_variables(checkpoint, model_cfg, backbone_type='vit',
     return jax.tree.map(jnp.asarray, v)
 
 
+def build_eval_objects(cfg, batch_size=None):
+    """Model + val dataset + loader from a config (shared with
+    tools/test_new.py so the dataset/loader wiring lives in ONE place)."""
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.data import topdown_dataset_cls
+    from vitpose_tpu.data.loader import TopDownLoader
+
+    model = build_model_from_cfg(cfg['model'])
+    dcfg = cfg['data']
+    name = dcfg.get('dataset', 'coco')
+    ds = topdown_dataset_cls(name)(
+        dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
+        dataset_info=name,
+        image_size=tuple(dcfg['image_size']),
+        heatmap_size=tuple(dcfg['heatmap_size']),
+        test_mode=True, use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
+        bbox_file=dcfg['val'].get('bbox_file'))
+    loader = TopDownLoader(
+        ds, batch_size or dcfg.get('batch_size', 64), is_train=False,
+        canvas_size=dcfg.get('canvas_size'),
+        num_workers=dcfg.get('num_workers', 8))
+    return model, ds, loader
+
+
 def main():
     ap = argparse.ArgumentParser(description='Evaluate a pose model')
     ap.add_argument('config')
@@ -64,32 +88,16 @@ def main():
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
-    from vitpose_tpu.train.loop import build_model_from_cfg
-    from vitpose_tpu.data import topdown_dataset_cls
-    from vitpose_tpu.data.loader import TopDownLoader
     from vitpose_tpu.eval.loop import run_validation
+    from vitpose_tpu.parallel.distributed import init_distributed
 
+    init_distributed()   # no-op single-process; SLURM/env contract
     cfg = apply_options(load_config(args.config), args.cfg_options)
-    model = build_model_from_cfg(cfg['model'])
+    model, ds, loader = build_eval_objects(cfg, args.batch_size)
     variables = load_variables(args.checkpoint, model.cfg,
                                cfg['model'].get('backbone_type', 'vit'),
                                num_units=cfg['model'].get('num_units', 4),
                                use_prm=cfg['model'].get('use_prm', False))
-
-    dcfg = cfg['data']
-    name = dcfg.get('dataset', 'coco')
-    ds_cls = topdown_dataset_cls(name)
-    ds = ds_cls(
-        dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
-        dataset_info=name,
-        image_size=tuple(dcfg['image_size']),
-        heatmap_size=tuple(dcfg['heatmap_size']),
-        test_mode=True, use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
-        bbox_file=dcfg['val'].get('bbox_file'))
-    loader = TopDownLoader(
-        ds, args.batch_size or dcfg.get('batch_size', 64), is_train=False,
-        canvas_size=dcfg.get('canvas_size'),
-        num_workers=dcfg.get('num_workers', 8))
 
     mcfg = model.cfg
     results = run_validation(model, variables, loader, use_udp=mcfg.use_udp,
@@ -103,7 +111,9 @@ def main():
         from vitpose_tpu.api.inference import vis_pose_result
         from vitpose_tpu.data import DatasetInfo
         os.makedirs(args.show_dir, exist_ok=True)
-        info = (ds.info if hasattr(ds, 'info') else DatasetInfo.load(name))
+        img_prefix = str(cfg['data']['val']['img_prefix'])
+        info = (ds.info if hasattr(ds, 'info')
+                else DatasetInfo.load(cfg['data'].get('dataset', 'coco')))
         by_img = defaultdict(list)
         for r in results:
             for i, path in enumerate(r['image_paths']):
@@ -112,8 +122,8 @@ def main():
         for path, poses in by_img.items():
             # flatten the path relative to img_prefix so same-named frames
             # in different sequence dirs (posetrack/horse10) don't collide
-            rel = path[len(dcfg['val']['img_prefix']):].lstrip('/') \
-                if path.startswith(dcfg['val']['img_prefix']) \
+            rel = path[len(img_prefix):].lstrip('/') \
+                if path.startswith(img_prefix) \
                 else os.path.basename(path)
             out = os.path.join(args.show_dir, rel.replace('/', '_'))
             vis_pose_result(None, path, poses, dataset_info=info,

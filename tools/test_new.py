@@ -76,12 +76,18 @@ def match_predictions(ds, results):
     Counterpart of the fork dataset.evaluate(..., return_score=True)
     sorted_matches: returns a list of (dt_dict, gt_ann, oks) sorted
     ascending by OKS (worst first). Unmatched GTs contribute oks=0 rows
-    with dt=None so failure cases never drop out of the sample. Pairing
+    with dt=None so failure cases never drop out of the sample. Requires
+    a COCO-format dataset (ds.coco / ds._path_to_id); returns None for
+    list-format datasets (MPII family) so the CLI can skip the
+    diagnostics gracefully. Pairing
     is a per-image optimal assignment on the OKS matrix (scipy LAP, the
     same tool ops/group.py uses) rather than score-greedy, so a junk
     detection cannot steal another detection's ground truth.
     """
     from scipy.optimize import linear_sum_assignment
+
+    if not hasattr(ds, 'coco') or not hasattr(ds, '_path_to_id'):
+        return None
     from collections import defaultdict
     from vitpose_tpu.eval.cocoeval import compute_oks_matrix
 
@@ -93,17 +99,10 @@ def match_predictions(ds, results):
         preds = np.asarray(r['preds'])
         boxes = np.asarray(r['boxes'])
         for i, path in enumerate(r['image_paths']):
-            name = os.path.basename(path) if path not in ds.name2id else path
-            # name2id is keyed by annotation file_name; image_paths carry
-            # the img_prefix — strip it back off
-            for cand in (path, os.path.relpath(path, ds.img_prefix)
-                         if path.startswith(str(ds.img_prefix)) else name,
-                         os.path.basename(path)):
-                if cand in ds.name2id:
-                    name = cand
-                    break
-            img_id = ds.name2id.get(name)
-            if img_id is None:
+            try:
+                # the dataset's own tested path->image_id resolution
+                img_id = ds._path_to_id(path)
+            except KeyError:
                 continue
             by_img[img_id].append({
                 'image_id': img_id,
@@ -150,32 +149,17 @@ def main():
 
     import cv2
     from vitpose_tpu.utils.config import load_config, apply_options
-    from vitpose_tpu.train.loop import build_model_from_cfg
-    from vitpose_tpu.data import topdown_dataset_cls, DatasetInfo
-    from vitpose_tpu.data.loader import TopDownLoader
+    from vitpose_tpu.data import DatasetInfo
     from vitpose_tpu.eval.loop import run_validation
 
     tcli = _load_test_cli()
     cfg = apply_options(load_config(args.config), args.cfg_options)
-    model = build_model_from_cfg(cfg['model'])
+    model, ds, loader = tcli.build_eval_objects(cfg, args.batch_size)
+    name = cfg['data'].get('dataset', 'coco')
     variables = tcli.load_variables(
         args.checkpoint, model.cfg, cfg['model'].get('backbone_type', 'vit'),
         num_units=cfg['model'].get('num_units', 4),
         use_prm=cfg['model'].get('use_prm', False))
-
-    dcfg = cfg['data']
-    name = dcfg.get('dataset', 'coco')
-    ds = topdown_dataset_cls(name)(
-        dcfg['val']['ann_file'], dcfg['val']['img_prefix'],
-        dataset_info=name,
-        image_size=tuple(dcfg['image_size']),
-        heatmap_size=tuple(dcfg['heatmap_size']),
-        test_mode=True, use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
-        bbox_file=dcfg['val'].get('bbox_file'))
-    loader = TopDownLoader(
-        ds, args.batch_size or dcfg.get('batch_size', 64), is_train=False,
-        canvas_size=dcfg.get('canvas_size'),
-        num_workers=dcfg.get('num_workers', 8))
 
     mcfg = model.cfg
     results = run_validation(model, variables, loader, use_udp=mcfg.use_udp,
@@ -189,29 +173,34 @@ def main():
     os.makedirs(save_dir, exist_ok=True)
 
     matches = match_predictions(ds, results)
+    if matches is None:
+        print('per-sample OKS diagnostics need a COCO-format dataset; '
+              f'{type(ds).__name__} is not one — skipping to evaluation')
+        matches = []
     oks_list = np.array([m[2] for m in matches])
     print(f'Number of sorted matches: {len(matches)}')
 
     # OKS histogram (reference test_new.py:289-291)
-    try:
-        import matplotlib
-        matplotlib.use('Agg')
-        import matplotlib.pyplot as plt
-        plt.figure()
-        plt.hist(np.clip(oks_list, 0, 1), bins=100)
-        plt.xlabel('OKS')
-        plt.ylabel('count')
-        plt.savefig(os.path.join(save_dir, 'test_score_histogram.png'))
-        plt.close()
-    except Exception as e:  # matplotlib is optional at runtime
-        print(f'histogram skipped: {e}')
+    if matches:
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            plt.figure()
+            plt.hist(np.clip(oks_list, 0, 1), bins=100)
+            plt.xlabel('OKS')
+            plt.ylabel('count')
+            plt.savefig(os.path.join(save_dir, 'test_score_histogram.png'))
+            plt.close()
+        except Exception as e:  # matplotlib is optional at runtime
+            print(f'histogram skipped: {e}')
 
-    if args.draw_all:
+    if args.draw_all or not matches:
         indices = np.arange(len(matches))
     else:
         indices = np.unique(
-            (np.geomspace(1, max(1, len(matches)),
-                          num=min(args.num_images, max(1, len(matches))))
+            (np.geomspace(1, len(matches),
+                          num=min(args.num_images, len(matches)))
              - 1).astype(int))
 
     info = ds.info if hasattr(ds, 'info') else DatasetInfo.load(name)

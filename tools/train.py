@@ -48,6 +48,11 @@ def main():
 
     from vitpose_tpu.utils.config import load_config, apply_options
     from vitpose_tpu.train.loop import train_model
+    from vitpose_tpu.parallel.distributed import init_distributed
+
+    # multi-host bootstrap (no-op single-process; SLURM/env contract —
+    # reference tools/train.py:149 init_dist counterpart)
+    init_distributed()
 
     cfg = apply_options(load_config(args.config), args.cfg_options)
     if 'PATH_TO_DATA' in os.environ:

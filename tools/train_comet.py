@@ -44,24 +44,36 @@ def _make_experiment():
 
 
 def _tail_log_to_comet(experiment, log_path, stop_event):
-    """Stream train.log.json records into comet as they are written."""
+    """Stream train.log.json records into comet as they are written.
+
+    Reads in binary from the last byte offset (f.tell() during text-mode
+    iteration raises OSError) and keeps any trailing partial line in a
+    buffer; after stop is requested one final drain pass uploads the
+    records written since the previous poll."""
     pos = 0
-    while not stop_event.is_set():
+    buf = b''
+    while True:
+        stopping = stop_event.is_set()
         if os.path.exists(log_path):
-            with open(log_path) as f:
+            with open(log_path, 'rb') as f:
                 f.seek(pos)
-                for line in f:
-                    pos = f.tell()
-                    try:
-                        rec = json.loads(line)
-                    except ValueError:
-                        continue
-                    step = rec.get('step', rec.get('epoch', 0))
-                    metrics = {k: v for k, v in rec.items()
-                               if isinstance(v, (int, float))
-                               and k not in ('step', 'epoch', 'iter')}
-                    if metrics:
-                        experiment.log_metrics(metrics, step=int(step))
+                buf += f.read()
+                pos = f.tell()
+            lines = buf.split(b'\n')
+            buf = lines.pop()          # '' on complete final line
+            for line in lines:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                step = rec.get('step', rec.get('epoch', 0))
+                metrics = {k: v for k, v in rec.items()
+                           if isinstance(v, (int, float))
+                           and k not in ('step', 'epoch', 'iter')}
+                if metrics:
+                    experiment.log_metrics(metrics, step=int(step))
+        if stopping:
+            return
         stop_event.wait(5.0)
 
 
@@ -72,7 +84,9 @@ def main():
         tcli.main()
         return
 
-    # work_dir mirrors train_model's default (config-name based)
+    # resolve work_dir the way train_model does: CLI --work-dir, else the
+    # config's runtime.work_dir, else the literal 'work_dir'
+    # (vitpose_tpu/train/loop.py work_dir resolution)
     argv = sys.argv[1:]
     work_dir = None
     for i, a in enumerate(argv):
@@ -80,9 +94,13 @@ def main():
             work_dir = argv[i + 1]
         elif a.startswith('--work-dir='):
             work_dir = a.split('=', 1)[1]
-    if work_dir is None and argv:
-        work_dir = os.path.join(
-            'work_dirs', os.path.splitext(os.path.basename(argv[0]))[0])
+    if work_dir is None and argv and os.path.exists(argv[0]):
+        try:
+            from vitpose_tpu.utils.config import load_config
+            work_dir = load_config(argv[0]).get('runtime', {}).get(
+                'work_dir', 'work_dir')
+        except Exception:
+            work_dir = 'work_dir'
 
     experiment.log_parameters({'argv': ' '.join(argv)})
     if argv and os.path.exists(argv[0]):

@@ -19,8 +19,10 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Initialize multi-host JAX. No-ops for single-process runs.
 
     Env-var driven (like torch.distributed.launch): COORDINATOR_ADDRESS,
-    NUM_PROCESSES, PROCESS_ID — or pass explicitly. On TPU pods the
-    defaults are auto-detected by jax.distributed.
+    NUM_PROCESSES, PROCESS_ID — or pass explicitly. Under SLURM
+    (SLURM_NTASKS > 1, tools/slurm_*.sh) jax.distributed's built-in
+    cluster detection reads the SLURM_* environment. Called by
+    tools/train.py / tools/test.py at startup; idempotent.
     """
     import jax
     coordinator_address = coordinator_address or os.environ.get(
@@ -28,11 +30,18 @@ def init_distributed(coordinator_address: Optional[str] = None,
     num_processes = num_processes or int(os.environ.get('NUM_PROCESSES', 0))
     process_id = (process_id if process_id is not None
                   else int(os.environ.get('PROCESS_ID', -1)))
-    if coordinator_address and num_processes > 1:
+    already_up = jax.process_count() > 1
+    if already_up:
+        pass
+    elif coordinator_address and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
+    elif int(os.environ.get('SLURM_NTASKS', '1') or 1) > 1:
+        # jax's SlurmCluster auto-detection: coordinator = first node,
+        # process_id = SLURM_PROCID, num_processes = SLURM_NTASKS
+        jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 

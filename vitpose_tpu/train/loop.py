@@ -31,6 +31,11 @@ _tb_writers = {}
 
 
 def _log(work_dir, record, tensorboard=False):
+    # host writes are rank-0 only: in a multi-host run every process would
+    # otherwise append to the same train.log.json on a shared filesystem
+    import jax
+    if jax.process_index() != 0:
+        return
     line = json.dumps(record)
     print(line, flush=True)
     if work_dir:
