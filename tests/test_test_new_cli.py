@@ -87,6 +87,56 @@ def test_draw_pose_dashed_and_solid():
     assert (out > 0).sum() < (solid > 0).sum()
 
 
+def test_test_new_cli_end_to_end(tmp_path):
+    """Full tools/test_new.py run on the COCO fixture: histogram +
+    overlays + metrics, via subprocess like the demo CLI tests."""
+    import subprocess
+    import sys as _sys
+    import pytest
+    if not os.path.exists(f'{REF}/test_coco.json'):
+        pytest.skip('fixture missing')
+
+    # tiny model checkpoint
+    from vitpose_tpu.models import TopDownModel, make_config
+    from vitpose_tpu.utils.checkpoint import save_params_npz
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    cfgm = make_config('s', img_size=(64, 48), out_channels=17)
+    cfgm = dc.replace(cfgm, backbone=dc.replace(
+        cfgm.backbone, embed_dim=32, depth=2, num_heads=4))
+    m = TopDownModel(cfgm)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 3)),
+               train=False)
+    ckpt = tmp_path / 'ckpt.npz'
+    save_params_npz(str(ckpt), v)
+
+    cfg = tmp_path / 'cfg.py'
+    cfg.write_text(f"""
+_base_ = ['{REPO}/vitpose_tpu/configs/base/default_runtime.py']
+model = dict(variant='s', img_size=(64, 48), out_channels=17,
+             head='heatmap', flip_test=True, use_udp=True,
+             post_process='default',
+             backbone_overrides=dict(embed_dim=32, depth=2, num_heads=4))
+data = dict(dataset='coco', image_size=(48, 64), heatmap_size=(12, 16),
+    batch_size=4, canvas_size=640, num_workers=2,
+    val=dict(ann_file='{REF}/test_coco.json', img_prefix='{REF}/',
+             use_gt_bbox=True))
+""")
+    vis = tmp_path / 'vis'
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    out = subprocess.run(
+        [_sys.executable, 'tools/test_new.py', str(cfg), str(ckpt),
+         '--save-dir', str(vis), '--num-images', '5'],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'Number of sorted matches' in out.stdout
+    assert 'AP' in out.stdout
+    assert (vis / 'test_score_histogram.png').exists()
+    assert any(f.name.endswith('.png') and f.name != 'test_score_histogram.png'
+               for f in vis.iterdir())
+
+
 def test_update_tensorboard_logs(tmp_path):
     import importlib.util
     path = os.path.join(REPO, 'tools', 'misc', 'update_tensorboard_logs.py')
