@@ -4,7 +4,8 @@ reference demo/webcam_demo.py + tools/webcam).
 
 Usage:
   python demo/webcam_demo.py --input /path/to/video_or_dir \
-      [--variant s] [--checkpoint x.pth] [--out out.mp4] [--max-frames N]
+      [--variant s] [--checkpoint x.pth] [--out out.mp4] [--max-frames N] \
+      [--effect sunglasses|bugeye]
 """
 import argparse
 import os
@@ -25,17 +26,25 @@ def main():
     ap.add_argument('--checkpoint', default=None)
     ap.add_argument('--out', default=None)
     ap.add_argument('--max-frames', type=int, default=None)
+    ap.add_argument('--effect', default=None,
+                    choices=['sunglasses', 'bugeye'],
+                    help='pose-anchored frame effect instead of the '
+                         'skeleton overlay (reference tools/webcam '
+                         'effect nodes)')
     args = ap.parse_args()
 
     from vitpose_tpu.api import init_pose_model
     from vitpose_tpu.api.webcam import (WebcamRunner, DetectorNode, PoseNode,
-                                        VisualizerNode, VideoSink)
+                                        VisualizerNode, VideoSink,
+                                        EffectNode)
 
     model = init_pose_model(args.variant, checkpoint=args.checkpoint)
     sink = VideoSink(args.out)
+    render = (EffectNode(model, kind=args.effect) if args.effect
+              else VisualizerNode(model))
     runner = WebcamRunner(
         args.input,
-        [DetectorNode(), PoseNode(model), VisualizerNode(model), sink],
+        [DetectorNode(), PoseNode(model), render, sink],
         max_frames=args.max_frames)
     n = runner.run()
     print(f'processed {n} frames; ' + '; '.join(
