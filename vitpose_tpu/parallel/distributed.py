@@ -30,8 +30,10 @@ def init_distributed(coordinator_address: Optional[str] = None,
     num_processes = num_processes or int(os.environ.get('NUM_PROCESSES', 0))
     process_id = (process_id if process_id is not None
                   else int(os.environ.get('PROCESS_ID', -1)))
-    already_up = jax.process_count() > 1
-    if already_up:
+    # idempotence check WITHOUT touching the backend: jax.process_count()
+    # would initialize XLA, after which initialize() refuses to run
+    from jax._src.distributed import global_state
+    if global_state.client is not None:
         pass
     elif coordinator_address and num_processes > 1:
         jax.distributed.initialize(

@@ -197,8 +197,19 @@ def shard_train_step(train_step, mesh: Mesh, state, sample_batch,
     sharded_state = shard_state(mesh, state, zero1=zero1)
     batch_shard = batch_shardings(mesh, sample_batch)
 
-    def place_batch(batch):
-        return jax.device_put(batch, batch_shard)
+    if jax.process_count() > 1:
+        # multi-controller: each process holds only ITS loader shard, so
+        # the local batch is this process's slice of a global batch of
+        # local_batch * process_count (device_put would instead demand
+        # identical global values on every process)
+        def place_batch(batch):
+            return jax.tree.map(
+                lambda leaf, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(leaf)),
+                batch, batch_shard)
+    else:
+        def place_batch(batch):
+            return jax.device_put(batch, batch_shard)
 
     # pin the state layout on BOTH sides of the jit: without out_shardings
     # XLA is free to return e.g. ZeRO-1 params sharded over `data`, which
