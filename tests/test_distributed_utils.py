@@ -84,6 +84,66 @@ runtime = dict(work_dir='{wd}', log_interval=1, eval_interval=0,
     assert sum(1 for r in train_recs if r['iter'] == 0) == 1
 
 
+def test_collect_results_single_process_passthrough():
+    from vitpose_tpu.eval.loop import collect_results
+    r = [dict(a=1)]
+    assert collect_results(r, '/tmp/never_used') is r
+
+
+@pytest.mark.slow
+def test_two_process_sharded_eval_gather(tmp_path):
+    """Val-loader process sharding covers every record exactly once
+    (wrap-around padding aside) and collect_results merges the shards
+    onto rank 0 — the reference multi_gpu_test + collect_results_cpu
+    semantics driven for real over 2 processes."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = '/root/reference/tests/data/coco'
+    if not os.path.exists(f'{ref}/test_coco.json'):
+        pytest.skip('fixture missing')
+    script = tmp_path / 'worker.py'
+    script.write_text(f"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from vitpose_tpu.parallel.distributed import init_distributed
+init_distributed()
+from vitpose_tpu.data import topdown_dataset_cls
+from vitpose_tpu.data.loader import TopDownLoader
+from vitpose_tpu.eval.loop import collect_results
+ds = topdown_dataset_cls('coco')(
+    {ref!r} + '/test_coco.json', {ref!r} + '/', dataset_info='coco',
+    image_size=(48, 64), heatmap_size=(12, 16), test_mode=True,
+    use_gt_bbox=True)
+loader = TopDownLoader(ds, 4, is_train=False, canvas_size=640,
+                       num_workers=1,
+                       process_index=jax.process_index(),
+                       process_count=jax.process_count())
+local = [int(i) for i in loader._indices()]
+merged = collect_results([local], {str(tmp_path / 'gather')!r})
+if jax.process_index() == 0:
+    allidx = sorted(set(i for part in merged for i in part))
+    assert allidx == list(range(len(ds.db))), allidx
+    print('MERGED_OK', len(merged), len(allidx))
+""")
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=1')
+    coord = f'127.0.0.1:{29800 + os.getpid() % 150}'
+    procs = []
+    for i in range(2):
+        e = dict(env, COORDINATOR_ADDRESS=coord, NUM_PROCESSES='2',
+                 PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [_sys.executable, str(script)], env=e, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=300) for p in procs]
+    assert all(p.returncode == 0 for p in procs), \
+        [(o[-800:], e[-800:]) for o, e in outs]
+    assert any('MERGED_OK' in o for o, _ in outs)
+
+
 def test_preemption_guard_sigterm():
     from vitpose_tpu.parallel.distributed import PreemptionGuard
     saved = []

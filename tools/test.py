@@ -48,9 +48,14 @@ def load_variables(checkpoint, model_cfg, backbone_type='vit',
     return jax.tree.map(jnp.asarray, v)
 
 
-def build_eval_objects(cfg, batch_size=None):
+def build_eval_objects(cfg, batch_size=None, shard_by_process=False):
     """Model + val dataset + loader from a config (shared with
-    tools/test_new.py so the dataset/loader wiring lives in ONE place)."""
+    tools/test_new.py so the dataset/loader wiring lives in ONE place).
+
+    shard_by_process=True splits the val set over jax processes (the
+    reference multi_gpu_test path); merge the per-process results with
+    vitpose_tpu.eval.loop.collect_results before evaluate()."""
+    import jax
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.data import topdown_dataset_cls
     from vitpose_tpu.data.loader import TopDownLoader
@@ -65,10 +70,13 @@ def build_eval_objects(cfg, batch_size=None):
         heatmap_size=tuple(dcfg['heatmap_size']),
         test_mode=True, use_gt_bbox=dcfg['val'].get('use_gt_bbox', True),
         bbox_file=dcfg['val'].get('bbox_file'))
+    shard = dict(process_index=jax.process_index(),
+                 process_count=jax.process_count()) \
+        if shard_by_process else {}
     loader = TopDownLoader(
         ds, batch_size or dcfg.get('batch_size', 64), is_train=False,
         canvas_size=dcfg.get('canvas_size'),
-        num_workers=dcfg.get('num_workers', 8))
+        num_workers=dcfg.get('num_workers', 8), **shard)
     return model, ds, loader
 
 
@@ -85,15 +93,21 @@ def main():
                     help='save per-image keypoint visualizations here '
                          '(counterpart of the fork tools/test_new.py '
                          'posevis output)')
+    ap.add_argument('--tmpdir', default=None,
+                    help='shared scratch dir for multi-process result '
+                         'gathering (reference tools/test.py --tmpdir)')
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
     from vitpose_tpu.eval.loop import run_validation
     from vitpose_tpu.parallel.distributed import init_distributed
 
+    import jax
     init_distributed()   # no-op single-process; SLURM/env contract
     cfg = apply_options(load_config(args.config), args.cfg_options)
-    model, ds, loader = build_eval_objects(cfg, args.batch_size)
+    world = jax.process_count()
+    model, ds, loader = build_eval_objects(cfg, args.batch_size,
+                                           shard_by_process=world > 1)
     variables = load_variables(args.checkpoint, model.cfg,
                                cfg['model'].get('backbone_type', 'vit'),
                                num_units=cfg['model'].get('num_units', 4),
@@ -104,7 +118,16 @@ def main():
                              post_process=mcfg.post_process,
                              modulate_kernel=mcfg.modulate_kernel,
                              target_type=mcfg.target_type,
-                             progress=True)
+                             progress=jax.process_index() == 0)
+    if world > 1:
+        # reference multi_gpu_test: per-rank shards -> rank-0 merge
+        from vitpose_tpu.eval.loop import collect_results
+        tmpdir = args.tmpdir or os.path.join(
+            os.path.dirname(args.out) if args.out else '.',
+            '.eval_gather_tmp')
+        results = collect_results(results, tmpdir)
+        if results is None:       # non-zero ranks are done
+            return
     if args.show_dir:
         import numpy as np
         from collections import defaultdict

@@ -178,3 +178,37 @@ def run_validation(model, variables, loader, use_udp=True,
     for batch in pending:
         results.extend(decode_group([batch]))
     return results
+
+
+def collect_results(results, tmpdir):
+    """Gather per-process result lists onto process 0 (counterpart of the
+    reference `collect_results_cpu`, mmpose/apis/test.py:119: tmpdir +
+    pickle + barrier). `tmpdir` must be on a filesystem shared by all
+    hosts (e.g. under the work dir). Returns the merged list on process 0
+    and None elsewhere; single-process calls return `results` unchanged.
+    """
+    import os
+    import pickle
+    import shutil
+
+    import jax
+
+    rank, world = jax.process_index(), jax.process_count()
+    if world == 1:
+        return results
+    from jax.experimental import multihost_utils
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, f'part_{rank}.pkl'), 'wb') as f:
+        pickle.dump(results, f)
+    multihost_utils.sync_global_devices('vitpose_eval_gather')
+    merged = None
+    if rank == 0:
+        merged = []
+        for r in range(world):
+            with open(os.path.join(tmpdir, f'part_{r}.pkl'), 'rb') as f:
+                merged.extend(pickle.load(f))
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    # second barrier: writers must not return (and possibly exit) before
+    # rank 0 has read every part file
+    multihost_utils.sync_global_devices('vitpose_eval_done')
+    return merged
