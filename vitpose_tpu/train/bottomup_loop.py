@@ -272,10 +272,8 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
                 rec = {'mode': 'train', 'epoch': epoch, 'iter': it,
                        'step': done,
                        **{k: float(v) for k, v in metrics.items()}}
-                print(json.dumps(rec), flush=True)
-                with open(os.path.join(work_dir, 'train.log.json'),
-                          'a') as f:
-                    f.write(json.dumps(rec) + '\n')
+                from .loop import _log
+                _log(work_dir, rec)
             if max_steps and done >= max_steps:
                 break
         variables = join_bottomup_variables(params, batch_stats)
