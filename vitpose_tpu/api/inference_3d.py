@@ -97,3 +97,202 @@ def inference_pose_lifter_model(model, variables, pose_results_2d,
             res['keypoints_3d'] = np.asarray(out)[0]
         results.append(res)
     return results
+
+
+def _as_est_variables(model):
+    """Accept an (estimator, variables) pair or an object exposing them."""
+    if isinstance(model, (tuple, list)) and len(model) == 2:
+        return model[0], model[1]
+    return model.est if hasattr(model, 'est') else model.mesh, \
+        model.variables
+
+
+def _select_boxes(det_results, bbox_thr, fmt):
+    from ..ops.geometry import bbox_xyxy2xywh
+    bboxes = np.stack([
+        np.pad(np.asarray(p['bbox'], np.float32)[:5],
+               (0, max(0, 5 - len(np.asarray(p['bbox'])[:5]))),
+               constant_values=1.0) for p in det_results])
+    if fmt == 'xyxy':
+        xyxy = bboxes.copy()
+        bboxes = np.asarray(bbox_xyxy2xywh(bboxes))
+    else:
+        xyxy = bboxes.copy()
+        xyxy[:, 2] = bboxes[:, 0] + bboxes[:, 2]
+        xyxy[:, 3] = bboxes[:, 1] + bboxes[:, 3]
+    keep = np.arange(len(bboxes)) if bbox_thr is None else \
+        np.where(bboxes[:, 4] > bbox_thr)[0]
+    return bboxes, xyxy, keep
+
+
+def _crop_normalized(img, bboxes_xywh, out_size, padding=1.25):
+    """Host image + xywh boxes -> normalized crops [N, h, w, 3] plus the
+    (center, scale) pair needed for decode, using the same golden-tested
+    affine warp as the training pipeline."""
+    import jax.numpy as jnp
+    from ..ops.geometry import bbox_xywh2cs, affine_matrix
+    from ..ops.warp import warp_affine_batch
+    from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+
+    w, h = out_size
+    center, scale = bbox_xywh2cs(bboxes_xywh[:, :4], w / h, padding=padding)
+    center = np.asarray(center, np.float32)
+    scale = np.asarray(scale, np.float32)
+    n = len(bboxes_xywh)
+    imgs = jnp.broadcast_to(
+        jnp.asarray(img, jnp.float32)[None] / 255.0, (n,) + img.shape)
+    mat = affine_matrix(center, scale, jnp.zeros(n), (w, h))
+    crops = warp_affine_batch(imgs, mat, (w, h))
+    crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+    return crops, center, scale
+
+
+def inference_interhand_3d_model(model, img_or_path, det_results,
+                                 bbox_thr=None, format='xywh',
+                                 dataset='interhand3d'):
+    """Inference interacting-hand 3D pose for a list of hand boxes
+    (counterpart of reference apis/inference_3d.py:469).
+
+    Args:
+      model: an ``Interhand3DEstimator`` with its variables — either an
+        object exposing ``.est``/``.variables`` or an ``(est, variables)``
+        pair.
+      det_results: list of {'bbox': [x, y, w, h(, score)]} dicts.
+
+    Returns a list of the input dicts extended with 'keypoints_3d'
+    [K, 4] (x, y, root-relative depth mm, score·hand-type-prob) and the
+    xyxy 'bbox' — matching the reference's packing: relative root depth
+    added to left-hand z, per-hand scores gated by the hand-type
+    classifier.
+    """
+    assert format in ('xyxy', 'xywh')
+    if len(det_results) == 0:
+        return []
+    est, variables = _as_est_variables(model)
+    bboxes, xyxy, keep = _select_boxes(det_results, bbox_thr, format)
+    if len(keep) == 0:
+        return []
+    ih, iw = est.backbone.cfg.img_size
+
+    if isinstance(img_or_path, str):
+        import cv2
+        img = cv2.cvtColor(cv2.imread(img_or_path), cv2.COLOR_BGR2RGB)
+    else:
+        img = np.asarray(img_or_path)
+
+    crops, center, scale = _crop_normalized(img, bboxes[keep], (iw, ih))
+    hm3d, root_logits, type_logits = est.infer(variables, crops)
+    res = est.decode(hm3d, root_logits, type_logits, center, scale)
+
+    kp = np.asarray(res['keypoints_3d'], np.float64)       # [N, K, 3]
+    scores = np.asarray(res['scores'], np.float64)          # [N, K, 1]
+    half = kp.shape[1] // 2
+    kp[:, half:, 2] += np.asarray(res['rel_root_depth'])[:, None]
+    scores[:, :half, 0] *= res['hand_type'][:, [0]]
+    scores[:, half:, 0] *= res['hand_type'][:, [1]]
+    poses = np.concatenate([kp, scores], axis=-1)
+
+    out = []
+    for row, i in enumerate(keep):
+        r = dict(det_results[i])
+        r['keypoints_3d'] = poses[row]
+        r['bbox'] = xyxy[i, :4]
+        r['rel_root_depth'] = float(res['rel_root_depth'][row])
+        r['hand_type'] = res['hand_type'][row]
+        out.append(r)
+    return out
+
+
+def inference_mesh_model(model, img_or_path, det_results, bbox_thr=None,
+                         format='xywh', image_size=(224, 224)):
+    """SMPL mesh recovery for a list of person boxes (counterpart of
+    reference apis/inference_3d.py:621).
+
+    Args:
+      model: a ``ParametricMesh`` with its variables — an object exposing
+        ``.mesh``/``.variables`` (optionally ``.faces``) or a
+        ``(mesh, variables)`` pair.
+
+    Returns the input dicts extended with 'keypoints_3d', 'camera',
+    'vertices', 'faces', 'center', 'scale' and the xyxy 'bbox'.
+    """
+    import jax.numpy as jnp
+    assert format in ('xyxy', 'xywh')
+    if len(det_results) == 0:
+        return []
+    mesh, variables = _as_est_variables(model)
+    faces = getattr(model, 'faces', None)
+    bboxes, xyxy, keep = _select_boxes(det_results, bbox_thr, format)
+    if len(keep) == 0:
+        return []
+
+    if isinstance(img_or_path, str):
+        import cv2
+        img = cv2.cvtColor(cv2.imread(img_or_path), cv2.COLOR_BGR2RGB)
+    else:
+        img = np.asarray(img_or_path)
+
+    crops, center, scale = _crop_normalized(img, bboxes[keep], image_size)
+    out_m = mesh.apply(variables, jnp.asarray(crops))
+
+    results = []
+    for row, i in enumerate(keep):
+        r = dict(det_results[i])
+        r['bbox'] = xyxy[i, :4]
+        r['center'] = center[row]
+        r['scale'] = scale[row]
+        r['keypoints_3d'] = np.asarray(out_m['joints_3d'][row])
+        r['camera'] = np.asarray(out_m['cam'][row])
+        r['vertices'] = np.asarray(out_m['vertices'][row])
+        r['faces'] = faces
+        results.append(r)
+    return results
+
+
+def vis_3d_pose_result(model, result, img=None, out_file=None,
+                       dataset_info=None, kpt_score_thr=0.3, radius=8,
+                       thickness=2, num_instances=-1, axis_azimuth=70,
+                       axis_elev=15, **kwargs):
+    """Reference-named wrapper (apis/inference_3d.py:359) over
+    :func:`vitpose_tpu.api.inference.vis_pose_result_3d`. `model` is
+    accepted for signature parity; skeleton/colors come from
+    `dataset_info` (or the model's, when it has one)."""
+    from .inference import vis_pose_result_3d
+    info = dataset_info or getattr(model, 'dataset_info', None)
+    return vis_pose_result_3d(
+        result, skeleton=info.skeleton_links if info else None,
+        out_file=out_file, img=img, kpt_score_thr=kpt_score_thr,
+        pose_kpt_color=info.keypoint_colors if info else None,
+        pose_link_color=info.skeleton_colors if info else None,
+        num_instances=num_instances, azimuth=axis_azimuth,
+        elevation=axis_elev)
+
+
+def vis_3d_mesh_result(model, result, img=None, show=False, out_file=None,
+                       focal_length=None):
+    """Render mesh-recovery results onto the image (counterpart of
+    reference apis/inference_3d.py:779 via ParametricMesh.show_result).
+
+    Each result dict needs 'vertices', 'faces', 'camera' and 'bbox'
+    (from :func:`inference_mesh_model`)."""
+    import cv2
+    from .inference import imshow_mesh_3d
+
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    elif img is not None:
+        img = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2BGR)
+    h, w = img.shape[:2]
+    verts, faces = [], []
+    for r in result:
+        cam = np.asarray(r['camera'])
+        v = np.asarray(r['vertices'])
+        # weak-perspective (s, tx, ty) -> camera space at nominal depth
+        v = v + np.array([cam[1], cam[2], 0.0]) + np.array([0.0, 0.0, 5.0])
+        verts.append(v)
+        faces.append(r['faces'])
+    f = focal_length or max(h, w)
+    rendered = imshow_mesh_3d(img, verts, faces, (w / 2, h / 2), (f, f))
+    if out_file:
+        cv2.imwrite(out_file, rendered)
+    return rendered

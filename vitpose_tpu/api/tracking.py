@@ -117,3 +117,58 @@ def _temporal_refine(result, match_result, fps=None):
         result['one_euro'] = OneEuroFilter(result['keypoints'][:, :2],
                                            fps=fps)
     return result['keypoints']
+
+
+_TRACK_PALETTE = np.array(
+    [[255, 128, 0], [255, 153, 51], [255, 178, 102], [230, 230, 0],
+     [255, 153, 255], [153, 204, 255], [255, 102, 255], [255, 51, 255],
+     [102, 178, 255], [51, 153, 255], [255, 153, 153], [255, 102, 102],
+     [255, 51, 51], [153, 255, 153], [102, 255, 102], [51, 255, 51],
+     [0, 255, 0], [0, 0, 255], [255, 0, 0], [255, 255, 255]])
+
+
+def vis_pose_tracking_result(model, img, result, radius=4, thickness=1,
+                             kpt_score_thr=0.3, dataset=None,
+                             dataset_info=None, show=False, out_file=None):
+    """Draw tracked poses, one palette color per track id (counterpart of
+    reference inference_tracking.py:227 `vis_pose_tracking_result`).
+
+    `result` items carry 'keypoints' [K, 3] and 'track_id'. Returns the
+    BGR image (also written to `out_file` when given)."""
+    import cv2
+
+    info = dataset_info or getattr(model, 'dataset_info', None)
+    if isinstance(img, str):
+        img = cv2.imread(img)
+    else:
+        img = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2BGR)
+
+    for res in result:
+        tid = int(res.get('track_id', 0))
+        color = _TRACK_PALETTE[tid % len(_TRACK_PALETTE)]
+        # vis_pose_result draws one pose list; override colors per track
+        # by drawing directly (the reference does the same per-id loop)
+        kpts = np.asarray(res['keypoints'])
+        links = info.skeleton_links if info else []
+        for a, b in links:
+            if a < len(kpts) and b < len(kpts) \
+                    and kpts[a, 2] > kpt_score_thr \
+                    and kpts[b, 2] > kpt_score_thr:
+                cv2.line(img, tuple(kpts[a, :2].astype(int)),
+                         tuple(kpts[b, :2].astype(int)),
+                         tuple(int(c) for c in color), thickness)
+        for x, y, s in kpts:
+            if s > kpt_score_thr:
+                cv2.circle(img, (int(x), int(y)), radius,
+                           tuple(int(c) for c in color), -1)
+        bbox = res.get('bbox')
+        if bbox is not None and np.asarray(bbox).size >= 4:
+            x0, y0, x1, y1 = np.asarray(bbox[:4]).astype(int)
+            cv2.rectangle(img, (x0, y0), (x1, y1),
+                          tuple(int(c) for c in color), thickness)
+            cv2.putText(img, str(tid), (x0, max(0, y0 - 4)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                        tuple(int(c) for c in color), 1)
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img

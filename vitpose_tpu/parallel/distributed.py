@@ -68,3 +68,19 @@ class PreemptionGuard:
                 self._prev(signum, frame)
         self._prev = signal.signal(signal.SIGTERM, handler)
         return self
+
+
+def init_random_seed(seed: Optional[int] = None) -> int:
+    """Pick a training seed and make it identical on every process
+    (counterpart of reference apis/train.py:27 `init_random_seed`, which
+    broadcasts a random seed over torch.distributed)."""
+    if seed is not None:
+        return int(seed)
+    import numpy as np
+    seed = int(np.random.randint(2 ** 31))
+    import jax
+    if jax.process_count() > 1:
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        seed = int(multihost_utils.broadcast_one_to_all(jnp.int32(seed)))
+    return seed
