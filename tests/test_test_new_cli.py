@@ -155,6 +155,49 @@ def test_update_tensorboard_logs(tmp_path):
     assert not (out / 'no_tb').exists()
 
 
+def test_train_comet_log_tailer(tmp_path):
+    """_tail_log_to_comet streams every record including ones written
+    right before stop (the text-mode f.tell() bug made it upload
+    nothing; the stop path previously dropped the last poll window)."""
+    import json
+    import threading
+    tc = _load('train_comet')
+
+    class FakeExperiment:
+        def __init__(self):
+            self.metrics = []
+
+        def log_metrics(self, metrics, step=None):
+            self.metrics.append((step, metrics))
+
+    log = tmp_path / 'train.log.json'
+    with open(log, 'w') as f:
+        f.write(json.dumps({'mode': 'train', 'step': 1, 'loss': 0.5}) + '\n')
+        f.write('not json\n')                       # tolerated
+        f.write(json.dumps({'mode': 'train', 'step': 2, 'loss': 0.4}))
+        # incomplete final line (no newline yet)
+
+    exp = FakeExperiment()
+    stop = threading.Event()
+    t = threading.Thread(target=tc._tail_log_to_comet,
+                         args=(exp, str(log), stop))
+    t.start()
+    import time
+    time.sleep(0.3)
+    # finish the partial line + add a final record, then stop immediately:
+    # the final drain must pick both up
+    with open(log, 'a') as f:
+        f.write('\n' + json.dumps({'mode': 'epoch', 'epoch': 0,
+                                   'AP': 0.7}) + '\n')
+    stop.set()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    steps = [s for s, _ in exp.metrics]
+    assert 1 in steps and 2 in steps and 0 in steps
+    ap = [m for _, m in exp.metrics if 'AP' in m]
+    assert ap and ap[0]['AP'] == 0.7
+
+
 def test_train_path_to_data_substitution():
     tr = _load('train')
     cfg = {'data': {'train': {'ann_file': 'data/coco/train.json',

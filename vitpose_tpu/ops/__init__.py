@@ -8,9 +8,11 @@ from .geometry import (
     apply_affine_to_points,
     transform_preds,
     fliplr_joints,
+    fliplr_regression,
     flip_back,
     flip_index_from_pairs,
 )
+from .smoothing import OneEuroFilter
 from .target import generate_msra_heatmaps, generate_udp_heatmaps, generate_combined_target
 from .decode import keypoints_from_heatmaps, heatmaps_to_coords, pose_pck_accuracy
 from .warp import warp_affine_batch
