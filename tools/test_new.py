@@ -145,6 +145,10 @@ def main():
     ap.add_argument('--num-images', type=int, default=100)
     ap.add_argument('--draw-all', action='store_true')
     ap.add_argument('--kpt-thr', type=float, default=0.3)
+    ap.add_argument('--per-kpt', action='store_true',
+                    help='also print per-keypoint AP sensitivity '
+                         '(fork evaluate_per_kpts, '
+                         'topdown_coco_dataset.py:391)')
     args = ap.parse_args()
 
     import cv2
@@ -240,6 +244,12 @@ def main():
     metric = args.metric or cfg.get('evaluation', {}).get('metric')
     stats = ds.evaluate(results, metric=metric) if metric \
         else ds.evaluate(results)
+    if args.per_kpt and hasattr(ds, 'evaluate_per_kpts'):
+        kpt_names = ds.info.keypoint_names
+        for i, per in enumerate(ds.evaluate_per_kpts(results)):
+            # sigma_i inflated to 10 -> AP delta shows joint i's influence
+            print('{:s} -> {:.1f}'.format(kpt_names[i],
+                                          100 * float(per.get('AP', 0.0))))
     for key in sorted(stats):
         print(f'{key}: {stats[key]}')
     if args.out:
