@@ -31,10 +31,15 @@ def main():
                     help='pose-anchored frame effect instead of the '
                          'skeleton overlay (reference tools/webcam '
                          'effect nodes)')
+    ap.add_argument('--sync', action='store_true',
+                    help='run inference synchronously per frame instead '
+                         'of the buffered async graph (reference '
+                         'webcam_runner --synchronous)')
     args = ap.parse_args()
 
     from vitpose_tpu.api import init_pose_model
-    from vitpose_tpu.api.webcam import (WebcamRunner, DetectorNode, PoseNode,
+    from vitpose_tpu.api.webcam import (WebcamRunner, AsyncWebcamRunner,
+                                        DetectorNode, PoseNode,
                                         VisualizerNode, VideoSink,
                                         EffectNode)
 
@@ -42,10 +47,16 @@ def main():
     sink = VideoSink(args.out)
     render = (EffectNode(model, kind=args.effect) if args.effect
               else VisualizerNode(model))
-    runner = WebcamRunner(
-        args.input,
-        [DetectorNode(), PoseNode(model), render, sink],
-        max_frames=args.max_frames)
+    if args.sync:
+        runner = WebcamRunner(
+            args.input,
+            [DetectorNode(), PoseNode(model), render, sink],
+            max_frames=args.max_frames)
+    else:
+        # display keeps the camera rate; inference consumes latest frames
+        runner = AsyncWebcamRunner(
+            args.input, [DetectorNode(), PoseNode(model)], [render, sink],
+            max_frames=args.max_frames)
     n = runner.run()
     print(f'processed {n} frames; ' + '; '.join(
         runner.stopwatch.report_strings()))

@@ -229,3 +229,94 @@ class EffectNode(Node):
                         frame[y0:y1, x0:x1] = big[cx0:cx1, cy0:cy1]
         msg['vis_frame'] = frame
         return msg
+
+
+class LatestBuffer:
+    """Size-1 overwrite buffer (counterpart of the reference
+    webcam_apis/utils/buffer.py Buffer registered with maxsize=1: when the
+    consumer is slower than the producer, old frames are DROPPED and the
+    consumer always sees the freshest one)."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._event = threading.Event()
+        self._item = None
+
+    def put(self, item):
+        with self._lock:
+            self._item = item
+            self._event.set()
+
+    def get(self, timeout=None):
+        """Block until an item is available; returns None on timeout."""
+        if not self._event.wait(timeout):
+            return None
+        with self._lock:
+            item, self._item = self._item, None
+            self._event.clear()
+        return item
+
+
+class AsyncWebcamRunner:
+    """Decoupled capture/inference/display loop (counterpart of the
+    reference webcam_runner.py threaded node graph).
+
+    ``model_nodes`` (detector -> pose) run in a worker thread on the
+    LATEST frame only; ``display_nodes`` (visualizer/effects -> sink) run
+    for EVERY source frame using the most recent completed pose results.
+    Display therefore keeps the camera's frame rate even when inference
+    is slower, exactly like the reference's buffer-managed graph.
+    """
+
+    def __init__(self, source, model_nodes: List[Node],
+                 display_nodes: List[Node], max_frames=None):
+        self.source = FrameSource(source) if not hasattr(source, '__iter__') \
+            or isinstance(source, str) else source
+        self.model_nodes = model_nodes
+        self.display_nodes = display_nodes
+        self.max_frames = max_frames
+        self.stopwatch = StopWatch(window=30)
+        self.inference_count = 0
+
+    def _worker(self, buffer, state, stop):
+        while not stop.is_set():
+            msg = buffer.get(timeout=0.1)
+            if msg is None:
+                continue
+            for node in self.model_nodes:
+                with self.stopwatch.timeit(node.name):
+                    msg = node.process(msg)
+            state.update({k: v for k, v in msg.items()
+                          if k not in ('frame', 'frame_id', 'timestamp')})
+            self.inference_count += 1
+
+    def run(self):
+        import threading
+        buffer = LatestBuffer()
+        state = {}          # latest inference outputs (pose_results, ...)
+        stop = threading.Event()
+        worker = threading.Thread(target=self._worker,
+                                  args=(buffer, state, stop), daemon=True)
+        worker.start()
+        n = 0
+        try:
+            for frame in self.source:
+                msg = {'frame': frame, 'frame_id': n,
+                       'timestamp': time.time()}
+                buffer.put(dict(msg))
+                msg.update(state)        # freshest completed results
+                with self.stopwatch.timeit('_FPS_'):
+                    for node in self.display_nodes:
+                        with self.stopwatch.timeit(node.name):
+                            msg = node.process(msg)
+                n += 1
+                if self.max_frames and n >= self.max_frames:
+                    break
+        finally:
+            stop.set()
+            worker.join(timeout=5)
+            for node in self.model_nodes + self.display_nodes:
+                if hasattr(node, 'close'):
+                    node.close()
+        return n

@@ -23,13 +23,15 @@ class StopWatch:
         sw = self
 
         class _Ctx:
+            # start time lives on the context object, so concurrent
+            # same-name sections from different threads (async webcam
+            # runner) don't clobber each other
             def __enter__(self):
-                sw._t[name] = time.perf_counter()
+                self._t0 = time.perf_counter()
                 return self
 
             def __exit__(self, *a):
-                sw._records[name].append(
-                    time.perf_counter() - sw._t.pop(name))
+                sw._records[name].append(time.perf_counter() - self._t0)
         return _Ctx()
 
     def report(self):
