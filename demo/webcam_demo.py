@@ -32,9 +32,13 @@ def main():
                          'skeleton overlay (reference tools/webcam '
                          'effect nodes)')
     ap.add_argument('--sync', action='store_true',
-                    help='run inference synchronously per frame instead '
-                         'of the buffered async graph (reference '
-                         'webcam_runner --synchronous)')
+                    help='run inference synchronously per frame (the '
+                         'default for video/dir inputs, where every '
+                         'output frame should be annotated)')
+    ap.add_argument('--async', dest='async_', action='store_true',
+                    help='buffered async graph: display at source rate, '
+                         'inference on the latest frame only (the '
+                         'default for live cameras)')
     args = ap.parse_args()
 
     from vitpose_tpu.api import init_pose_model
@@ -47,15 +51,19 @@ def main():
     sink = VideoSink(args.out)
     render = (EffectNode(model, kind=args.effect) if args.effect
               else VisualizerNode(model))
-    if args.sync:
+    # live cameras default to the async graph (keep the camera rate, drop
+    # frames for inference); files/dirs default to per-frame sync so every
+    # output frame is annotated
+    is_camera = str(args.input).isdigit()
+    use_async = args.async_ or (is_camera and not args.sync)
+    if use_async:
+        runner = AsyncWebcamRunner(
+            args.input, [DetectorNode(), PoseNode(model)], [render, sink],
+            max_frames=args.max_frames)
+    else:
         runner = WebcamRunner(
             args.input,
             [DetectorNode(), PoseNode(model), render, sink],
-            max_frames=args.max_frames)
-    else:
-        # display keeps the camera rate; inference consumes latest frames
-        runner = AsyncWebcamRunner(
-            args.input, [DetectorNode(), PoseNode(model)], [render, sink],
             max_frames=args.max_frames)
     n = runner.run()
     print(f'processed {n} frames; ' + '; '.join(

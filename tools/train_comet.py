@@ -96,9 +96,18 @@ def main():
             work_dir = a.split('=', 1)[1]
     if work_dir is None and argv and os.path.exists(argv[0]):
         try:
-            from vitpose_tpu.utils.config import load_config
-            work_dir = load_config(argv[0]).get('runtime', {}).get(
-                'work_dir', 'work_dir')
+            from vitpose_tpu.utils.config import load_config, apply_options
+            # honor --cfg-options runtime.work_dir=... the same way
+            # train_model will
+            opts = []
+            for i, a in enumerate(argv):
+                if a == '--cfg-options':
+                    j = i + 1
+                    while j < len(argv) and not argv[j].startswith('--'):
+                        opts.append(argv[j])
+                        j += 1
+            cfg = apply_options(load_config(argv[0]), opts)
+            work_dir = cfg.get('runtime', {}).get('work_dir', 'work_dir')
         except Exception:
             work_dir = 'work_dir'
 

@@ -204,14 +204,14 @@ def inference_interhand_3d_model(model, img_or_path, det_results,
 
 
 def inference_mesh_model(model, img_or_path, det_results, bbox_thr=None,
-                         format='xywh', image_size=(224, 224)):
+                         format='xywh', image_size=(224, 224), faces=None):
     """SMPL mesh recovery for a list of person boxes (counterpart of
     reference apis/inference_3d.py:621).
 
     Args:
       model: a ``ParametricMesh`` with its variables — an object exposing
         ``.mesh``/``.variables`` (optionally ``.faces``) or a
-        ``(mesh, variables)`` pair.
+        ``(mesh, variables)`` pair (pass ``faces=`` explicitly then).
 
     Returns the input dicts extended with 'keypoints_3d', 'camera',
     'vertices', 'faces', 'center', 'scale' and the xyxy 'bbox'.
@@ -221,7 +221,7 @@ def inference_mesh_model(model, img_or_path, det_results, bbox_thr=None,
     if len(det_results) == 0:
         return []
     mesh, variables = _as_est_variables(model)
-    faces = getattr(model, 'faces', None)
+    faces = faces if faces is not None else getattr(model, 'faces', None)
     bboxes, xyxy, keep = _select_boxes(det_results, bbox_thr, format)
     if len(keep) == 0:
         return []
@@ -274,7 +274,11 @@ def vis_3d_mesh_result(model, result, img=None, show=False, out_file=None,
     reference apis/inference_3d.py:779 via ParametricMesh.show_result).
 
     Each result dict needs 'vertices', 'faces', 'camera' and 'bbox'
-    (from :func:`inference_mesh_model`)."""
+    (from :func:`inference_mesh_model`). Each person's mesh is placed and
+    sized by its own box + weak-perspective scale under one global pinhole
+    camera: depth z = 2f / (s * bbox_size), lateral offset so the mesh
+    projects into the box center (the reference's per-crop renderer does
+    the equivalent with per-person focal 2f/(res*s))."""
     import cv2
     from .inference import imshow_mesh_3d
 
@@ -282,16 +286,30 @@ def vis_3d_mesh_result(model, result, img=None, show=False, out_file=None,
         img = cv2.imread(img)
     elif img is not None:
         img = cv2.cvtColor(np.asarray(img), cv2.COLOR_RGB2BGR)
+    if img is None:
+        # headless render: white canvas covering the boxes
+        extent = max([int(np.asarray(r['bbox'][:4]).max()) for r in result]
+                     + [256])
+        img = np.full((extent, extent, 3), 255, np.uint8)
     h, w = img.shape[:2]
+    f = focal_length or max(h, w)
     verts, faces = [], []
     for r in result:
-        cam = np.asarray(r['camera'])
-        v = np.asarray(r['vertices'])
-        # weak-perspective (s, tx, ty) -> camera space at nominal depth
-        v = v + np.array([cam[1], cam[2], 0.0]) + np.array([0.0, 0.0, 5.0])
+        if r.get('faces') is None:
+            raise ValueError(
+                'result has faces=None — pass faces= to '
+                'inference_mesh_model (tuple-form model) or set .faces '
+                'on the model object')
+        s, tx, ty = np.asarray(r['camera'], np.float64)
+        x0, y0, x1, y1 = np.asarray(r['bbox'][:4], np.float64)
+        bb = max(x1 - x0, y1 - y0, 1.0)
+        cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+        z = 2.0 * f / max(abs(s) * bb, 1e-6)
+        v = np.asarray(r['vertices'], np.float64)
+        v = v + np.array([tx, ty, 0.0])
+        v = v + np.array([(cx - w / 2) * z / f, (cy - h / 2) * z / f, z])
         verts.append(v)
         faces.append(r['faces'])
-    f = focal_length or max(h, w)
     rendered = imshow_mesh_3d(img, verts, faces, (w / 2, h / 2), (f, f))
     if out_file:
         cv2.imwrite(out_file, rendered)

@@ -278,18 +278,24 @@ class AsyncWebcamRunner:
         self.max_frames = max_frames
         self.stopwatch = StopWatch(window=30)
         self.inference_count = 0
+        self.worker_error = None
 
     def _worker(self, buffer, state, stop):
-        while not stop.is_set():
-            msg = buffer.get(timeout=0.1)
-            if msg is None:
-                continue
-            for node in self.model_nodes:
-                with self.stopwatch.timeit(node.name):
-                    msg = node.process(msg)
-            state.update({k: v for k, v in msg.items()
-                          if k not in ('frame', 'frame_id', 'timestamp')})
-            self.inference_count += 1
+        try:
+            while not stop.is_set():
+                msg = buffer.get(timeout=0.1)
+                if msg is None:
+                    continue
+                for node in self.model_nodes:
+                    with self.stopwatch.timeit(node.name):
+                        msg = node.process(msg)
+                state.update({k: v for k, v in msg.items()
+                              if k not in ('frame', 'frame_id',
+                                           'timestamp')})
+                self.inference_count += 1
+        except BaseException as e:   # surfaced in run(), not swallowed
+            self.worker_error = e
+            stop.set()
 
     def run(self):
         import threading
@@ -302,6 +308,8 @@ class AsyncWebcamRunner:
         n = 0
         try:
             for frame in self.source:
+                if stop.is_set():        # worker died — stop streaming
+                    break
                 msg = {'frame': frame, 'frame_id': n,
                        'timestamp': time.time()}
                 buffer.put(dict(msg))
@@ -319,4 +327,7 @@ class AsyncWebcamRunner:
             for node in self.model_nodes + self.display_nodes:
                 if hasattr(node, 'close'):
                     node.close()
+        if self.worker_error is not None:
+            raise RuntimeError(
+                'webcam model worker failed') from self.worker_error
         return n

@@ -32,8 +32,7 @@ def init_distributed(coordinator_address: Optional[str] = None,
                   else int(os.environ.get('PROCESS_ID', -1)))
     # idempotence check WITHOUT touching the backend: jax.process_count()
     # would initialize XLA, after which initialize() refuses to run
-    from jax._src.distributed import global_state
-    if global_state.client is not None:
+    if jax.distributed.is_initialized():
         pass
     elif coordinator_address and num_processes > 1:
         jax.distributed.initialize(

@@ -17,7 +17,6 @@ class StopWatch:
     def __init__(self, window=10):
         self.window = window
         self._records = defaultdict(lambda: deque(maxlen=window))
-        self._t = {}
 
     def timeit(self, name='_FPS_'):
         sw = self
