@@ -125,6 +125,69 @@ def generate_ae_targets(joints, mask, input_size, output_size, sigma=2.0,
                 ae_joints=jnp.asarray(ae))
 
 
+def generate_paf_targets(joints, output_size, limb_width, skeleton):
+    """Part-affinity-field targets for one output scale (reference
+    bottom_up_transform.py:268 `PAFGenerator` / :663
+    `BottomUpGeneratePAFTarget`; Cao et al. CVPR 2017).
+
+    Args:
+      joints: [P, K, 3] per-person joints in OUTPUT-map pixels (x, y, vis).
+      output_size: (w, h) of the PAF map (int means square).
+      limb_width: half-width of the affinity band in output pixels.
+      skeleton: list of (src_joint, dst_joint) index pairs.
+
+    Returns [2*L, h, w] float32 — per limb an (x, y) unit-vector field
+    averaged over the persons whose band covers each pixel.
+
+    Matches the reference exactly, including its conventions: the band is
+    bounded by the floor/ceil bbox window around the segment (so the
+    perpendicular-distance test is only applied inside that window), a
+    zero-length limb contributes a zero vector but still increments the
+    normalization count, and accumulated vectors are divided by
+    max(count, 1).
+    """
+    if np.isscalar(output_size):
+        output_size = (int(output_size), int(output_size))
+    w, h = int(output_size[0]), int(output_size[1])
+    joints = np.asarray(joints, np.float32)
+    pafs = np.zeros((len(skeleton) * 2, h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    for idx, (a, b) in enumerate(skeleton):
+        count = np.zeros((h, w), np.float32)
+        for p in joints:
+            src, dst = p[a], p[b]
+            if src[2] <= 0 or dst[2] <= 0:
+                continue
+            limb = dst[:2] - src[:2]
+            norm = float(np.linalg.norm(limb))
+            unit = limb / norm if norm > 0 else np.zeros(2, np.float32)
+            min_x = max(np.floor(min(src[0], dst[0]) - limb_width), 0)
+            max_x = min(np.ceil(max(src[0], dst[0]) + limb_width), w - 1)
+            min_y = max(np.floor(min(src[1], dst[1]) - limb_width), 0)
+            max_y = min(np.ceil(max(src[1], dst[1]) + limb_width), h - 1)
+            if int(max_x) < int(min_x) or int(max_y) < int(min_y):
+                continue
+            dist = np.abs((xs - src[0]) * unit[1] - (ys - src[1]) * unit[0])
+            mask = ((xs >= int(min_x)) & (xs <= int(max_x))
+                    & (ys >= int(min_y)) & (ys <= int(max_y))
+                    & (dist < limb_width))
+            pafs[2 * idx] += mask * unit[0]
+            pafs[2 * idx + 1] += mask * unit[1]
+            count += mask
+        pafs[2 * idx:2 * idx + 2] /= np.maximum(count, 1)
+    return pafs
+
+
+def generate_paf_targets_multiscale(joints_list, output_sizes, limb_width,
+                                    skeleton):
+    """Multi-scale PAF targets (reference BottomUpGeneratePAFTarget.__call__):
+    one [2*L, h_s, w_s] map per scale, `joints_list[s]` already in that
+    scale's output coordinates (the bottom-up pipeline keeps per-scale
+    joint copies)."""
+    return [generate_paf_targets(j, s, limb_width, skeleton)
+            for j, s in zip(joints_list, output_sizes)]
+
+
 # ---------------------------------------------------------------------------
 # test-time multi-scale input sizing (reference bottom_up_transform.py:16-131)
 # ---------------------------------------------------------------------------
