@@ -79,6 +79,52 @@ class Interhand3DEstimator:
                     hand_type=np.asarray(hand_type))
 
 
+def interhand3d_losses(outputs, target_hm3d, hm_weight, rel_root_depth,
+                       root_weight, hand_type, type_weight,
+                       depth_size=64, root_depth_bins=64,
+                       root_depth_range_mm=400.0):
+    """Training losses for the three sub-heads (reference
+    interhand_3d_head.py:333 `Interhand3DHead.get_loss`).
+
+    Args:
+      outputs: (heatmaps3d [N, K, D, H, W], root_logits [N, B],
+        hand_type_logits [N, 2]) from `Interhand3DEstimator.apply`.
+      target_hm3d: [N, K, D, H, W] from
+        `ops.target.generate_3d_heatmaps`; hm_weight [N, K] or [N, K, 1].
+      rel_root_depth: [N] target right-to-left root depth in mm;
+        root_weight [N] (0 when a hand is missing).
+      hand_type: [N, 2] left/right presence; type_weight [N] or [N, 2].
+
+    Returns dict(hand_loss, rel_root_loss, hand_type_loss) — MSE on the
+    gaussian volumes, L1 on the soft-argmax root-depth value (in bin
+    units, the reference Heatmap1DHead convention), and BCE on the
+    hand-type probabilities.
+    """
+    from .losses import joints_mse_loss
+    from .losses_regression import l1_loss, bce_loss
+
+    hm3d, root_logits, type_logits = outputs
+    n, k, d, h, w = hm3d.shape
+    hm_weight = jnp.asarray(hm_weight).reshape(n, k)
+    hand_loss = joints_mse_loss(hm3d.reshape(n, k, d * h, w),
+                                jnp.asarray(target_hm3d).reshape(
+                                    n, k, d * h, w), hm_weight)
+
+    bins = root_logits.shape[-1]
+    soft = jax.nn.softmax(root_logits, axis=-1)
+    pred_bins = jnp.sum(soft * jnp.arange(bins, dtype=jnp.float32), axis=-1)
+    target_bins = (jnp.asarray(rel_root_depth) / root_depth_range_mm
+                   + 0.5) * root_depth_bins
+    rel_root_loss = l1_loss(pred_bins, target_bins,
+                            jnp.asarray(root_weight))
+
+    type_prob = jax.nn.sigmoid(type_logits)
+    hand_type_loss = bce_loss(type_prob, jnp.asarray(hand_type),
+                              jnp.asarray(type_weight))
+    return dict(hand_loss=hand_loss, rel_root_loss=rel_root_loss,
+                hand_type_loss=hand_type_loss)
+
+
 def backproject_to_camera(keypoints_3d, focal, princpt, abs_depth):
     """Pixel-space decode output -> camera-space millimetres.
 

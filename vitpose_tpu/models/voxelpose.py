@@ -198,6 +198,68 @@ class DetectAndRegress:
                                         train=False),
         }
 
+    def training_losses(self, variables, heatmaps, cameras, candidates,
+                        cand_mask, gt_joints, gt_vis, targets_3d,
+                        train=True):
+        """Single-scene training losses (reference multiview_pose.py:818
+        `VoxelCenterDetector.forward_train` + :519
+        `VoxelSinglePose.forward_train`).
+
+        Args:
+          heatmaps: [V, K, H, W] per-view 2D heatmaps; cameras as in
+            `forward`.
+          candidates: [P, 3] metric person-center candidates (gt-assigned
+            at train time); cand_mask [P] 1.0 for valid candidates.
+          gt_joints: [P, K, 3] metric joints per candidate's assigned gt;
+            gt_vis [P, K] visibility.
+          targets_3d: [X, Y, Z] center-heatmap target from
+            `ops.target.generate_voxel_3d_targets` on the gt roots.
+
+        Returns (losses dict(loss_center MSE, loss_pose weighted L1),
+        updated variables — BatchNorm statistics advance when train=True).
+        """
+        space_vol = project_heatmaps_to_voxels(heatmaps, cameras,
+                                               self.space_grid)
+        new_vars = dict(variables)
+        if train:
+            center_pred, upd = self.center_head.apply(
+                variables['center'], space_vol[None], train=True,
+                mutable=['batch_stats'])
+            new_vars['center'] = {**variables['center'], **upd}
+        else:
+            center_pred = self.center_head.apply(variables['center'],
+                                                 space_vol[None],
+                                                 train=False)
+        loss_center = jnp.mean((center_pred[0]
+                                - jnp.asarray(targets_3d)) ** 2)
+
+        cand_mask = jnp.asarray(cand_mask, jnp.float32)
+        gt_vis = jnp.asarray(gt_vis, jnp.float32)
+        pose_abs = 0.0
+        pose_cnt = 0.0
+        pose_vars = variables['pose']
+        for p in range(int(candidates.shape[0])):
+            cube_grid = make_voxel_grid(candidates[p], self.cube_size,
+                                        self.cube_resolution)
+            cube_vol = project_heatmaps_to_voxels(heatmaps, cameras,
+                                                  cube_grid)
+            if train:
+                joints, upd = self.pose_head.apply(
+                    pose_vars, cube_vol[None], cube_grid, train=True,
+                    mutable=['batch_stats'])
+                pose_vars = {**pose_vars, **upd}
+            else:
+                joints = self.pose_head.apply(pose_vars, cube_vol[None],
+                                              cube_grid, train=False)
+            w = cand_mask[p] * gt_vis[p][:, None]            # [K, 1]
+            pose_abs = pose_abs + jnp.sum(
+                jnp.abs((joints[0] - jnp.asarray(gt_joints[p])) * w))
+            pose_cnt = pose_cnt + cand_mask[p] * joints[0].size
+        new_vars['pose'] = pose_vars
+        loss_pose = pose_abs / jnp.maximum(pose_cnt, 1.0)
+        return (dict(loss_center=loss_center, loss_pose=loss_pose),
+                new_vars)
+
     def forward(self, variables, heatmaps, cameras):
         """heatmaps [V, K, H, W] (single scene) + cameras -> list of
         (joints_3d [K, 3], score)."""

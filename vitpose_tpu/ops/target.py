@@ -191,3 +191,118 @@ def generate_megvii_heatmaps(joints, visible, image_size, heatmap_size,
         txc[..., None, None], axis=-1)[..., 0, 0]
     scale = jnp.where(paint, 255.0 / jnp.maximum(maxi, 1e-20), 0.0)
     return blurred * scale[..., None, None], weight
+
+
+# ---------------------------------------------------------------------------
+# 3D target generators (host-side data prep for the 3D pipelines)
+# ---------------------------------------------------------------------------
+
+def generate_3d_heatmaps(joints_3d, visible, image_size, heatmap_size,
+                         depth_bound, sigma=2.0, max_bound=1.0,
+                         joint_indices=None, joint_weights=None):
+    """2.5D gaussian-volume targets (reference pose3d_transform.py:470
+    `Generate3DHeatmapTarget`; drives InterHand3D training).
+
+    Args:
+      joints_3d: [K, 3] — (x, y) in input-image pixels, z metric within
+        ±depth_bound/2.
+      visible: [K] or [K, 3] visibility.
+      image_size: (w, h) input size; heatmap_size: (W, H, D).
+      depth_bound: metric depth range mapped onto the D bins.
+
+    Returns (target [K, D, H, W] float32, weight [K, 1]).
+
+    The reference paints a (6σ+1)³ cube of gaussian values at coordinates
+    that are rounded then clipped per axis — so the value at each touched
+    voxel depends only on its own (clipped) coordinates and the gaussian
+    factorizes into three 1-D vectors; we exploit that to paint each
+    joint's cube as a rank-1 outer product instead of a 4-D scatter.
+    """
+    import numpy as np
+    joints_3d = np.asarray(joints_3d, np.float32)
+    visible = np.asarray(visible, np.float32)
+    if visible.ndim == 2:
+        visible = visible[:, 0]
+    if joint_indices is not None:
+        joints_3d = joints_3d[joint_indices]
+        visible = visible[joint_indices]
+        if joint_weights is not None:
+            joint_weights = np.asarray(joint_weights)[joint_indices]
+    num_joints = joints_3d.shape[0]
+    W, H, D = (int(s) for s in heatmap_size)
+    mu_x = joints_3d[:, 0] * W / image_size[0]
+    mu_y = joints_3d[:, 1] * H / image_size[1]
+    mu_z = (joints_3d[:, 2] / depth_bound + 0.5) * D
+
+    weight = visible * (mu_z >= 0) * (mu_z < D)
+    if joint_weights is not None:
+        weight = weight * np.asarray(joint_weights, np.float32).reshape(-1)
+    weight = weight.astype(np.float32)[:, None]
+
+    tmp = 3 * sigma                  # kept float: non-integer for σ∉ℕ/3,
+    offs = np.arange(2 * tmp + 1, dtype=np.float32) - tmp       # [L]
+    target = np.zeros((num_joints, D, H, W), np.float32)
+    for k in range(num_joints):
+        xs = np.round(mu_x[k] + offs).clip(0, W - 1)
+        ys = np.round(mu_y[k] + offs).clip(0, H - 1)
+        zs = np.round(mu_z[k] + offs).clip(0, D - 1)
+        gx = np.exp(-(xs - mu_x[k]) ** 2 / (2 * sigma ** 2))
+        gy = np.exp(-(ys - mu_y[k]) ** 2 / (2 * sigma ** 2))
+        gz = np.exp(-(zs - mu_z[k]) ** 2 / (2 * sigma ** 2))
+        target[k, zs.astype(int)[:, None, None], ys.astype(int)[None, :,
+               None], xs.astype(int)[None, None, :]] = (
+            gz[:, None, None] * gy[None, :, None] * gx[None, None, :])
+    return target * max_bound, weight
+
+
+def generate_voxel_3d_targets(joints_3d, visible, space_size, space_center,
+                              cube_size, sigma=200.0, joint_indices=None):
+    """Per-joint 3D gaussian volumes over a metric voxel grid (reference
+    pose3d_transform.py:559 `GenerateVoxel3DHeatmapTarget`; VoxelPose
+    center/pose-net training targets).
+
+    Args:
+      joints_3d: [P, K, 3] per-person metric (mm) joints; visible [P, K]
+        or [P, K, C] (first channel used).
+      space_size/space_center/cube_size: the voxel grid spec, axes (x, y, z).
+      sigma: gaussian width in mm.
+
+    Returns [K', X, Y, Z] float32 clipped to [0, 1] — max over people; a
+    single selected joint squeezes to [X, Y, Z] like the reference.
+    """
+    import numpy as np
+    joints_3d = np.asarray(joints_3d, np.float32)
+    visible = np.asarray(visible, np.float32)
+    if visible.ndim == 3:
+        visible = visible[..., 0]
+    num_people, num_joints = joints_3d.shape[:2]
+    idxs = list(range(num_joints)) if joint_indices is None \
+        else list(joint_indices)
+    grids = [np.linspace(-space_size[a] / 2, space_size[a] / 2,
+                         cube_size[a]) + space_center[a] for a in range(3)]
+    target = np.zeros((len(idxs),) + tuple(int(c) for c in cube_size),
+                      np.float32)
+    for n in range(num_people):
+        for out_k, k in enumerate(idxs):
+            if visible[n, k] < 1:
+                continue
+            mu = joints_3d[n, k]
+            # only the voxels within 3σ of the joint (searchsorted windows,
+            # empty when the joint is outside the grid)
+            lo = [np.searchsorted(grids[a], mu[a] - 3 * sigma)
+                  for a in range(3)]
+            hi = [np.searchsorted(grids[a], mu[a] + 3 * sigma, 'right')
+                  for a in range(3)]
+            if any(lo[a] >= hi[a] for a in range(3)):
+                continue
+            gs = [np.exp(-(grids[a][lo[a]:hi[a]] - mu[a]) ** 2
+                         / (2 * sigma ** 2)) for a in range(3)]
+            g = (gs[0][:, None, None] * gs[1][None, :, None]
+                 * gs[2][None, None, :])
+            sl = (out_k, slice(lo[0], hi[0]), slice(lo[1], hi[1]),
+                  slice(lo[2], hi[2]))
+            target[sl] = np.maximum(target[sl], g)
+    target = np.clip(target, 0, 1)
+    if target.shape[0] == 1:
+        target = target[0]
+    return target
