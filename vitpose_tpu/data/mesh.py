@@ -71,6 +71,45 @@ def rotate_smpl_pose(pose, rot_deg):
     return pose
 
 
+def load_iuv(iuv_file, has_iuv=True, use_iuv=True):
+    """Read a DensePose-style IUV image in the reference's channel order
+    (reference mesh_transform.py:171 `LoadIUVFromFile`: BGR read so the
+    array channels come out I, U, V). Returns (iuv [H, W, 3] uint8 | None,
+    has_iuv)."""
+    if not (has_iuv and use_iuv):
+        return None, 0
+    import cv2
+    iuv = cv2.imread(str(iuv_file), cv2.IMREAD_COLOR)
+    if iuv is None:
+        raise ValueError(f'Fail to read {iuv_file}')
+    return iuv, has_iuv
+
+
+def flip_iuv(iuv, uv_type='BF'):
+    """Horizontal IUV flip (reference mesh_transform.py:35 `_flip_iuv`).
+    Only the DecoMR 'BF' map has a simple flip rule: mirror the image and
+    the U channel."""
+    if uv_type != 'BF':
+        raise NotImplementedError(
+            f'The flip of {uv_type} UV map is not implemented yet.')
+    out = np.ascontiguousarray(iuv[:, ::-1, :]).copy()
+    out[:, :, 1] = 255 - out[:, :, 1]
+    return out
+
+
+def iuv_to_arrays(iuv, iuv_size=(256, 256)):
+    """IUV image -> (part_index [1, H, W] int64, uv [2, H, W] float in
+    [0, 1]) training arrays (reference mesh_transform.py:199
+    `IUVToTensor`; zeros when the sample has no IUV annotation)."""
+    if iuv is None:
+        h, w = int(iuv_size[0]), int(iuv_size[1])
+        return (np.zeros((1, h, w), np.int64),
+                np.zeros((2, h, w), np.float32))
+    part_index = np.asarray(iuv[:, :, 0], np.int64)[None]
+    uv = np.asarray(iuv[:, :, 1:], np.float32).transpose(2, 0, 1) / 255.0
+    return part_index, uv
+
+
 def flip_joints_3d(joints_3d, visible, flip_pairs=MESH_FLIP_PAIRS):
     """reference mesh_transform.py:134 _flip_joints_3d."""
     j = np.asarray(joints_3d, np.float32).copy()

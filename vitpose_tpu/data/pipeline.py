@@ -250,3 +250,66 @@ def albumentation_transform(transforms):
         return composed(image=img)['image']
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# multi-item / multitask record utilities
+# (reference shared_transform.py:428 MultiItemProcess, :452
+#  DiscardDuplicatedItems, :472 MultitaskGatherTarget, :509 RenameKeys)
+# ---------------------------------------------------------------------------
+
+def multi_item_process(fn, items):
+    """Apply `fn` (record dict -> record dict) to each item of a keyed
+    collection and merge the per-key outputs into lists (reference
+    `MultiItemProcess`): {id: record} -> {field: [value_per_item, ...]}.
+
+    Used by multi-frame/multi-view pipelines where one sample carries
+    several images that share the downstream transform."""
+    merged = {}
+    for _, item in items.items():
+        out = fn(item)
+        for k, v in out.items():
+            merged.setdefault(k, []).append(v)
+    return merged
+
+
+def discard_duplicated_items(record, keys):
+    """Collapse per-item lists that are known identical across items back
+    to a single value (reference `DiscardDuplicatedItems`): keeps
+    `record[k][0]` for every k in `keys`."""
+    out = dict(record)
+    for k in keys:
+        if k in out:
+            out[k] = out[k][0]
+    return out
+
+
+def multitask_gather_target(target_fns, record, indices=None,
+                            keys=('target', 'target_weight')):
+    """Build per-head training targets for MultiTaskModel (reference
+    `MultitaskGatherTarget`): run every target pipeline on the record,
+    then gather `keys` per head by `indices` (head i uses pipeline
+    indices[i]; None -> identity mapping).
+
+    Args:
+      target_fns: list of callables record -> dict with `keys` set.
+      record: the shared sample dict (joints, visibility, sizes, ...).
+
+    Returns the record extended with, for each key, a list with one entry
+    per head (None when that pipeline did not produce the key)."""
+    outputs = [fn(dict(record)) for fn in target_fns]
+    if indices is None:
+        indices = list(range(len(target_fns)))
+    out = dict(record)
+    for key in keys:
+        out[key] = [outputs[i].get(key) for i in indices]
+    return out
+
+
+def rename_keys(record, key_pairs):
+    """Rename record fields (reference `RenameKeys`): each (src, tgt)
+    moves record[src] to record[tgt]."""
+    out = dict(record)
+    for src, tgt in key_pairs:
+        out[tgt] = out.pop(src)
+    return out
