@@ -79,3 +79,74 @@ def test_interhand3d_estimator_end_to_end():
     assert np.isfinite(out['keypoints_3d']).all()
     # depths land in the configured mm range
     assert np.abs(out['keypoints_3d'][..., 2]).max() <= 200.0
+
+
+def test_rel_root_depth_target_golden(ds):
+    """generate_rel_root_depth_target vs reference
+    HandGenerateRelDepthTarget (hand_transform.py:41)."""
+    import types
+    from ref_loader import _load
+    from vitpose_tpu.data.interhand import generate_rel_root_depth_target
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            return lambda cls: cls
+
+    fb = types.ModuleType('mmpose.datasets.builder')
+    fb.PIPELINES = _Reg()
+    from ref_loader import ref_top_down_transform
+    tdt = ref_top_down_transform()
+    pipelines_pkg = types.ModuleType('mmpose.datasets.pipelines')
+    pipelines_pkg.__path__ = []
+    td_mod = types.ModuleType(
+        'mmpose.datasets.pipelines.top_down_transform')
+    td_mod.TopDownRandomFlip = tdt.TopDownRandomFlip
+    ht = _load(
+        '/root/reference/mmpose/datasets/pipelines/hand_transform.py',
+        'mmpose.datasets.pipelines.hand_transform_t',
+        pre_modules=[
+            ('mmpose', types.ModuleType('mmpose')),
+            ('mmpose.datasets', types.ModuleType('mmpose.datasets')),
+            ('mmpose.datasets.builder', fb),
+            ('mmpose.datasets.pipelines', pipelines_pkg),
+            ('mmpose.datasets.pipelines.top_down_transform', td_mod)])
+    for rel, valid in ((37.5, 1.0), (-410.0, 1.0), (150.0, 0.0),
+                       (199.9, 1.0), (203.0, 1.0)):
+        ref = ht.HandGenerateRelDepthTarget()(dict(
+            rel_root_depth=rel, rel_root_valid=valid,
+            ann_info=dict(heatmap_size_root=64, root_depth_bound=400.0)))
+        t, w = generate_rel_root_depth_target(rel, valid, 64, 400.0)
+        np.testing.assert_allclose(t, ref['target'], rtol=1e-6)
+        np.testing.assert_allclose(w, ref['target_weight'], rtol=1e-6)
+
+
+def test_training_targets_and_losses(ds):
+    """Dataset record -> training target group -> interhand3d_losses is
+    finite and near zero for a perfect prediction."""
+    import jax.numpy as jnp
+    from vitpose_tpu.data.interhand import training_targets
+    from vitpose_tpu.models.interhand3d import interhand3d_losses
+
+    rec = ds.db[0]
+    tg = training_targets(rec, heatmap_size=(16, 16, 16),
+                          root_depth_bins=16, sigma=2.0)
+    k = rec['joints_3d'].shape[0]
+    assert tg['hm3d'].shape == (k, 16, 16, 16)
+    assert tg['hm_weight'].shape == (k, 1)
+    assert tg['hand_type'].shape == (2,)
+
+    B = 16
+    root_logits = np.full((1, B), -30.0, np.float32)
+    bin_idx = int(np.clip(round(float(tg['rel_root_target'][0])), 0, B - 1))
+    root_logits[0, bin_idx] = 30.0
+    type_logits = np.where(tg['hand_type'] > 0.5, 20.0, -20.0)[None]
+    losses = interhand3d_losses(
+        (jnp.asarray(tg['hm3d'][None]), jnp.asarray(root_logits),
+         jnp.asarray(type_logits)),
+        tg['hm3d'][None], tg['hm_weight'][None, :, 0],
+        tg['rel_root_depth_mm'], tg['rel_root_weight'][0] * np.ones(1),
+        tg['hand_type'][None], tg['hand_type_weight'],
+        root_depth_bins=B, root_depth_range_mm=400.0)
+    assert float(losses['hand_loss']) < 1e-8
+    assert float(losses['rel_root_loss']) < 0.6
+    assert float(losses['hand_type_loss']) < 1e-6

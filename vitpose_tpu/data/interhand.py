@@ -163,3 +163,43 @@ class InterHandDataset:
                   for p, g in zip(preds, gts) if g['rel_root_valid'] > 0]
             stats['MRRPE'] = float(np.mean(rr)) if rr else -1.0
         return stats
+
+
+def generate_rel_root_depth_target(rel_root_depth, rel_root_valid,
+                                   depth_bins, root_depth_bound):
+    """Relative-root-depth training target in bin units (reference
+    hand_transform.py:41 `HandGenerateRelDepthTarget`): mm -> [0, D] with
+    a zero weight when the target falls outside the bin range."""
+    target = (rel_root_depth / root_depth_bound + 0.5) * depth_bins
+    weight = rel_root_valid * (target >= 0) * (target <= depth_bins)
+    return (np.float32(target) * np.ones(1, np.float32),
+            np.float32(weight) * np.ones(1, np.float32))
+
+
+def training_targets(rec, image_size=(256, 256), heatmap_size=(64, 64, 64),
+                     depth_bound=400.0, root_depth_bins=64,
+                     root_depth_bound=400.0, sigma=2.5):
+    """Full InterHand3D training-target group for one record (the
+    reference res50_interhand3d_all_256x256.py pipeline:
+    Generate3DHeatmapTarget + HandGenerateRelDepthTarget + hand type,
+    gathered for `models.interhand3d.interhand3d_losses`).
+
+    Returns dict(hm3d [K, D, H, W], hm_weight [K, 1], rel_root_target [1]
+    (bin units), rel_root_weight [1], rel_root_depth_mm [1] (what
+    `interhand3d_losses` consumes — it recomputes the bin target and the
+    range window internally), hand_type [2], hand_type_weight [1]).
+    """
+    from ..ops.target import generate_3d_heatmaps
+    hm3d, hm_w = generate_3d_heatmaps(
+        rec['joints_3d'], rec['joints_3d_visible'], image_size,
+        heatmap_size, depth_bound, sigma=sigma)
+    root_t, root_w = generate_rel_root_depth_target(
+        rec['rel_root_depth'], rec['rel_root_valid'], root_depth_bins,
+        root_depth_bound)
+    return dict(hm3d=hm3d, hm_weight=hm_w,
+                rel_root_target=root_t, rel_root_weight=root_w,
+                rel_root_depth_mm=np.float32(rec['rel_root_depth'])
+                * np.ones(1, np.float32),
+                hand_type=np.asarray(rec['hand_type'], np.float32),
+                hand_type_weight=np.float32(rec['hand_type_valid'])
+                * np.ones(1, np.float32))

@@ -115,8 +115,12 @@ def interhand3d_losses(outputs, target_hm3d, hm_weight, rel_root_depth,
     pred_bins = jnp.sum(soft * jnp.arange(bins, dtype=jnp.float32), axis=-1)
     target_bins = (jnp.asarray(rel_root_depth) / root_depth_range_mm
                    + 0.5) * root_depth_bins
+    # targets outside the bin range carry no gradient (reference
+    # hand_transform.py:41 HandGenerateRelDepthTarget weight window)
+    in_range = ((target_bins >= 0)
+                & (target_bins <= root_depth_bins)).astype(jnp.float32)
     rel_root_loss = l1_loss(pred_bins, target_bins,
-                            jnp.asarray(root_weight))
+                            jnp.asarray(root_weight) * in_range)
 
     type_prob = jax.nn.sigmoid(type_logits)
     hand_type_loss = bce_loss(type_prob, jnp.asarray(hand_type),
