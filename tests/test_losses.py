@@ -145,3 +145,18 @@ def test_ae_tag_loss_golden(loss_type):
     push, pull = LR.ae_tag_loss(tags, joints, loss_type=loss_type)
     np.testing.assert_allclose(np.asarray(push), push_ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pull), pull_ref, atol=1e-5)
+
+
+def test_adaptive_wing_loss_golden():
+    mod = _load_losses("heatmap_loss.py", "_ref_heatmap_loss")
+    pred = RNG.randn(2, 4, 8, 6).astype(np.float32)
+    tgt = RNG.rand(2, 4, 8, 6).astype(np.float32)
+    w = (RNG.rand(2, 4, 1) > 0.3).astype(np.float32)
+    for use_w in (False, True):
+        crit = mod.AdaptiveWingLoss(use_target_weight=use_w,
+                                    loss_weight=2.0)
+        ref = float(crit(torch.from_numpy(pred), torch.from_numpy(tgt),
+                         torch.from_numpy(w)))
+        ours = float(L.adaptive_wing_loss(
+            pred, tgt, w[..., 0] if use_w else None, loss_weight=2.0))
+        assert abs(ours - ref) < 1e-5, (use_w, ours, ref)

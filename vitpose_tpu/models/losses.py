@@ -56,3 +56,32 @@ def joints_ohkm_mse_loss(pred, target, target_weight, topk=8, loss_weight=1.0):
     per_joint = jnp.mean(diff ** 2, axis=(2, 3))           # [N, K]
     topk_vals, _ = jax.lax.top_k(per_joint, topk)
     return jnp.mean(jnp.sum(topk_vals, axis=1) / topk) * loss_weight
+
+
+def adaptive_wing_loss(pred, target, target_weight=None, alpha=2.1,
+                       omega=14.0, epsilon=1.0, theta=0.5, loss_weight=1.0):
+    """Adaptive wing loss on heatmaps (reference heatmap_loss.py:9
+    `AdaptiveWingLoss`; Wang et al. ICCV'19 face-alignment loss): log
+    regime for small residuals with a target-dependent exponent
+    ``alpha - y``, linear ``A·δ − C`` beyond ``theta``.
+
+    Args:
+      pred, target: [N, K, H, W]; target_weight [N, K] or [N, K, 1]
+        multiplies pred/target before the criterion (the reference's
+        ``use_target_weight`` path).
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    if target_weight is not None:
+        w = jnp.asarray(target_weight).reshape(
+            pred.shape[0], pred.shape[1], 1, 1)
+        pred = pred * w
+        target = target * w
+    delta = jnp.abs(target - pred)
+    ratio = theta / epsilon
+    a = (omega * (1.0 / (1.0 + ratio ** (alpha - target)))
+         * (alpha - target) * ratio ** (alpha - target - 1.0) / epsilon)
+    c = theta * a - omega * jnp.log1p(ratio ** (alpha - target))
+    small = omega * jnp.log1p((delta / epsilon) ** (alpha - target))
+    return jnp.mean(jnp.where(delta < theta, small,
+                              a * delta - c)) * loss_weight
