@@ -22,12 +22,22 @@ R_WRIST, L_WRIST = 20, 41
 
 
 class Interhand3DEstimator:
-    def __init__(self, backbone_cfg, num_joints=42, depth_size=64,
+    def __init__(self, backbone_cfg=None, num_joints=42, depth_size=64,
                  heatmap_size=(64, 64), depth_range_mm=400.0,
-                 root_depth_range_mm=400.0):
-        self.backbone = ViT(backbone_cfg if isinstance(backbone_cfg,
-                                                       ViTConfig)
-                            else ViTConfig(**backbone_cfg))
+                 root_depth_range_mm=400.0, backbone=None,
+                 backbone_mode_kwarg='deterministic'):
+        """backbone_cfg builds the default ViT trunk; pass `backbone` (any
+        NHWC feature module, e.g. ResNet-50 as in the reference
+        res50_interhand3d_all_256x256.py config) with
+        backbone_mode_kwarg='train' for CNN trunks."""
+        if backbone is not None:
+            self.backbone = backbone
+        else:
+            self.backbone = ViT(backbone_cfg
+                                if isinstance(backbone_cfg, ViTConfig)
+                                else ViTConfig(**backbone_cfg))
+            backbone_mode_kwarg = 'deterministic'
+        self.backbone_mode_kwarg = backbone_mode_kwarg
         self.head = Interhand3DHead(num_joints=num_joints,
                                     depth_size=depth_size)
         self.num_joints = num_joints
@@ -37,15 +47,21 @@ class Interhand3DEstimator:
         self.root_depth_range = root_depth_range_mm
         self._jit = None
 
+    def _bb_kwargs(self, train):
+        if self.backbone_mode_kwarg == 'deterministic':
+            return {'deterministic': not train}
+        return {'train': train}
+
     def init(self, rng, sample):
-        bb_vars = self.backbone.init(rng, sample)
-        feat = self.backbone.apply(bb_vars, sample)
+        bb_vars = self.backbone.init(rng, sample, **self._bb_kwargs(False))
+        feat = self.backbone.apply(bb_vars, sample,
+                                   **self._bb_kwargs(False))
         head_vars = self.head.init(rng, feat, train=False)
         return {'backbone': bb_vars, 'head': head_vars}
 
     def apply(self, variables, imgs, train=False):
         feat = self.backbone.apply(variables['backbone'], imgs,
-                                   deterministic=not train)
+                                   **self._bb_kwargs(train))
         return self.head.apply(variables['head'], feat, train=train)
 
     def infer(self, variables, imgs):

@@ -193,8 +193,23 @@ def build_family_model(family: str, mcfg: dict):
     if family == 'posewarper':
         from ..models.posewarper import build_posewarper
         return build_posewarper(mcfg)
+    if family == 'interhand3d':
+        from ..models.interhand3d import Interhand3DEstimator
+        backbone_type = mcfg.pop('backbone_type', 'vit')
+        bb_over = mcfg.pop('backbone_overrides', None) or {}
+        if backbone_type == 'vit':
+            from ..models.vit import ViTConfig
+            return Interhand3DEstimator(
+                backbone_cfg=ViTConfig(**bb_over), **mcfg)
+        bb = build_backbone(backbone_type, **bb_over)
+        return Interhand3DEstimator(backbone=bb,
+                                    backbone_mode_kwarg='train', **mcfg)
+    if family == 'voxelpose':
+        from ..models.voxelpose import DetectAndRegress
+        return DetectAndRegress(**mcfg)
     raise KeyError(f'unknown model family {family!r}; expected topdown, '
-                   'bottomup, pose_lifter, mesh, or posewarper')
+                   'bottomup, pose_lifter, mesh, posewarper, '
+                   'interhand3d, or voxelpose')
 
 
 def build_generic_topdown(backbone_type: str, img_size, bb_kwargs: dict,
