@@ -90,33 +90,92 @@ class PanopticMviewDataset:
                     cameras=self.cameras[seq])
 
     # ------------------------------------------------------------------
-    def evaluate(self, results, mpjpe_threshold=500.0):
-        """results: list over frames of lists of (joints_3d [K,3], score).
-        Greedy-match predictions to GT people; report MPJPE over matches
-        and recall@threshold (reference protocol's spirit)."""
-        errs, n_gt, n_matched = [], 0, 0
+    def evaluate(self, results, metric='mpjpe', mpjpe_threshold=500.0):
+        """The reference VoxelPose panoptic protocol
+        (body3d_mview_direct_panoptic_dataset.py:300-470).
+
+        results: list over frames of lists of (joints_3d [K, 3], score).
+        Every prediction is scored by its min MPJPE (over visible joints)
+        against any GT person of its frame; matching is then score-ranked
+        greedy, one detection per GT.
+
+        metric='mpjpe' -> RECALL 500mm / MPJPE 500mm;
+        metric='mAP'   -> AP/AR at thresholds 25..150mm (step 25) + means.
+        """
+        metrics = metric if isinstance(metric, (list, tuple)) else [metric]
+        eval_list, total_gt = [], 0
         for idx, frame_preds in enumerate(results):
             gt = self[idx]['people']
-            n_gt += len(gt)
-            used = set()
-            for pred_joints, _score in frame_preds:
-                best, best_err = None, np.inf
-                for gi, person in enumerate(gt):
-                    if gi in used:
-                        continue
-                    m = person['joints_vis'] > 0
-                    if not m.any():
-                        continue
-                    e = np.linalg.norm(
-                        (np.asarray(pred_joints)[:len(m)]
-                         - person['joints_3d'])[m], axis=-1).mean()
-                    if e < best_err:
-                        best, best_err = gi, e
-                if best is not None and best_err < mpjpe_threshold:
-                    used.add(best)
-                    errs.append(best_err)
-                    n_matched += 1
-        return OrderedDict([
-            ('MPJPE', float(np.mean(errs)) if errs else -1.0),
-            ('Recall', n_matched / max(n_gt, 1)),
-        ])
+            gt_people = [(p['joints_3d'], p['joints_vis'] > 0)
+                         for p in gt if (p['joints_vis'] > 0).any()]
+            if not gt_people:
+                continue
+            for pred_joints, score in frame_preds:
+                pred = np.asarray(pred_joints, np.float64)
+                mpjpes = [np.linalg.norm((pred[:len(vis)] - gt3d)[vis],
+                                         axis=-1).mean()
+                          for gt3d, vis in gt_people]
+                min_gt = int(np.argmin(mpjpes))
+                eval_list.append(dict(mpjpe=float(np.min(mpjpes)),
+                                      score=float(score),
+                                      gt_id=total_gt + min_gt))
+            total_gt += len(gt_people)
+
+        out = []
+        for m in metrics:
+            if m == 'mpjpe':
+                out.append(('RECALL 500mm', self._recall(
+                    eval_list, total_gt, mpjpe_threshold)))
+                out.append(('MPJPE 500mm', self._matched_mpjpe(
+                    eval_list, mpjpe_threshold)))
+            elif m == 'mAP':
+                thresholds = np.arange(25, 155, 25)
+                aps, ars = zip(*[self._ap(eval_list, total_gt, t)
+                                 for t in thresholds])
+                for t, ap in zip(thresholds, aps):
+                    out.append((f'AP {t}', ap))
+                out.append(('mAP', float(np.mean(aps))))
+                for t, ar in zip(thresholds, ars):
+                    out.append((f'AR {t}', ar))
+                out.append(('mAR', float(np.mean(ars))))
+            else:
+                raise ValueError(f'unsupported metric {m!r}; '
+                                 "expected 'mpjpe' or 'mAP'")
+        return OrderedDict(out)
+
+    @staticmethod
+    def _ap(eval_list, total_gt, threshold):
+        """Score-ranked AP/AR with the reference's precision envelope."""
+        ranked = sorted(eval_list, key=lambda e: -e['score'])
+        tp = np.zeros(len(ranked))
+        seen = set()
+        for i, item in enumerate(ranked):
+            if item['mpjpe'] < threshold and item['gt_id'] not in seen:
+                tp[i] = 1
+                seen.add(item['gt_id'])
+        tpc = np.cumsum(tp)
+        fpc = np.cumsum(1 - tp)
+        recall = tpc / (total_gt + 1e-5)
+        precision = tpc / (tpc + fpc + 1e-5)
+        precision = np.maximum.accumulate(precision[::-1])[::-1]
+        precision = np.concatenate(([0.0], precision, [0.0]))
+        recall = np.concatenate(([0.0], recall, [1.0]))
+        step = np.where(recall[1:] != recall[:-1])[0]
+        ap = float(np.sum((recall[step + 1] - recall[step])
+                          * precision[step + 1]))
+        return ap, float(recall[-2]) if len(recall) > 1 else 0.0
+
+    @staticmethod
+    def _matched_mpjpe(eval_list, threshold=500.0):
+        ranked = sorted(eval_list, key=lambda e: -e['score'])
+        seen, errs = set(), []
+        for item in ranked:
+            if item['mpjpe'] < threshold and item['gt_id'] not in seen:
+                errs.append(item['mpjpe'])
+                seen.add(item['gt_id'])
+        return float(np.mean(errs)) if errs else np.inf
+
+    @staticmethod
+    def _recall(eval_list, total_gt, threshold=500.0):
+        ids = {e['gt_id'] for e in eval_list if e['mpjpe'] < threshold}
+        return len(ids) / max(total_gt, 1)
