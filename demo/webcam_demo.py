@@ -31,14 +31,15 @@ def main():
                     help='pose-anchored frame effect instead of the '
                          'skeleton overlay (reference tools/webcam '
                          'effect nodes)')
-    ap.add_argument('--sync', action='store_true',
-                    help='run inference synchronously per frame (the '
-                         'default for video/dir inputs, where every '
-                         'output frame should be annotated)')
-    ap.add_argument('--async', dest='async_', action='store_true',
-                    help='buffered async graph: display at source rate, '
-                         'inference on the latest frame only (the '
-                         'default for live cameras)')
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument('--sync', action='store_true',
+                      help='run inference synchronously per frame (the '
+                           'default for video/dir inputs, where every '
+                           'output frame should be annotated)')
+    mode.add_argument('--async', dest='async_', action='store_true',
+                      help='buffered async graph: display at source rate, '
+                           'inference on the latest frame only (the '
+                           'default for live cameras)')
     args = ap.parse_args()
 
     from vitpose_tpu.api import init_pose_model
@@ -55,14 +56,16 @@ def main():
     # frames for inference); files/dirs default to per-frame sync so every
     # output frame is annotated
     is_camera = str(args.input).isdigit()
+    # cv2.VideoCapture needs a device INDEX for cameras, not the string
+    source = int(args.input) if is_camera else args.input
     use_async = args.async_ or (is_camera and not args.sync)
     if use_async:
         runner = AsyncWebcamRunner(
-            args.input, [DetectorNode(), PoseNode(model)], [render, sink],
+            source, [DetectorNode(), PoseNode(model)], [render, sink],
             max_frames=args.max_frames)
     else:
         runner = WebcamRunner(
-            args.input,
+            source,
             [DetectorNode(), PoseNode(model), render, sink],
             max_frames=args.max_frames)
     n = runner.run()

@@ -150,3 +150,33 @@ def test_training_targets_and_losses(ds):
     assert float(losses['hand_loss']) < 1e-8
     assert float(losses['rel_root_loss']) < 0.6
     assert float(losses['hand_type_loss']) < 1e-6
+
+
+def test_interhand3d_cnn_trunk_train_apply():
+    """The res50-style CNN trunk (build_family_model 'interhand3d') must
+    run a training forward that advances BatchNorm stats and feed
+    interhand3d_losses."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.train.loop import build_family_model
+    from vitpose_tpu.models.interhand3d import interhand3d_losses
+
+    model = build_family_model('interhand3d', dict(
+        backbone_type='resnet', backbone_overrides=dict(depth=18),
+        num_joints=6, depth_size=8))
+    imgs = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+    out, new_vars = model.train_apply(variables, imgs)
+    hm3d, root_logits, type_logits = out
+    assert hm3d.shape[:3] == (2, 6, 8)
+    # BN stats advanced somewhere in backbone or head
+    assert 'batch_stats' in new_vars['backbone']
+    # apply(train=True) works too (stat updates discarded by contract)
+    out2 = model.apply(variables, imgs, train=True)
+    assert out2[0].shape == hm3d.shape
+
+    losses = interhand3d_losses(
+        out, np.zeros(hm3d.shape, np.float32), np.ones((2, 6)),
+        np.zeros(2), np.ones(2), np.ones((2, 2)), np.ones(2),
+        root_depth_bins=root_logits.shape[-1])
+    assert all(np.isfinite(float(v)) for v in losses.values())

@@ -97,16 +97,20 @@ def main():
     if work_dir is None and argv and os.path.exists(argv[0]):
         try:
             from vitpose_tpu.utils.config import load_config, apply_options
-            # honor --cfg-options runtime.work_dir=... the same way
-            # train_model will
-            opts = []
+            # honor --cfg-options runtime.work_dir=... with argparse
+            # nargs='*' semantics (last occurrence wins; support both the
+            # space-separated and '=' forms), the same way train.py will
+            opts = None
             for i, a in enumerate(argv):
                 if a == '--cfg-options':
+                    opts = []
                     j = i + 1
                     while j < len(argv) and not argv[j].startswith('--'):
                         opts.append(argv[j])
                         j += 1
-            cfg = apply_options(load_config(argv[0]), opts)
+                elif a.startswith('--cfg-options='):
+                    opts = [a.split('=', 1)[1]]
+            cfg = apply_options(load_config(argv[0]), opts or [])
             work_dir = cfg.get('runtime', {}).get('work_dir', 'work_dir')
         except Exception:
             work_dir = 'work_dir'

@@ -92,7 +92,7 @@ def flip_iuv(iuv, uv_type='BF'):
     if uv_type != 'BF':
         raise NotImplementedError(
             f'The flip of {uv_type} UV map is not implemented yet.')
-    out = np.ascontiguousarray(iuv[:, ::-1, :]).copy()
+    out = np.ascontiguousarray(iuv[:, ::-1, :])
     out[:, :, 1] = 255 - out[:, :, 1]
     return out
 

@@ -33,6 +33,9 @@ class Interhand3DEstimator:
         if backbone is not None:
             self.backbone = backbone
         else:
+            if backbone_cfg is None:
+                raise ValueError('pass backbone_cfg (ViTConfig/dict) or '
+                                 'backbone (an NHWC feature module)')
             self.backbone = ViT(backbone_cfg
                                 if isinstance(backbone_cfg, ViTConfig)
                                 else ViTConfig(**backbone_cfg))
@@ -60,9 +63,32 @@ class Interhand3DEstimator:
         return {'backbone': bb_vars, 'head': head_vars}
 
     def apply(self, variables, imgs, train=False):
+        """Forward pass. With train=True, BatchNorm statistic updates are
+        computed and DISCARDED (the right behavior inside a jax.grad loss
+        closure); use `train_apply` to advance them."""
+        if train:
+            out, _ = self.train_apply(variables, imgs)
+            return out
         feat = self.backbone.apply(variables['backbone'], imgs,
-                                   **self._bb_kwargs(train))
-        return self.head.apply(variables['head'], feat, train=train)
+                                   **self._bb_kwargs(False))
+        return self.head.apply(variables['head'], feat, train=False)
+
+    def train_apply(self, variables, imgs):
+        """Training-mode forward that also returns variables with advanced
+        BatchNorm statistics (the CNN trunk of the reference
+        res50_interhand3d config, and the head's deconv BNs)."""
+        def _run(mod, mod_vars, *args, **kw):
+            if 'batch_stats' in mod_vars:
+                out, upd = mod.apply(mod_vars, *args,
+                                     mutable=['batch_stats'], **kw)
+                return out, {**mod_vars, **upd}
+            return mod.apply(mod_vars, *args, **kw), mod_vars
+
+        feat, new_bb = _run(self.backbone, variables['backbone'], imgs,
+                            **self._bb_kwargs(True))
+        out, new_head = _run(self.head, variables['head'], feat,
+                             train=True)
+        return out, {'backbone': new_bb, 'head': new_head}
 
     def infer(self, variables, imgs):
         if self._jit is None:
@@ -97,8 +123,7 @@ class Interhand3DEstimator:
 
 def interhand3d_losses(outputs, target_hm3d, hm_weight, rel_root_depth,
                        root_weight, hand_type, type_weight,
-                       depth_size=64, root_depth_bins=64,
-                       root_depth_range_mm=400.0):
+                       root_depth_bins=64, root_depth_range_mm=400.0):
     """Training losses for the three sub-heads (reference
     interhand_3d_head.py:333 `Interhand3DHead.get_loss`).
 

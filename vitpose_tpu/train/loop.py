@@ -247,8 +247,13 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
             f'train_model handles topdown/bottomup configs; family '
             f'{family!r} trains through its dedicated loop (mesh: '
             'models/mesh.py make_adversarial_train_step + data/mesh.py '
-            'loaders; pose_lifter: models/pose3d.py; see tests/'
-            'test_mesh.py and tests/test_body3d.py for runnable recipes)')
+            'loaders; pose_lifter: models/pose3d.py; interhand3d: '
+            'models/interhand3d.py train_apply + interhand3d_losses with '
+            'data/interhand.py training_targets; voxelpose: '
+            'models/voxelpose.py DetectAndRegress.training_losses with '
+            'ops/target.py generate_voxel_3d_targets; see tests/'
+            'test_mesh.py, test_body3d.py, test_interhand.py and '
+            'test_targets3d_and_training.py for runnable recipes)')
     if isinstance(cfg['data'].get('train'), (list, tuple)):
         return train_model_moe(cfg, work_dir=work_dir, resume=resume,
                                max_steps=max_steps)
