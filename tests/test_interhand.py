@@ -180,3 +180,32 @@ def test_interhand3d_cnn_trunk_train_apply():
         np.zeros(2), np.ones(2), np.ones((2, 2)), np.ones(2),
         root_depth_bins=root_logits.shape[-1])
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_train_interhand3d_model_smoke():
+    """tools/train.py path for the interhand3d family: a few steps on the
+    reference fixture annotations run, update params, and produce finite
+    decreasing-capable losses."""
+    from vitpose_tpu.train.loop import train_model
+
+    cfg = dict(
+        model=dict(family='interhand3d', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18), num_joints=42,
+                   depth_size=8),
+        data=dict(
+            dataset='interhand3d', image_size=(64, 64),
+            heatmap_size=(8, 8), batch_size=2,
+            train=dict(
+                ann_file=f"{REF}/test_interhand2.6m_data.json",
+                camera_file=f"{REF}/test_interhand2.6m_camera.json",
+                joint_file=f"{REF}/test_interhand2.6m_joint_3d.json",
+                img_prefix=REF + "/")),
+        target=dict(depth_bound=400.0, root_depth_bins=16,
+                    root_depth_bound=400.0, sigma=1.5),
+        optimizer=dict(base_lr=1e-3, total_epochs=2),
+    )
+    variables, metrics = train_model(cfg, max_steps=3)
+    assert set(metrics) >= {'hand_loss', 'rel_root_loss',
+                            'hand_type_loss', 'total_loss'}
+    assert all(np.isfinite(v) for v in metrics.values())
+    assert 'params' in variables['backbone']

@@ -1,0 +1,199 @@
+"""InterHand3D training: loader + jitted step + loop.
+
+Counterpart of the reference InterNet training path
+(configs/hand/3d_kpt_sview_rgb_img/internet/interhand3d/
+res50_interhand3d_all_256x256.py: TopDownAffine crop ->
+Generate3DHeatmapTarget + HandGenerateRelDepthTarget + hand-type targets
+-> Interhand3DHead.get_loss). TPU-first shape: the host prepares static
+[N, H, W, 3] crops and the full target group per batch; one jit step runs
+forward + the three losses + the optimizer update.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..data.interhand import InterHandDataset, training_targets
+from ..ops.geometry import (affine_matrix, apply_affine_to_points,
+                            bbox_xywh2cs)
+
+
+class InterHandLoader:
+    """Batches of (imgs, hm3d, hm_weight, rel_root mm, root weight,
+    hand_type, type weight) from an InterHandDataset."""
+
+    def __init__(self, dataset: InterHandDataset, batch_size,
+                 image_size=(256, 256), heatmap_size=(64, 64, 64),
+                 depth_bound=400.0, root_depth_bins=64,
+                 root_depth_bound=400.0, sigma=2.5, seed=0, is_train=True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.image_size = tuple(image_size)
+        self.heatmap_size = tuple(heatmap_size)
+        self.depth_bound = depth_bound
+        self.root_depth_bins = root_depth_bins
+        self.root_depth_bound = root_depth_bound
+        self.sigma = sigma
+        self.seed = seed
+        self.is_train = is_train
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return max(1, len(self.ds.db) // self.batch_size)
+
+    def _prepare(self, rec):
+        import cv2
+        w, h = self.image_size
+        img = cv2.imread(rec['image_file'])
+        if img is None:                      # fixture sets without images
+            img = np.zeros((256, 256, 3), np.uint8)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        center, scale = bbox_xywh2cs(rec['bbox'], aspect_ratio=w / h)
+        mat = np.asarray(affine_matrix(center, scale, 0.0, (w, h)))
+        crop = cv2.warpAffine(img, mat[:2], (w, h),
+                              flags=cv2.INTER_LINEAR)
+        rec2 = dict(rec)
+        joints = np.asarray(rec['joints_3d'], np.float32).copy()
+        joints[:, :2] = np.asarray(apply_affine_to_points(
+            joints[:, :2], mat))
+        rec2['joints_3d'] = joints
+        tg = training_targets(
+            rec2, image_size=self.image_size,
+            heatmap_size=self.heatmap_size,
+            depth_bound=self.depth_bound,
+            root_depth_bins=self.root_depth_bins,
+            root_depth_bound=self.root_depth_bound, sigma=self.sigma)
+        return crop.astype(np.float32) / 255.0, tg
+
+    def __iter__(self):
+        order = np.arange(len(self.ds.db))
+        if self.is_train:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        bs = self.batch_size
+        for b in range(len(self)):
+            idxs = order[b * bs:(b + 1) * bs]
+            if len(idxs) < bs:               # static shapes: repeat-pad
+                idxs = np.concatenate([idxs, order[:bs - len(idxs)]])
+            crops, tgs = zip(*[self._prepare(self.ds.db[i]) for i in idxs])
+            yield dict(
+                imgs=np.stack(crops),
+                hm3d=np.stack([t['hm3d'] for t in tgs]),
+                hm_weight=np.stack([t['hm_weight'][:, 0] for t in tgs]),
+                rel_root_mm=np.stack([t['rel_root_depth_mm'][0]
+                                      for t in tgs]),
+                root_weight=np.stack([t['rel_root_weight'][0]
+                                      for t in tgs]),
+                hand_type=np.stack([t['hand_type'] for t in tgs]),
+                type_weight=np.stack([t['hand_type_weight'][0]
+                                      for t in tgs]),
+            )
+
+
+def make_interhand_train_step(model, tx, root_depth_bins=64,
+                              root_depth_bound=400.0):
+    """One-jit training step: train forward (BN stats advanced) + the
+    three reference losses + optimizer update. Returns
+    step(variables, opt_state, batch) -> (variables, opt_state, metrics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..models.interhand3d import interhand3d_losses
+
+    def loss_fn(params, stats, batch):
+        variables = {
+            'backbone': {**batch_stats_of(stats, 'backbone'),
+                         'params': params['backbone']},
+            'head': {**batch_stats_of(stats, 'head'),
+                     'params': params['head']},
+        }
+        out, new_vars = model.train_apply(variables, batch['imgs'])
+        losses = interhand3d_losses(
+            out, batch['hm3d'], batch['hm_weight'], batch['rel_root_mm'],
+            batch['root_weight'], batch['hand_type'],
+            batch['type_weight'], root_depth_bins=root_depth_bins,
+            root_depth_range_mm=root_depth_bound)
+        total = (losses['hand_loss'] + losses['rel_root_loss']
+                 + losses['hand_type_loss'])
+        new_stats = {k: {c: v for c, v in new_vars[k].items()
+                         if c != 'params'} for k in new_vars}
+        return total, (losses, new_stats)
+
+    def batch_stats_of(stats, key):
+        return {c: v for c, v in stats.get(key, {}).items()}
+
+    @jax.jit
+    def step(params, stats, opt_state, batch):
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stats, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        metrics = dict(losses, total_loss=total)
+        return params, new_stats, opt_state, metrics
+
+    return step
+
+
+def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
+                            resume: bool = False,
+                            max_steps: Optional[int] = None):
+    """Train an interhand3d config (see
+    configs/hand/res50_interhand3d_all_256x256.py). Returns
+    (variables, metrics of the last step)."""
+    import jax
+    import optax
+    from .loop import build_model_from_cfg
+
+    dcfg = cfg['data']
+    tcfg = cfg.get('target', {})
+    model = build_model_from_cfg(cfg['model'])
+    train_cfg = dcfg['train']
+    ds = InterHandDataset(train_cfg['ann_file'], train_cfg['camera_file'],
+                          train_cfg['joint_file'],
+                          img_prefix=train_cfg.get('img_prefix', ''))
+    hm_wh = tuple(dcfg.get('heatmap_size', (64, 64)))
+    loader = InterHandLoader(
+        ds, dcfg.get('batch_size', 16),
+        image_size=tuple(dcfg.get('image_size', (256, 256))),
+        heatmap_size=(hm_wh[0], hm_wh[1],
+                      cfg['model'].get('depth_size', 64)),
+        depth_bound=tcfg.get('depth_bound', 400.0),
+        root_depth_bins=tcfg.get('root_depth_bins', 64),
+        root_depth_bound=tcfg.get('root_depth_bound', 400.0),
+        sigma=tcfg.get('sigma', 2.5))
+
+    sample = next(iter(loader))
+    rng = jax.random.PRNGKey(cfg.get('seed', 0))
+    variables = model.init(rng, sample['imgs'])
+    params = {k: variables[k]['params'] for k in variables}
+    stats = {k: {c: v for c, v in variables[k].items() if c != 'params'}
+             for k in variables}
+
+    ocfg = cfg.get('optimizer', {})
+    tx = optax.adamw(ocfg.get('base_lr', 2e-4),
+                     weight_decay=ocfg.get('weight_decay', 0.0))
+    opt_state = tx.init(params)
+    step = make_interhand_train_step(
+        model, tx, root_depth_bins=tcfg.get('root_depth_bins', 64),
+        root_depth_bound=tcfg.get('root_depth_bound', 400.0))
+
+    total_epochs = ocfg.get('total_epochs', 20)
+    metrics = {}
+    n_steps = 0
+    for epoch in range(total_epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            params, stats, opt_state, metrics = step(params, stats,
+                                                     opt_state, batch)
+            n_steps += 1
+            if max_steps is not None and n_steps >= max_steps:
+                variables = {k: {**stats[k], 'params': params[k]}
+                             for k in params}
+                return variables, {m: float(v)
+                                   for m, v in metrics.items()}
+    variables = {k: {**stats[k], 'params': params[k]} for k in params}
+    return variables, {m: float(v) for m, v in metrics.items()}

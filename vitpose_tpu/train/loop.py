@@ -242,6 +242,10 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         from .bottomup_loop import train_bottomup_model
         return train_bottomup_model(cfg, work_dir=work_dir, resume=resume,
                                     max_steps=max_steps)
+    if family == 'interhand3d':
+        from .interhand_loop import train_interhand3d_model
+        return train_interhand3d_model(cfg, work_dir=work_dir,
+                                       resume=resume, max_steps=max_steps)
     if family != 'topdown':
         raise NotImplementedError(
             f'train_model handles topdown/bottomup configs; family '
