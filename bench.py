@@ -24,7 +24,7 @@ import time
 
 A100_BASELINE_IMGS_PER_SEC = 944.0
 BATCH = 256
-GROUP = int(os.environ.get('BENCH_GROUP', '8'))   # batches per dispatch
+GROUP = int(os.environ.get('BENCH_GROUP', '16'))  # batches per dispatch
 WARMUP = 1                      # (amortizes host/tunnel latency)
 ITERS = int(os.environ.get('BENCH_ITERS', '5'))
 
