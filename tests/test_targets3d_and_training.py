@@ -213,3 +213,32 @@ def test_voxelpose_training_losses_decrease():
         gt_vis, targets_3d, train=True)
     assert set(losses) == {'loss_center', 'loss_pose'}
     assert 'batch_stats' in new_vars['center']
+
+
+def test_train_voxelpose_model_smoke():
+    """tools/train.py path for the voxelpose family: a couple of steps on
+    the reference panoptic fixture run and produce finite losses."""
+    import glob
+    from vitpose_tpu.train.loop import train_model
+
+    seqs = sorted(glob.glob(
+        '/root/reference/tests/data/panoptic_body3d/*'))
+    if not seqs:
+        pytest.skip('panoptic fixture missing')
+    cfg = dict(
+        model=dict(family='voxelpose', num_joints=19,
+                   space_center=(0, 0, 1000),
+                   space_size=(4000, 4000, 2000),
+                   space_resolution=(12, 12, 8),
+                   cube_size=(800, 800, 800),
+                   cube_resolution=(8, 8, 8), mid_channels=4),
+        data=dict(dataset='panoptic_body3d', heatmap_size=(48, 64),
+                  train=dict(seq_dirs=seqs,
+                             cam_names=('00_03', '00_06'))),
+        target=dict(sigma=200.0),
+        optimizer=dict(base_lr=1e-4, total_epochs=1),
+    )
+    variables, metrics = train_model(cfg, max_steps=2)
+    assert set(metrics) >= {'loss_center', 'loss_pose', 'total_loss'}
+    assert all(np.isfinite(v) for v in metrics.values())
+    assert 'center' in variables and 'params' in variables['center']

@@ -24,10 +24,14 @@ data = dict(
     dataset='panoptic_body3d',
     image_size=(960, 512), heatmap_size=(240, 128),
     batch_size=1, num_workers=4,
-    seq_list=('160906_band1', '160906_band2'),
-    cam_list=((0, 12), (0, 6), (0, 13), (0, 4), (0, 3)),
-    train=dict(data_root=_ROOT, subset='train', seq_frame_interval=3),
-    val=dict(data_root=_ROOT, subset='validation', seq_frame_interval=12),
+    # the reference's CMU-panoptic 5-HD-camera setup (cam_list (0,12)... ->
+    # panoptic calibration names '00_12'...)
+    train=dict(seq_dirs=(f'{_ROOT}/160906_band1', f'{_ROOT}/160906_band2'),
+               cam_names=('00_12', '00_06', '00_13', '00_04', '00_03'),
+               seq_frame_interval=3),
+    val=dict(seq_dirs=(f'{_ROOT}/160906_band3',),
+             cam_names=('00_12', '00_06', '00_13', '00_04', '00_03'),
+             seq_frame_interval=12),
 )
 # GenerateVoxel3DHeatmapTarget: center targets over the space grid (roots,
 # sigma mm); pose supervision is metric L1 on the regressed joints

@@ -246,6 +246,10 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         from .interhand_loop import train_interhand3d_model
         return train_interhand3d_model(cfg, work_dir=work_dir,
                                        resume=resume, max_steps=max_steps)
+    if family == 'voxelpose':
+        from .voxelpose_loop import train_voxelpose_model
+        return train_voxelpose_model(cfg, work_dir=work_dir,
+                                     resume=resume, max_steps=max_steps)
     if family != 'topdown':
         raise NotImplementedError(
             f'train_model handles topdown/bottomup configs; family '

@@ -1,0 +1,143 @@
+"""VoxelPose training loop: panoptic multiview frames -> center/pose nets.
+
+Counterpart of the reference VoxelPose training
+(mmpose/models/detectors/multiview_pose.py `VoxelCenterDetector.
+forward_train` + `VoxelSinglePose.forward_train` driven by
+GenerateVoxel3DHeatmapTarget targets). The 3D half of VoxelPose always
+learns from per-view 2D heatmaps; `heatmap_source` selects where those
+come from:
+
+  * 'gt' (default) — gaussians painted at the GT projections, the
+    frozen-perfect-2D-backbone regime (the reference's panoptic recipe
+    trains with a frozen pretrained 2D model; GT painting is that
+    regime's fixture-friendly limit).
+  * a callable (frame, cameras) -> [V, K, H, W] — plug in a real 2D
+    model's heatmaps.
+
+Per frame the step builds the space voxel volume, trains the center net
+against the voxel-gaussian root target, and trains the pose net on
+gt-centered cube proposals with the weighted-L1 joint loss (the
+reference's gt-assigned-candidate regime).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+from ..data.panoptic_mview import PanopticMviewDataset
+from ..ops.target import generate_voxel_3d_targets
+
+
+def gt_projected_heatmaps(frame, cameras, num_joints, heatmap_size,
+                          sigma_px=2.0):
+    """[V, K, H, W] gaussians at each camera's GT-joint projections
+    (all people max-combined)."""
+    h, w = heatmap_size
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    maps = np.zeros((len(cameras), num_joints, h, w), np.float32)
+    for vi, cam in enumerate(cameras):
+        for person in frame['people']:
+            pts = np.asarray(cam.camera_to_pixel(cam.world_to_camera(
+                person['joints_3d'])))
+            vis = person['joints_vis'] > 0
+            for k in range(min(num_joints, pts.shape[0])):
+                if not vis[k]:
+                    continue
+                g = np.exp(-((xs - pts[k, 0]) ** 2 + (ys - pts[k, 1]) ** 2)
+                           / (2 * sigma_px ** 2))
+                maps[vi, k] = np.maximum(maps[vi, k], g)
+    return maps
+
+
+def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
+                          resume: bool = False,
+                          max_steps: Optional[int] = None,
+                          heatmap_source: Union[str, Callable] = 'gt'):
+    """Train a voxelpose config (see
+    configs/body3d/voxelpose_prn64x64x64_cpn80x80x20_panoptic_cam5.py).
+    Returns (variables, last-step losses)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .loop import build_model_from_cfg
+
+    model = build_model_from_cfg(cfg['model'])
+    dcfg = cfg['data']
+    tcfg = cfg.get('target', {})
+    train_cfg = dcfg.get('train', {})
+    seq_dirs = train_cfg.get('seq_dirs') or [
+        str(p) for p in train_cfg.get('seq_list', [])]
+    ds = PanopticMviewDataset(seq_dirs,
+                              cam_names=train_cfg.get('cam_names'),
+                              num_joints=cfg['model'].get('num_joints', 15))
+    hm_size = tuple(train_cfg.get('heatmap_size',
+                                  dcfg.get('heatmap_size', (64, 64))))[::-1]
+    sigma_mm = tcfg.get('sigma', 200.0)
+
+    ocfg = cfg.get('optimizer', {})
+    tx = optax.adam(ocfg.get('base_lr', 1e-4))
+    variables = model.init(jax.random.PRNGKey(cfg.get('seed', 0)))
+    # only the 'params' collections are trainable; BatchNorm statistics
+    # advance through training_losses(train=True), not through gradients
+    trainable = {k: variables[k]['params'] for k in variables}
+    stats = {k: {c: v for c, v in variables[k].items() if c != 'params'}
+             for k in variables}
+    opt_state = tx.init(trainable)
+
+    def _rebuild(trainable, stats):
+        return {k: {**stats[k], 'params': trainable[k]} for k in trainable}
+
+    def frame_losses(trainable_tree, stats, heatmaps, cameras, candidates,
+                     cand_mask, gt_joints, gt_vis, targets_3d):
+        losses, _ = model.training_losses(
+            _rebuild(trainable_tree, stats), heatmaps, cameras,
+            candidates, cand_mask, gt_joints, gt_vis, targets_3d,
+            train=False)
+        return losses['loss_center'] + losses['loss_pose'], losses
+
+    grad_fn = jax.value_and_grad(frame_losses, has_aux=True)
+
+    metrics = {}
+    n_steps = 0
+    epochs = ocfg.get('total_epochs', 15)
+    for _epoch in range(epochs):
+        for idx in range(len(ds)):
+            frame = ds[idx]
+            cameras = frame['cameras']
+            people = [p for p in frame['people']
+                      if (p['joints_vis'] > 0).any()]
+            if not cameras or not people:
+                continue
+            gt_joints = np.stack([p['joints_3d'] for p in people])
+            gt_vis = np.stack([(p['joints_vis'] > 0).astype(np.float32)
+                               for p in people])
+            roots = gt_joints[:, 0]               # person-center = root 0
+            if callable(heatmap_source):
+                heatmaps = heatmap_source(frame, cameras)
+            else:
+                heatmaps = gt_projected_heatmaps(
+                    frame, cameras, model.num_joints, hm_size)
+            targets_3d = generate_voxel_3d_targets(
+                roots[:, None], np.ones(roots.shape[:1] + (1, 1)),
+                model.space_size, model.space_center,
+                model.space_resolution, sigma=sigma_mm, joint_indices=[0])
+            (total, losses), grads = grad_fn(
+                trainable, stats, jnp.asarray(heatmaps), cameras,
+                jnp.asarray(roots), jnp.ones(len(people)),
+                gt_joints, gt_vis, targets_3d)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            # advance BN statistics with the updated params
+            _, new_vars = model.training_losses(
+                _rebuild(trainable, stats), jnp.asarray(heatmaps),
+                cameras, jnp.asarray(roots), jnp.ones(len(people)),
+                gt_joints, gt_vis, targets_3d, train=True)
+            stats = {k: {c: v for c, v in new_vars[k].items()
+                         if c != 'params'} for k in new_vars}
+            metrics = {k: float(v) for k, v in losses.items()}
+            metrics['total_loss'] = float(total)
+            n_steps += 1
+            if max_steps is not None and n_steps >= max_steps:
+                return _rebuild(trainable, stats), metrics
+    return _rebuild(trainable, stats), metrics
