@@ -60,3 +60,27 @@ def test_generate_ae_targets():
     tags = jnp.zeros((1, 17 * 128 * 128, 1))
     push, pull = ae_tag_loss(tags, np.asarray(t['ae_joints'])[None])
     assert np.isfinite(float(push[0])) and np.isfinite(float(pull[0]))
+
+
+def test_bottomup_evaluate_perfect_gt():
+    """BottomUpCocoDataset.evaluate (reference bottom_up_coco.py:143):
+    feeding the GT keypoints back as grouped predictions yields AP ~1."""
+    from vitpose_tpu.data.bottomup import BottomUpCocoDataset
+    ds = BottomUpCocoDataset(f"{REF}/test_coco.json", REF + "/")
+    results = []
+    for idx in range(len(ds)):
+        rec = ds.record(idx)
+        people, scores = [], []
+        for m in range(rec['num_people']):
+            kp = rec['joints'][m].copy()          # [K, 3] (x, y, vis)
+            kp[:, 2] = np.where(kp[:, 2] > 0, 0.95, 0.0)
+            people.append(kp)
+            scores.append(1.0)
+        results.append(dict(preds=people, scores=scores,
+                            image_paths=[rec['image_file']]))
+    stats = ds.evaluate(results)
+    assert stats['AP'] > 0.95, stats
+    assert stats['AR'] > 0.95
+    # NMS path keeps it together
+    stats2 = ds.evaluate(results, use_nms=True, oks_thr=0.9)
+    assert stats2['AP'] > 0.9

@@ -80,6 +80,65 @@ class BottomUpCocoDataset:
                 mask[m > 0] = 0.0
         return mask
 
+    # ------------------------------------------------------------------
+    # evaluation (reference bottom_up_coco.py:143 `evaluate`)
+    # ------------------------------------------------------------------
+    def evaluate(self, results, res_folder=None, metric='mAP',
+                 use_nms=False, soft_nms=False, oks_thr=0.9):
+        """COCO OKS mAP over grouped bottom-up predictions.
+
+        results: list of dicts with
+          preds: list over people of [K, 3+] arrays (x, y, score[, tag]),
+          scores: list of per-person scores,
+          image_paths: [str] (first entry names the image).
+
+        Person area is the keypoint bounding box (reference
+        bottom_up_coco.py:200); use_nms defaults off like the reference's
+        test_cfg default.
+        """
+        import json as _json
+        from collections import OrderedDict
+        metrics = metric if isinstance(metric, (list, tuple)) else [metric]
+        for m in metrics:
+            if m != 'mAP':
+                raise KeyError(f'metric {m} is not supported')
+
+        from ..ops.nms import oks_nms, soft_oks_nms
+        from ..eval.cocoeval import CocoKeypointEval
+
+        name2id = {os.path.basename(img['file_name']): iid
+                   for iid, img in self.coco.imgs.items()}
+        detections = []
+        for result in results:
+            image_id = name2id[os.path.basename(result['image_paths'][0])]
+            people = []
+            for kpt, score in zip(result['preds'], result['scores']):
+                kpt = np.asarray(kpt, np.float64)
+                area = ((kpt[:, 0].max() - kpt[:, 0].min())
+                        * (kpt[:, 1].max() - kpt[:, 1].min()))
+                people.append(dict(keypoints=kpt[:, :3], area=area,
+                                   score=float(score)))
+            if use_nms and people:
+                nms = soft_oks_nms if soft_nms else oks_nms
+                keep = nms(people, oks_thr, sigmas=self.info.sigmas)
+                people = [people[i] for i in keep]
+            for p in people:
+                detections.append(dict(
+                    image_id=int(image_id), category_id=1,
+                    keypoints=np.asarray(
+                        p['keypoints']).flatten().tolist(),
+                    score=p['score']))
+        if res_folder is not None:
+            os.makedirs(res_folder, exist_ok=True)
+            with open(os.path.join(res_folder,
+                                   'result_keypoints.json'), 'w') as f:
+                _json.dump(detections, f)
+        if 'annotations' not in self.coco.dataset:
+            return OrderedDict()
+        coco_dt = self.coco.loadRes(detections)
+        evaluator = CocoKeypointEval(self.coco, sigmas=self.info.sigmas)
+        return OrderedDict(evaluator.evaluate(coco_dt))
+
 
 def generate_ae_targets(joints, mask, input_size, output_size, sigma=2.0,
                         max_people=30):
