@@ -220,3 +220,47 @@ def test_sync_annotation_ids(tmp_path):
     # bare list target -> wrapped into a full COCO dict
     out2 = sync_annotation_ids(src, [{'image_id': 5}])
     assert out2['categories'] == src['categories']
+
+
+def test_bottomup_eval_cli(tmp_path):
+    """tools/test.py dispatches family='bottomup' configs: random-init
+    HRNet-AE over the coco fixture -> grouped people -> mAP stats json."""
+    import json
+    import numpy as np
+    import jax
+    from vitpose_tpu.utils.config import load_config, apply_options
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.utils.checkpoint import save_params_npz
+
+    ref = '/root/reference/tests/data/coco'
+    cfg_path = os.path.join(REPO, 'vitpose_tpu', 'configs', 'coco',
+                            'hrnet_w32_ae_coco_512x512.py')
+    opts = [f"data.val.ann_file={ref}/test_coco.json",
+            f"data.val.img_prefix={ref}/",
+            'data.base_size=128',
+            'model.backbone_overrides.width=8']
+    cfg = apply_options(load_config(cfg_path), opts)
+    model = build_model_from_cfg(cfg['model'])
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ckpt = tmp_path / 'bu.npz'
+    save_params_npz(str(ckpt), variables)
+
+    import sys
+    sys_argv = ['tools/test.py', cfg_path, str(ckpt),
+                '--cfg-options'] + opts + [
+                '--out', str(tmp_path / 'stats.json')]
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_bu', os.path.join(REPO, 'tools', 'test.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old_argv = sys.argv
+    try:
+        sys.argv = sys_argv
+        mod.main()
+    finally:
+        sys.argv = old_argv
+    stats = json.loads((tmp_path / 'stats.json').read_text())
+    assert 'AP' in stats and np.isfinite(stats['AP'])

@@ -80,6 +80,45 @@ def build_eval_objects(cfg, batch_size=None, shard_by_process=False):
     return model, ds, loader
 
 
+def run_bottomup_eval(cfg, args):
+    """Bottom-up eval path (reference tools/test.py handles every family
+    through the same CLI): grouped-people inference per val image ->
+    BottomUpCocoDataset.evaluate mAP."""
+    import numpy as np
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.data.bottomup import BottomUpCocoDataset
+    from vitpose_tpu.api.inference import inference_bottom_up_pose_model
+
+    model = build_model_from_cfg(cfg['model'])
+    if args.checkpoint.endswith('.npz'):
+        from vitpose_tpu.utils.checkpoint import load_params_npz
+        variables = load_params_npz(args.checkpoint)
+    else:
+        raise ValueError('bottom-up eval expects an .npz checkpoint '
+                         '(save_params_npz from the bottomup train loop)')
+    dcfg = cfg['data']
+    vcfg = dcfg['val']
+    ds = BottomUpCocoDataset(vcfg['ann_file'], vcfg.get('img_prefix', ''),
+                             dataset_info=dcfg.get('dataset', 'coco'),
+                             input_size=dcfg.get('base_size', 512),
+                             test_mode=True)
+    results = []
+    for idx in range(len(ds)):
+        rec = ds.record(idx)
+        pose_results, _ = inference_bottom_up_pose_model(
+            model, variables, rec['image_file'],
+            base_size=dcfg.get('base_size', 512))
+        results.append(dict(
+            preds=[p['keypoints'] for p in pose_results],
+            scores=[p['score'] for p in pose_results],
+            image_paths=[rec['image_file']]))
+    stats = ds.evaluate(results)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
 def main():
     ap = argparse.ArgumentParser(description='Evaluate a pose model')
     ap.add_argument('config')
@@ -105,6 +144,8 @@ def main():
     import jax
     init_distributed()   # no-op single-process; SLURM/env contract
     cfg = apply_options(load_config(args.config), args.cfg_options)
+    if cfg['model'].get('family') == 'bottomup':
+        return run_bottomup_eval(cfg, args)
     world = jax.process_count()
     model, ds, loader = build_eval_objects(cfg, args.batch_size,
                                            shard_by_process=world > 1)
