@@ -84,3 +84,27 @@ def test_bottomup_evaluate_perfect_gt():
     # NMS path keeps it together
     stats2 = ds.evaluate(results, use_nms=True, oks_thr=0.9)
     assert stats2['AP'] > 0.9
+
+
+def test_bottomup_crowdpose_protocol():
+    """Bottom-up CrowdPose evaluate routes to the crowd protocol
+    (reference BottomUpCrowdPoseDataset, iouType='keypoints_crowd')."""
+    from vitpose_tpu.data.bottomup import BottomUpCocoDataset
+    ref = '/root/reference/tests/data/crowdpose'
+    ds = BottomUpCocoDataset(f"{ref}/test_crowdpose.json", ref + "/",
+                             dataset_info='crowdpose')
+    results = []
+    for idx in range(len(ds)):
+        rec = ds.record(idx)
+        people, scores = [], []
+        for m in range(rec['num_people']):
+            kp = rec['joints'][m].copy()
+            kp[:, 2] = np.where(kp[:, 2] > 0, 0.95, 0.0)
+            people.append(kp)
+            scores.append(1.0)
+        results.append(dict(preds=people, scores=scores,
+                            image_paths=[rec['image_file']]))
+    stats = ds.evaluate(results)
+    assert 'AP' in stats and 'AP (E)' in stats or 'AP(E)' in stats \
+        or any('E' in k for k in stats), stats
+    assert stats['AP'] > 0.9, stats

@@ -136,6 +136,12 @@ class BottomUpCocoDataset:
         if 'annotations' not in self.coco.dataset:
             return OrderedDict()
         coco_dt = self.coco.loadRes(detections)
+        if self.info.dataset_name == 'crowdpose':
+            # reference BottomUpCrowdPoseDataset: iouType
+            # 'keypoints_crowd' (no-area OKS + easy/medium/hard AP)
+            from ..eval.cocoeval import evaluate_crowdpose
+            return OrderedDict(evaluate_crowdpose(
+                self.coco, coco_dt, sigmas=self.info.sigmas))
         evaluator = CocoKeypointEval(self.coco, sigmas=self.info.sigmas)
         return OrderedDict(evaluator.evaluate(coco_dt))
 
