@@ -113,3 +113,39 @@ def test_mixed_map_and_pck():
         pass
     else:
         raise AssertionError('bogus metric accepted')
+
+
+def test_keypoints_from_regression_golden():
+    """keypoints_from_regression vs reference top_down_eval.py:441."""
+    import numpy as np
+    from ref_loader import ref_top_down_eval
+    from vitpose_tpu.ops import keypoints_from_regression
+    ref = ref_top_down_eval()
+    rng = np.random.RandomState(0)
+    reg = rng.uniform(0, 1, (3, 5, 2)).astype(np.float32)
+    center = rng.uniform(50, 200, (3, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, (3, 2)).astype(np.float32)
+    want_p, want_v = ref.keypoints_from_regression(
+        reg.copy(), center, scale, [192, 256])
+    got_p, got_v = keypoints_from_regression(reg, center, scale,
+                                             [192, 256])
+    np.testing.assert_allclose(got_p, want_p, atol=1e-4)
+    np.testing.assert_allclose(got_v, want_v)
+
+
+def test_multilabel_classification_accuracy_golden():
+    import numpy as np
+    from ref_loader import ref_top_down_eval
+    from vitpose_tpu.ops import multilabel_classification_accuracy
+    ref = ref_top_down_eval()
+    rng = np.random.RandomState(1)
+    pred = rng.uniform(size=(8, 2)).astype(np.float32)
+    gt = (rng.uniform(size=(8, 2)) > 0.5).astype(np.float32)
+    for mask in (np.ones((8, 1)), (rng.uniform(size=(8, 2)) > 0.3)):
+        want = ref.multilabel_classification_accuracy(
+            pred, gt, np.asarray(mask))
+        got = multilabel_classification_accuracy(pred, gt,
+                                                 np.asarray(mask))
+        assert abs(got - want) < 1e-9
+    assert multilabel_classification_accuracy(
+        pred, gt, np.zeros((8, 1))) == 0.0

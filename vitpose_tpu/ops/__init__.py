@@ -14,6 +14,8 @@ from .geometry import (
 )
 from .smoothing import OneEuroFilter
 from .target import generate_msra_heatmaps, generate_udp_heatmaps, generate_combined_target
-from .decode import keypoints_from_heatmaps, heatmaps_to_coords, pose_pck_accuracy
+from .decode import (keypoints_from_heatmaps, heatmaps_to_coords,
+                     pose_pck_accuracy, keypoints_from_regression,
+                     multilabel_classification_accuracy)
 from .warp import warp_affine_batch
 from .nms import oks_iou, oks_nms, soft_oks_nms

@@ -386,3 +386,33 @@ def keypoint_epe(pred, gt, mask):
     dists = _normalized_distances(pred, gt, mask, ones)
     valid = dists[dists != -1]
     return float(valid.sum() / max(1, len(valid)))
+
+
+def keypoints_from_regression(regression_preds, center, scale, img_size):
+    """Regression-head outputs (normalized 0..1 coords) -> image-space
+    keypoints (reference top_down_eval.py:441
+    `keypoints_from_regression`). Returns (preds [N, K, 2],
+    maxvals [N, K, 1] of ones — regression has no confidence map)."""
+    import numpy as np
+    from .geometry import transform_preds
+    preds = np.asarray(regression_preds, np.float32) * np.asarray(
+        img_size, np.float32)
+    n, k = preds.shape[:2]
+    out = np.stack([np.asarray(transform_preds(
+        preds[i], np.asarray(center)[i], np.asarray(scale)[i], img_size))
+        for i in range(n)])
+    return out, np.ones((n, k, 1), np.float32)
+
+
+def multilabel_classification_accuracy(pred, gt, mask, thr=0.5):
+    """Exact-match multi-label accuracy over samples with full ground
+    truth (reference top_down_eval.py:658; InterHand hand-type metric):
+    a sample counts as correct only when every label is on the right
+    side of `thr`."""
+    import numpy as np
+    pred, gt, mask = (np.asarray(a) for a in (pred, gt, mask))
+    valid = (mask > 0).min(axis=1) if mask.ndim == 2 else (mask > 0)
+    pred, gt = pred[valid], gt[valid]
+    if pred.shape[0] == 0:
+        return 0.0
+    return float((((pred - thr) * (gt - thr)) > 0).all(axis=1).mean())
