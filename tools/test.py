@@ -144,6 +144,8 @@ def main():
     import jax
     init_distributed()   # no-op single-process; SLURM/env contract
     cfg = apply_options(load_config(args.config), args.cfg_options)
+    from vitpose_tpu.utils.env import setup_multi_processes
+    setup_multi_processes(cfg)   # clamp cv2/OMP fan-out in workers
     if cfg['model'].get('family') == 'bottomup':
         return run_bottomup_eval(cfg, args)
     world = jax.process_count()

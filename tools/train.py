@@ -55,6 +55,8 @@ def main():
     init_distributed()
 
     cfg = apply_options(load_config(args.config), args.cfg_options)
+    from vitpose_tpu.utils.env import setup_multi_processes
+    setup_multi_processes(cfg)   # clamp cv2/OMP fan-out in workers
     if 'PATH_TO_DATA' in os.environ:
         # relocatable data roots (fork tools/train.py:93-99 substitutes a
         # hardcoded prefix; here the old prefix defaults to 'data' and can

@@ -52,3 +52,32 @@ def get_root_logger(log_file=None, log_level=logging.INFO,
     logger.propagate = False
     _logger_initialized[name] = True
     return logger
+
+
+def setup_multi_processes(cfg=None):
+    """Clamp per-worker threading so data-loading processes don't
+    oversubscribe the host (reference mmpose/utils/setup_env.py:10
+    `setup_multi_processes`, minus the torch.multiprocessing start-method
+    piece — our loader uses thread pools + the native C++ decoder, not
+    forked torch workers).
+
+    On a TPU host this matters doubly: XLA's compile/execute threads
+    already saturate the cores, so cv2/OpenMP fan-out inside loader
+    workers steals cycles from the input pipeline.
+    """
+    import os
+    cfg = cfg or {}
+    data_cfg = cfg.get('data', {}) if isinstance(cfg, dict) else {}
+    num_workers = data_cfg.get('num_workers', 1)
+
+    try:
+        import cv2
+        cv2.setNumThreads(int(cfg.get('opencv_num_threads', 0))
+                          if isinstance(cfg, dict) else 0)
+    except ImportError:
+        pass
+
+    if num_workers > 1:
+        for var in ('OMP_NUM_THREADS', 'MKL_NUM_THREADS'):
+            if var not in os.environ:
+                os.environ[var] = '1'
