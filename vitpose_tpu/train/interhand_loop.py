@@ -184,6 +184,7 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
     total_epochs = ocfg.get('total_epochs', 20)
     metrics = {}
     n_steps = 0
+    done = False
     for epoch in range(total_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
@@ -191,9 +192,26 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
                                                      opt_state, batch)
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
-                variables = {k: {**stats[k], 'params': params[k]}
-                             for k in params}
-                return variables, {m: float(v)
-                                   for m, v in metrics.items()}
+                done = True
+                break
+        if done:
+            break
     variables = {k: {**stats[k], 'params': params[k]} for k in params}
-    return variables, {m: float(v) for m, v in metrics.items()}
+    metrics = {m: float(v) for m, v in metrics.items()}
+    _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
+    return variables, metrics
+
+
+def _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps):
+    """Persist final weights (.npz) + a metrics line, the contract the
+    topdown loop's work_dir provides (checkpoint + log.json)."""
+    import json
+    import os
+    work_dir = work_dir or cfg.get('runtime', {}).get('work_dir')
+    if not work_dir:
+        return
+    from ..utils.checkpoint import save_params_npz
+    os.makedirs(work_dir, exist_ok=True)
+    save_params_npz(os.path.join(work_dir, 'final.npz'), variables)
+    with open(os.path.join(work_dir, 'train.log.json'), 'a') as f:
+        f.write(json.dumps(dict(metrics, step=n_steps)) + '\n')

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..data.panoptic_mview import PanopticMviewDataset
 from ..ops.target import generate_voxel_3d_targets
+from .interhand_loop import _save_loop_outputs
 
 
 def gt_projected_heatmaps(frame, cameras, num_joints, heatmap_size,
@@ -139,5 +140,10 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
             metrics['total_loss'] = float(total)
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
-                return _rebuild(trainable, stats), metrics
-    return _rebuild(trainable, stats), metrics
+                variables = _rebuild(trainable, stats)
+                _save_loop_outputs(cfg, work_dir, variables, metrics,
+                                   n_steps)
+                return variables, metrics
+    variables = _rebuild(trainable, stats)
+    _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
+    return variables, metrics
