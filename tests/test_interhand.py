@@ -209,3 +209,49 @@ def test_train_interhand3d_model_smoke():
                             'hand_type_loss', 'total_loss'}
     assert all(np.isfinite(v) for v in metrics.values())
     assert 'params' in variables['backbone']
+
+
+def test_interhand3d_eval_cli(tmp_path):
+    """tools/test.py family dispatch for interhand3d: train 2 steps ->
+    final.npz -> CLI eval produces finite MPJPE/AUC/Handedness_acc."""
+    import importlib.util
+    import json
+    import os
+    import sys
+    from vitpose_tpu.train.loop import train_model
+
+    wd = str(tmp_path)
+    tri = dict(ann_file=f"{REF}/test_interhand2.6m_data.json",
+               camera_file=f"{REF}/test_interhand2.6m_camera.json",
+               joint_file=f"{REF}/test_interhand2.6m_joint_3d.json",
+               img_prefix=REF + "/")
+    cfgd = dict(
+        model=dict(family='interhand3d', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18), num_joints=42,
+                   depth_size=8),
+        data=dict(dataset='interhand3d', image_size=(64, 64),
+                  heatmap_size=(8, 8), batch_size=2,
+                  train=dict(tri), val=dict(tri)),
+        target=dict(root_depth_bins=16, sigma=1.5),
+        optimizer=dict(base_lr=1e-3, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    train_model(cfgd, max_steps=2)
+    cfg_path = os.path.join(wd, 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        for k, v in cfgd.items():
+            f.write(f"{k} = {v!r}\n")
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_ih', '/root/repo/tools/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['tools/test.py', cfg_path, os.path.join(wd, 'final.npz'),
+                '--out', os.path.join(wd, 'stats.json'),
+                '--metric', 'MPJPE', 'AUC', 'Handedness_acc']
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    stats = json.load(open(os.path.join(wd, 'stats.json')))
+    assert set(stats) == {'MPJPE', 'AUC', 'Handedness_acc'}
+    assert all(np.isfinite(v) for v in stats.values())

@@ -119,6 +119,60 @@ def run_bottomup_eval(cfg, args):
             json.dump({k: float(v) for k, v in stats.items()}, f)
 
 
+def run_interhand_eval(cfg, args):
+    """InterHand3D eval path: per-crop 2.5D inference -> decode ->
+    camera-space backprojection -> InterHandDataset.evaluate (MPJPE /
+    MRRPE / Handedness_acc / AUC)."""
+    import numpy as np
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.train.interhand_loop import InterHandLoader
+    from vitpose_tpu.data.interhand import InterHandDataset
+    from vitpose_tpu.models.interhand3d import backproject_to_camera
+
+    model = build_model_from_cfg(cfg['model'])
+    if not args.checkpoint.endswith('.npz'):
+        raise ValueError('interhand3d eval expects an .npz checkpoint '
+                         '(work_dir/final.npz from tools/train.py)')
+    from vitpose_tpu.utils.checkpoint import load_params_npz
+    variables = load_params_npz(args.checkpoint)
+    dcfg = cfg['data']
+    vcfg = dcfg['val']
+    ds = InterHandDataset(vcfg['ann_file'], vcfg['camera_file'],
+                          vcfg['joint_file'],
+                          img_prefix=vcfg.get('img_prefix', ''))
+    loader = InterHandLoader(ds, dcfg.get('batch_size', 16),
+                             image_size=tuple(dcfg.get('image_size',
+                                                       (256, 256))),
+                             is_train=False)
+    from vitpose_tpu.ops.geometry import bbox_xywh2cs
+    w, h = loader.image_size
+    results = []
+    n = len(ds.db)
+    for start in range(0, n, loader.batch_size):
+        idxs = list(range(start, min(start + loader.batch_size, n)))
+        crops = np.stack([loader._prepare(ds.db[i])[0] for i in idxs])
+        out = model.infer(variables, crops)
+        centers, scales = zip(*[bbox_xywh2cs(ds.db[i]['bbox'],
+                                             aspect_ratio=w / h)
+                                for i in idxs])
+        dec = model.decode(out[0], out[1], out[2],
+                           np.stack(centers), np.stack(scales))
+        focal = np.stack([ds.db[i]['focal'] for i in idxs])
+        princpt = np.stack([ds.db[i]['princpt'] for i in idxs])
+        abs_depth = np.stack([ds.db[i]['abs_depth'] for i in idxs])
+        cam = backproject_to_camera(dec['keypoints_3d'], focal, princpt,
+                                    abs_depth)
+        results.append(dict(preds=cam, hand_type=dec['hand_type'],
+                            bbox_ids=[ds.db[i]['bbox_id'] for i in idxs]))
+    metric = args.metric or cfg.get('evaluation', {}).get(
+        'metric', ['MPJPE'])
+    stats = ds.evaluate(results, metric=metric)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
 def main():
     ap = argparse.ArgumentParser(description='Evaluate a pose model')
     ap.add_argument('config')
@@ -148,6 +202,8 @@ def main():
     setup_multi_processes(cfg)   # clamp cv2/OMP fan-out in workers
     if cfg['model'].get('family') == 'bottomup':
         return run_bottomup_eval(cfg, args)
+    if cfg['model'].get('family') == 'interhand3d':
+        return run_interhand_eval(cfg, args)
     world = jax.process_count()
     model, ds, loader = build_eval_objects(cfg, args.batch_size,
                                            shard_by_process=world > 1)
