@@ -242,3 +242,54 @@ def test_train_voxelpose_model_smoke():
     assert set(metrics) >= {'loss_center', 'loss_pose', 'total_loss'}
     assert all(np.isfinite(v) for v in metrics.values())
     assert 'center' in variables and 'params' in variables['center']
+
+
+def test_voxelpose_eval_cli(tmp_path):
+    """tools/test.py family dispatch for voxelpose: train 2 steps ->
+    final.npz -> CLI eval prints the reference protocol stats."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+    from vitpose_tpu.train.loop import train_model
+
+    seqs = sorted(glob.glob(
+        '/root/reference/tests/data/panoptic_body3d/*'))
+    if not seqs:
+        pytest.skip('panoptic fixture missing')
+    wd = str(tmp_path)
+    cfgd = dict(
+        model=dict(family='voxelpose', num_joints=19,
+                   space_center=(0, 0, 1000),
+                   space_size=(4000, 4000, 2000),
+                   space_resolution=(12, 12, 8),
+                   cube_size=(800, 800, 800),
+                   cube_resolution=(8, 8, 8), mid_channels=4,
+                   center_threshold=-1e9, max_people=4),
+        data=dict(dataset='panoptic_body3d', heatmap_size=(48, 64),
+                  train=dict(seq_dirs=seqs, cam_names=('00_03', '00_06')),
+                  val=dict(seq_dirs=seqs[:1],
+                           cam_names=('00_03', '00_06'))),
+        target=dict(sigma=200.0),
+        optimizer=dict(base_lr=1e-4, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    train_model(cfgd, max_steps=2)
+    cfg_path = os.path.join(wd, 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        for k, v in cfgd.items():
+            f.write(f"{k} = {v!r}\n")
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_vp', '/root/repo/tools/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['tools/test.py', cfg_path, os.path.join(wd, 'final.npz'),
+                '--out', os.path.join(wd, 'stats.json'),
+                '--metric', 'mpjpe', 'mAP']
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    stats = json.load(open(os.path.join(wd, 'stats.json')))
+    assert 'RECALL 500mm' in stats and 'mAP' in stats

@@ -173,6 +173,51 @@ def run_interhand_eval(cfg, args):
             json.dump({k: float(v) for k, v in stats.items()}, f)
 
 
+def run_voxelpose_eval(cfg, args):
+    """VoxelPose eval path: per-frame multiview 3D inference ->
+    PanopticMviewDataset.evaluate (reference mAP@25-150mm / MPJPE
+    protocol). The 2D heatmaps come from the GT-projection painter (the
+    frozen-2D-backbone regime the train loop uses); swap in a real 2D
+    model by extending train/voxelpose_loop.gt_projected_heatmaps."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.data.panoptic_mview import PanopticMviewDataset
+    from vitpose_tpu.train.voxelpose_loop import gt_projected_heatmaps
+
+    model = build_model_from_cfg(cfg['model'])
+    if not args.checkpoint.endswith('.npz'):
+        raise ValueError('voxelpose eval expects an .npz checkpoint '
+                         '(work_dir/final.npz from tools/train.py)')
+    from vitpose_tpu.utils.checkpoint import load_params_npz
+    variables = load_params_npz(args.checkpoint)
+    dcfg = cfg['data']
+    vcfg = dcfg.get('val', dcfg.get('train', {}))
+    ds = PanopticMviewDataset(
+        [str(p) for p in vcfg['seq_dirs']],
+        cam_names=vcfg.get('cam_names'),
+        num_joints=cfg['model'].get('num_joints', 15))
+    hm_size = tuple(dcfg.get('heatmap_size', (64, 64)))[::-1]
+    results = []
+    for idx in range(len(ds)):
+        frame = ds[idx]
+        heatmaps = gt_projected_heatmaps(frame, frame['cameras'],
+                                         model.num_joints, hm_size)
+        people = model.forward(variables, jnp.asarray(heatmaps),
+                               frame['cameras'])
+        results.append([(np.asarray(j), float(s)) for j, s in people])
+    metric = args.metric or cfg.get('evaluation', {}).get(
+        'metric', ['mpjpe'])
+    metric = [m if m in ('mpjpe', 'mAP') else
+              {'MPJPE': 'mpjpe'}.get(m, m) for m in (
+                  metric if isinstance(metric, list) else [metric])]
+    stats = ds.evaluate(results, metric=metric)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
 def main():
     ap = argparse.ArgumentParser(description='Evaluate a pose model')
     ap.add_argument('config')
@@ -204,6 +249,8 @@ def main():
         return run_bottomup_eval(cfg, args)
     if cfg['model'].get('family') == 'interhand3d':
         return run_interhand_eval(cfg, args)
+    if cfg['model'].get('family') == 'voxelpose':
+        return run_voxelpose_eval(cfg, args)
     world = jax.process_count()
     model, ds, loader = build_eval_objects(cfg, args.batch_size,
                                            shard_by_process=world > 1)
