@@ -196,3 +196,29 @@ def test_mesh_adv_training_through_datasets():
             first = val if first is None else first
             last = val
     assert last < first, (first, last)
+
+
+def test_train_mesh_model_from_config():
+    """tools/train.py path for the mesh family: config-driven adversarial
+    steps on the fixture datasets."""
+    from vitpose_tpu.train.loop import train_model
+
+    cfg = dict(
+        model=dict(family='mesh', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18), num_iters=2,
+                   smpl='linear', disc_hidden=32),
+        data=dict(
+            image_size=(64, 64), batch_size=2,
+            train=dict(
+                configs=[dict(
+                    ann_file='/root/reference/tests/data/h36m/'
+                             'test_h36m.npz',
+                    img_prefix='/root/reference/tests/data/h36m')],
+                partition=[1.0],
+                adv_ann_file='/root/reference/tests/data/mosh/'
+                             'test_mosh.npz')),
+        optimizer=dict(base_lr=1e-3, disc_lr=1e-4, total_epochs=1),
+    )
+    variables, metrics = train_model(cfg, max_steps=2)
+    assert 'gen' in variables and 'disc' in variables
+    assert all(np.isfinite(v) for v in metrics.values()), metrics

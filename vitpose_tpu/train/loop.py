@@ -250,18 +250,16 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         from .voxelpose_loop import train_voxelpose_model
         return train_voxelpose_model(cfg, work_dir=work_dir,
                                      resume=resume, max_steps=max_steps)
+    if family == 'mesh':
+        from .mesh_loop import train_mesh_model
+        return train_mesh_model(cfg, work_dir=work_dir, resume=resume,
+                                max_steps=max_steps)
     if family != 'topdown':
         raise NotImplementedError(
-            f'train_model handles topdown/bottomup configs; family '
-            f'{family!r} trains through its dedicated loop (mesh: '
-            'models/mesh.py make_adversarial_train_step + data/mesh.py '
-            'loaders; pose_lifter: models/pose3d.py; interhand3d: '
-            'models/interhand3d.py train_apply + interhand3d_losses with '
-            'data/interhand.py training_targets; voxelpose: '
-            'models/voxelpose.py DetectAndRegress.training_losses with '
-            'ops/target.py generate_voxel_3d_targets; see tests/'
-            'test_mesh.py, test_body3d.py, test_interhand.py and '
-            'test_targets3d_and_training.py for runnable recipes)')
+            f'train_model handles topdown/bottomup/interhand3d/voxelpose/'
+            f'mesh configs; family {family!r} trains through its '
+            'dedicated loop (pose_lifter: models/pose3d.py — see '
+            'tests/test_body3d.py for the runnable recipe)')
     if isinstance(cfg['data'].get('train'), (list, tuple)):
         return train_model_moe(cfg, work_dir=work_dir, resume=resume,
                                max_steps=max_steps)

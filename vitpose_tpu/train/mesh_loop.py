@@ -1,0 +1,85 @@
+"""Mesh (HMR + adversarial prior) training loop, config-driven.
+
+Counterpart of the reference ParametricMesh training path
+(mmpose/models/detectors/mesh.py `ParametricMesh.train_step` with
+`MeshMixDataset` + `MeshAdversarialDataset`, launched by apis/train.py
+through the DistributedDataParallelWrapper). Here: `MeshAdvLoader`
+batches (Mixed datasets + Mosh SMPL prior samples), and
+`make_adversarial_train_step` updates generator and discriminator in ONE
+jit program (no DDP wrapper needed — GSPMD shards the same program).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..data.mesh import (MeshAdvLoader, MeshDataset, MeshMixDataset,
+                         MoshDataset)
+from .interhand_loop import _save_loop_outputs
+
+
+def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
+                     resume: bool = False,
+                     max_steps: Optional[int] = None):
+    """Train a mesh config (see configs/mesh/hmr_res50_mixed_224x224.py).
+    Returns ({'gen': variables, 'disc': variables}, last-step losses)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .loop import build_model_from_cfg
+    from ..models.mesh import SMPLDiscriminator, make_adversarial_train_step
+
+    mesh = build_model_from_cfg(cfg['model'])
+    disc = SMPLDiscriminator(
+        hidden=cfg['model'].get('disc_hidden', 1024))
+
+    dcfg = cfg['data']
+    tr = dcfg['train']
+    image_size = tuple(dcfg.get('image_size', (224, 224)))
+    parts = [MeshDataset(c['ann_file'], c.get('img_prefix', ''),
+                         image_size=image_size)
+             for c in tr['configs']]
+    mix = MeshMixDataset(parts, partition=tr.get(
+        'partition', [1.0 / len(parts)] * len(parts)))
+    mosh = MoshDataset(tr['adv_ann_file'])
+    loader = MeshAdvLoader(mix, mosh,
+                           batch_size=dcfg.get('batch_size', 64),
+                           image_size=image_size,
+                           seed=cfg.get('seed', 0))
+
+    ocfg = cfg.get('optimizer', {})
+    gen_tx = optax.adam(ocfg.get('base_lr', 2.5e-4))
+    disc_tx = optax.adam(ocfg.get('disc_lr', 1e-4))
+
+    rng = jax.random.PRNGKey(cfg.get('seed', 0))
+    batch = next(iter(loader))
+    imgs = jnp.asarray(batch['imgs'], jnp.float32)
+    gen_vars = mesh.init(rng, imgs)
+    disc_vars = disc.init(rng, jnp.zeros((imgs.shape[0], 72)),
+                          jnp.zeros((imgs.shape[0], 10)))
+    gen_opt = gen_tx.init(gen_vars)
+    disc_opt = disc_tx.init(disc_vars)
+    step = jax.jit(make_adversarial_train_step(mesh, disc, gen_tx,
+                                               disc_tx))
+
+    metrics = {}
+    n_steps = 0
+    done = False
+    for epoch in range(ocfg.get('total_epochs', 100)):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k not in ('pose', 'beta', 'has_smpl')}
+            gen_vars, disc_vars, gen_opt, disc_opt, metrics = step(
+                gen_vars, disc_vars, gen_opt, disc_opt, jb)
+            n_steps += 1
+            if max_steps is not None and n_steps >= max_steps:
+                done = True
+                break
+        if done:
+            break
+    variables = {'gen': gen_vars, 'disc': disc_vars}
+    metrics = {m: float(v) for m, v in metrics.items()}
+    _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
+    return variables, metrics
