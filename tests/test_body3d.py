@@ -130,3 +130,25 @@ def test_inference_pose_lifter_api():
     for r in results:
         assert r['keypoints_3d'].shape[-1] == 3
         assert np.isfinite(r['keypoints_3d']).all()
+
+
+def test_train_pose_lifter_model_from_config():
+    """tools/train.py path for the pose_lifter family: config-driven TCN
+    steps on the H36M fixture; loss finite, work_dir persisted."""
+    import tempfile, os, json
+    from vitpose_tpu.train.loop import train_model
+
+    with tempfile.TemporaryDirectory() as wd:
+        cfg = dict(
+            model=dict(family='pose_lifter', num_joints=17,
+                       stem_channels=32, kernel_sizes=(3, 3)),
+            data=dict(dataset='h36m', seq_len=9, batch_size=2,
+                      train=dict(ann_file=f"{REF}/test_h36m_body3d.npz")),
+            optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
+            runtime=dict(work_dir=wd))
+        variables, metrics = train_model(cfg, max_steps=2)
+        assert np.isfinite(metrics['mpjpe_loss'])
+        assert os.path.exists(os.path.join(wd, 'final.npz'))
+        line = json.loads(open(os.path.join(wd,
+                                            'train.log.json')).readline())
+        assert line['step'] == 2

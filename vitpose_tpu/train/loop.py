@@ -254,12 +254,15 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         from .mesh_loop import train_mesh_model
         return train_mesh_model(cfg, work_dir=work_dir, resume=resume,
                                 max_steps=max_steps)
+    if family == 'pose_lifter':
+        from .lifter_loop import train_pose_lifter_model
+        return train_pose_lifter_model(cfg, work_dir=work_dir,
+                                       resume=resume, max_steps=max_steps)
     if family != 'topdown':
         raise NotImplementedError(
-            f'train_model handles topdown/bottomup/interhand3d/voxelpose/'
-            f'mesh configs; family {family!r} trains through its '
-            'dedicated loop (pose_lifter: models/pose3d.py — see '
-            'tests/test_body3d.py for the runnable recipe)')
+            f'unknown model family {family!r}; train_model handles '
+            'topdown, bottomup, interhand3d, voxelpose, mesh, and '
+            'pose_lifter configs')
     if isinstance(cfg['data'].get('train'), (list, tuple)):
         return train_model_moe(cfg, work_dir=work_dir, resume=resume,
                                max_steps=max_steps)
