@@ -152,3 +152,44 @@ def test_train_pose_lifter_model_from_config():
         line = json.loads(open(os.path.join(wd,
                                             'train.log.json')).readline())
         assert line['step'] == 2
+
+
+def test_pose_lifter_eval_cli(tmp_path):
+    """tools/test.py family dispatch for pose_lifter: train 2 steps ->
+    final.npz -> CLI eval runs the H36M MPJPE protocol
+    (reference tools/test.py + body3d_h36m_dataset.evaluate)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+    from vitpose_tpu.train.loop import train_model
+
+    wd = str(tmp_path)
+    cfgd = dict(
+        model=dict(family='pose_lifter', num_joints=17,
+                   stem_channels=32, kernel_sizes=(3, 3)),
+        data=dict(dataset='h36m', seq_len=9, batch_size=2,
+                  train=dict(ann_file=f"{REF}/test_h36m_body3d.npz"),
+                  val=dict(ann_file=f"{REF}/test_h36m_body3d.npz")),
+        optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    train_model(cfgd, max_steps=2)
+    cfg_path = os.path.join(wd, 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        for k, v in cfgd.items():
+            f.write(f"{k} = {v!r}\n")
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_pl', '/root/repo/tools/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['tools/test.py', cfg_path, os.path.join(wd, 'final.npz'),
+                '--out', os.path.join(wd, 'stats.json'),
+                '--metric', 'mpjpe', 'p-mpjpe', 'n-mpjpe']
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    stats = json.load(open(os.path.join(wd, 'stats.json')))
+    assert set(stats) == {'MPJPE', 'P-MPJPE', 'N-MPJPE'}
+    assert all(np.isfinite(v) for v in stats.values())

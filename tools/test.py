@@ -173,6 +173,49 @@ def run_interhand_eval(cfg, args):
             json.dump({k: float(v) for k, v in stats.items()}, f)
 
 
+def run_pose_lifter_eval(cfg, args):
+    """PoseLifter eval path: windowed 2D->3D lifting over the val npz ->
+    Body3DH36MDataset.evaluate (MPJPE / P-MPJPE / N-MPJPE). The model
+    predicts root-relative poses; predictions are re-anchored at the GT
+    root before the root-inclusive comparison (the reference root-centers
+    the GT instead — same metric)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.data.body3d import Body3DH36MDataset
+
+    model = build_model_from_cfg(cfg['model'])
+    if not args.checkpoint.endswith('.npz'):
+        raise ValueError('pose_lifter eval expects an .npz checkpoint '
+                         '(work_dir/final.npz from tools/train.py)')
+    from vitpose_tpu.utils.checkpoint import load_params_npz
+    variables = load_params_npz(args.checkpoint)
+    dcfg = cfg['data']
+    ds = Body3DH36MDataset(dcfg['val']['ann_file'],
+                           seq_len=dcfg.get('seq_len', 27),
+                           causal=dcfg.get('causal', False),
+                           test_mode=True)
+    bs = dcfg.get('batch_size', 128)
+    results = []
+    for start in range(0, len(ds), bs):
+        idxs = list(range(start, min(start + bs, len(ds))))
+        x = jnp.stack([jnp.asarray(ds[i]['input_2d'])
+                       for i in idxs]) / 1000.0
+        out = np.asarray(model.apply(variables, x, train=False))
+        roots = np.stack([np.asarray(ds[i]['target_3d'])[:1]
+                          for i in idxs])
+        results.append(dict(preds=out + roots,
+                            target_idxs=[ds[i]['target_idx']
+                                         for i in idxs]))
+    metric = args.metric or cfg.get('evaluation', {}).get(
+        'metric', ['mpjpe'])
+    stats = ds.evaluate(results, metric=metric)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
 def run_voxelpose_eval(cfg, args):
     """VoxelPose eval path: per-frame multiview 3D inference ->
     PanopticMviewDataset.evaluate (reference mAP@25-150mm / MPJPE
@@ -251,6 +294,8 @@ def main():
         return run_interhand_eval(cfg, args)
     if cfg['model'].get('family') == 'voxelpose':
         return run_voxelpose_eval(cfg, args)
+    if cfg['model'].get('family') == 'pose_lifter':
+        return run_pose_lifter_eval(cfg, args)
     world = jax.process_count()
     model, ds, loader = build_eval_objects(cfg, args.batch_size,
                                            shard_by_process=world > 1)
