@@ -222,3 +222,76 @@ def test_train_mesh_model_from_config():
     variables, metrics = train_model(cfg, max_steps=2)
     assert 'gen' in variables and 'disc' in variables
     assert all(np.isfinite(v) for v in metrics.values()), metrics
+
+
+def test_mesh_dataset_evaluate_protocol():
+    """MeshDataset.evaluate matches the reference joint_error protocol:
+    predicting the GT joints exactly gives MPJPE == 0; a 10mm x-shift on
+    every pred joint gives MPJPE == 10mm and MPJPE-PA == 0 only after the
+    pelvis centring cancels the translation (it does, since the shift is
+    global)."""
+    from vitpose_tpu.data.mesh import MeshDataset
+    ds = MeshDataset('/root/reference/tests/data/h36m/test_h36m.npz',
+                     '/root/reference/tests/data/h36m')
+    gt = np.stack([r['joints_3d'] for r in ds.db])
+    results = [dict(keypoints_3d=gt,
+                    image_path=[r['image_file'] for r in ds.db])]
+    stats = ds.evaluate(results)
+    assert stats["MPJPE"] < 1e-3 and stats["MPJPE-PA"] < 1e-3
+    shifted = gt + np.array([0.01, 0.0, 0.0])
+    stats = ds.evaluate([dict(keypoints_3d=shifted,
+                              image_path=[r['image_file']
+                                          for r in ds.db])])
+    # global translation is removed by pelvis centring in BOTH metrics
+    assert stats['MPJPE'] < 1e-3
+
+
+def test_mesh_eval_cli(tmp_path):
+    """tools/test.py family dispatch for mesh: train 2 adversarial steps
+    -> final.npz -> CLI eval runs the joint_error protocol (finite
+    MPJPE / MPJPE-PA in mm)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+    from vitpose_tpu.train.loop import train_model
+
+    wd = str(tmp_path)
+    cfgd = dict(
+        model=dict(family='mesh', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18), num_iters=2,
+                   smpl='linear', disc_hidden=32),
+        data=dict(
+            image_size=(64, 64), batch_size=2,
+            train=dict(
+                configs=[dict(
+                    ann_file='/root/reference/tests/data/h36m/'
+                             'test_h36m.npz',
+                    img_prefix='/root/reference/tests/data/h36m')],
+                partition=[1.0],
+                adv_ann_file='/root/reference/tests/data/mosh/'
+                             'test_mosh.npz'),
+            val=dict(ann_file='/root/reference/tests/data/h36m/'
+                              'test_h36m.npz',
+                     img_prefix='/root/reference/tests/data/h36m')),
+        optimizer=dict(base_lr=1e-3, disc_lr=1e-4, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    train_model(cfgd, max_steps=2)
+    cfg_path = os.path.join(wd, 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        for k, v in cfgd.items():
+            f.write(f"{k} = {v!r}\n")
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_mesh', '/root/repo/tools/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['tools/test.py', cfg_path, os.path.join(wd, 'final.npz'),
+                '--out', os.path.join(wd, 'stats.json')]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    stats = json.load(open(os.path.join(wd, 'stats.json')))
+    assert set(stats) == {'MPJPE', 'MPJPE-PA'}
+    assert all(np.isfinite(v) for v in stats.values())

@@ -216,6 +216,57 @@ def run_pose_lifter_eval(cfg, args):
             json.dump({k: float(v) for k, v in stats.items()}, f)
 
 
+def run_mesh_eval(cfg, args):
+    """Mesh eval path: HMR inference over the val MeshDataset ->
+    MeshDataset.evaluate (reference MeshH36MDataset joint_error
+    protocol: 14 LSP joints, pelvis-centred MPJPE / MPJPE-PA in mm,
+    mesh_h36m_dataset.py:31)."""
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.data.mesh import MeshDataset
+    from vitpose_tpu.ops.geometry import affine_matrix
+
+    model = build_model_from_cfg(cfg['model'])
+    if not args.checkpoint.endswith('.npz'):
+        raise ValueError('mesh eval expects an .npz checkpoint '
+                         '(work_dir/final.npz from tools/train.py)')
+    from vitpose_tpu.utils.checkpoint import load_params_npz
+    variables = load_params_npz(args.checkpoint)
+    if 'gen' in variables:  # adversarial loop saves {'gen', 'disc'}
+        variables = variables['gen']
+    dcfg = cfg['data']
+    vcfg = dcfg['val']
+    image_size = tuple(dcfg.get('image_size', (224, 224)))
+    iw, ih = image_size
+    ds = MeshDataset(vcfg['ann_file'], vcfg.get('img_prefix', ''),
+                     image_size=image_size)
+    bs = dcfg.get('batch_size', 32)
+    results = []
+    for start in range(0, len(ds), bs):
+        recs = ds.db[start:start + bs]
+        crops = []
+        for rec in recs:
+            img = cv2.cvtColor(cv2.imread(rec['image_file']),
+                               cv2.COLOR_BGR2RGB)
+            mat = np.asarray(affine_matrix(
+                rec['center'][None], rec['scale'][None],
+                np.zeros((1,), np.float32), (iw, ih)))[0]
+            crops.append(cv2.warpAffine(img.astype(np.float32), mat,
+                                        (iw, ih), flags=cv2.INTER_LINEAR))
+        out = model.apply(variables,
+                          jnp.asarray(np.stack(crops) / 255.0, jnp.float32),
+                          train=False)
+        results.append(dict(keypoints_3d=np.asarray(out['joints_3d']),
+                            image_path=[r['image_file'] for r in recs]))
+    stats = ds.evaluate(results)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
 def run_voxelpose_eval(cfg, args):
     """VoxelPose eval path: per-frame multiview 3D inference ->
     PanopticMviewDataset.evaluate (reference mAP@25-150mm / MPJPE
@@ -296,6 +347,8 @@ def main():
         return run_voxelpose_eval(cfg, args)
     if cfg['model'].get('family') == 'pose_lifter':
         return run_pose_lifter_eval(cfg, args)
+    if cfg['model'].get('family') == 'mesh':
+        return run_mesh_eval(cfg, args)
     world = jax.process_count()
     model, ds, loader = build_eval_objects(cfg, args.batch_size,
                                            shard_by_process=world > 1)

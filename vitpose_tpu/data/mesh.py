@@ -161,6 +161,52 @@ class MeshDataset:
     def __len__(self):
         return len(self.db)
 
+    # 14 LSP evaluation joints out of the 24 SMPL-extended gt joints
+    # (reference mesh_h36m_dataset.py:81 joint_mapper)
+    EVAL_JOINTS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 18)
+
+    def evaluate(self, outputs, res_folder=None, metric='joint_error'):
+        """Reference MeshH36MDataset.evaluate (mesh_h36m_dataset.py:31):
+        collect per-image keypoints_3d, select the 14 LSP joints,
+        pelvis-center (mean of hips 2,3) both pred and gt, and report
+        MPJPE / MPJPE-PA (procrustes-aligned) in millimetres.
+
+        outputs: list of dicts with 'keypoints_3d' [M, 24, 3] and
+        'image_path' (list of M paths) — the batch results the mesh
+        inference path produces.
+        """
+        import json
+        from .body3d import keypoint_mpjpe
+        metrics = metric if isinstance(metric, list) else [metric]
+        for m in metrics:
+            if m != 'joint_error':
+                raise KeyError(f'metric {m} is not supported')
+        kpts = []
+        for out in outputs:
+            for keypoints, image_path in zip(np.asarray(out['keypoints_3d']),
+                                             out['image_path']):
+                kpts.append(dict(keypoints=np.asarray(keypoints, np.float64),
+                                 image=image_path))
+        if res_folder is not None:
+            res_file = os.path.join(res_folder, 'result_keypoints.json')
+            with open(res_file, 'w') as f:
+                json.dump([dict(keypoints=k['keypoints'].tolist(),
+                                image=k['image']) for k in kpts],
+                          f, sort_keys=True, indent=4)
+        assert len(kpts) == len(self.db)
+        mapper = list(self.EVAL_JOINTS)
+        pred = np.stack([k['keypoints'] for k in kpts])[:, mapper]
+        gt = np.stack([r['joints_3d'] for r in self.db])[:, mapper]
+        vis = np.stack([r['joints_3d_visible']
+                        for r in self.db])[:, mapper, 0] > 0
+        pred = pred - (pred[:, 2:3] + pred[:, 3:4]) / 2
+        gt = gt - (gt[:, 2:3] + gt[:, 3:4]) / 2
+        return {
+            'MPJPE': keypoint_mpjpe(pred, gt, vis) * 1000,
+            'MPJPE-PA': keypoint_mpjpe(pred, gt, vis,
+                                       alignment='procrustes') * 1000,
+        }
+
 
 class MoshDataset:
     """Real SMPL parameters for the discriminator (reference
