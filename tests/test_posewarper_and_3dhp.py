@@ -50,3 +50,90 @@ def test_3dhp_dataset_on_h36m_format():
     assert stats['3DPCK'] == 100.0
     assert stats['3DAUC'] > 95.0
     assert stats['MPJPE'] < 1e-6
+
+
+REF_PT = "/root/reference/tests/data/posetrack18"
+ANN_PT = f"{REF_PT}/annotations/test_posetrack18_val.json"
+
+
+def test_posetrack_video_dataset_windows():
+    """Video records carry key frame + supporting frames: test indices
+    (-2,-1,0,1,2) skip 0 (key is always first), missing support files
+    fall back to the key frame (the fixture only ships frame 000000)."""
+    from vitpose_tpu.data.posetrack import PoseTrackVideoDataset
+    ds = PoseTrackVideoDataset(ANN_PT, f'{REF_PT}/', test_mode=True,
+                               use_gt_bbox=True)
+    assert len(ds.db) > 0
+    assert ds.num_frames == 5
+    for rec in ds.db:
+        files = rec['image_files']
+        assert len(files) == 5
+        assert files[0] == rec['image_file']
+        # fixture has only 000000.jpg per sequence -> all supports fall
+        # back to the key frame
+        assert all(f == files[0] for f in files[1:])
+        assert rec['frame_weight'].shape == (5,)
+        assert rec['nframes'] > 1
+
+
+def test_posetrack_video_dataset_train_indices():
+    """Fixed train indices include 0 (reference does not skip the key
+    index in train mode) and the frame_weight switches to the train
+    tuple."""
+    from vitpose_tpu.data.posetrack import PoseTrackVideoDataset
+    ds = PoseTrackVideoDataset(ANN_PT, f'{REF_PT}/', test_mode=False,
+                               frame_indices_train=[-1, 0, 1],
+                               frame_weight_train=(0.2, 0.2, 0.4, 0.2))
+    assert ds.num_frames == 4          # key + 3 train indices
+    assert tuple(ds.db[0]['frame_weight']) == (0.2, 0.2, 0.4, 0.2)
+
+
+@pytest.mark.slow
+def test_posewarper_train_and_eval_cli(tmp_path):
+    """Config-driven PoseWarper: 2 train steps on the PoseTrack fixture
+    -> final.npz -> tools/test.py family dispatch computes poseval-style
+    mAP (finite, with per-part groups)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+    from vitpose_tpu.train.loop import train_model
+
+    wd = str(tmp_path)
+    cfgd = dict(
+        model=dict(family='posewarper', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18),
+                   neck=dict(out_channels=16, dilations=(1, 2)),
+                   head_overrides=dict(deconv_filters=(16,),
+                                       deconv_kernels=(4,)),
+                   out_channels=17),
+        data=dict(dataset='posetrack18', family='posetrack_video',
+                  image_size=(96, 128), heatmap_size=(6, 8),
+                  frame_indices=(-1, 0, 1), batch_size=2,
+                  train=dict(ann_file=ANN_PT, img_prefix=f'{REF_PT}/'),
+                  val=dict(ann_file=ANN_PT, img_prefix=f'{REF_PT}/')),
+        target=dict(encoding='MSRA', sigma=1.0),
+        optimizer=dict(base_lr=1e-4, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    variables, metrics = train_model(cfgd, max_steps=2)
+    assert np.isfinite(metrics['heatmap_loss'])
+    assert os.path.exists(os.path.join(wd, 'final.npz'))
+
+    cfg_path = os.path.join(wd, 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        for k, v in cfgd.items():
+            f.write(f"{k} = {v!r}\n")
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_pw', '/root/repo/tools/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['tools/test.py', cfg_path, os.path.join(wd, 'final.npz'),
+                '--out', os.path.join(wd, 'stats.json')]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    stats = json.load(open(os.path.join(wd, 'stats.json')))
+    assert 'Total AP' in stats and np.isfinite(stats['Total AP'])
+    assert 'Wri AP' in stats

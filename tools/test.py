@@ -216,6 +216,73 @@ def run_pose_lifter_eval(cfg, args):
             json.dump({k: float(v) for k, v in stats.items()}, f)
 
 
+def run_posewarper_eval(cfg, args):
+    """PoseWarper eval path: 5-frame windows (key frame first,
+    reference TopDownPoseTrack18VideoDataset test indices) -> temporal
+    aggregation forward -> heatmap decode -> PoseTrack poseval-style
+    mAP (posewarper.py forward_test + topdown_posetrack18_video_dataset
+    evaluate)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.train.posewarper_loop import load_window
+    from vitpose_tpu.data.posetrack import PoseTrackVideoDataset
+    from vitpose_tpu.ops.decode import keypoints_from_heatmaps
+
+    model = build_model_from_cfg(cfg['model'])
+    if not args.checkpoint.endswith('.npz'):
+        raise ValueError('posewarper eval expects an .npz checkpoint '
+                         '(work_dir/final.npz from tools/train.py)')
+    from vitpose_tpu.utils.checkpoint import load_params_npz
+    variables = load_params_npz(args.checkpoint)
+    dcfg = cfg['data']
+    vcfg = dcfg['val']
+    image_size = tuple(dcfg.get('image_size', (288, 384)))
+    heatmap_size = tuple(dcfg.get('heatmap_size', (72, 96)))
+    bbox_file = vcfg.get('bbox_file')
+    ds = PoseTrackVideoDataset(
+        vcfg['ann_file'], vcfg.get('img_prefix', ''),
+        image_size=image_size, heatmap_size=heatmap_size,
+        frame_indices_test=list(dcfg.get('frame_indices',
+                                         (-2, -1, 0, 1, 2))),
+        test_mode=True, use_gt_bbox=bbox_file is None,
+        bbox_file=bbox_file,
+        det_bbox_thr=dcfg.get('det_bbox_thr', 0.0))
+    bs = args.batch_size or dcfg.get('batch_size', 8)
+    post = cfg.get('test_cfg', {}).get('post_process', 'default')
+    results = []
+    for start in range(0, len(ds), bs):
+        recs = ds.db[start:start + bs]
+        frames, centers, scales = [], [], []
+        for rec in recs:
+            f, _, _, c, s = load_window(rec, image_size, rng=None)
+            frames.append(f)
+            centers.append(c)
+            scales.append(s)
+        heat = np.asarray(model.apply(variables,
+                                      jnp.asarray(np.stack(frames)),
+                                      train=False), np.float32)
+        c = np.stack(centers)
+        s = np.stack(scales)
+        preds, maxvals = keypoints_from_heatmaps(
+            heat, c, s, post_process=post)
+        kp = np.concatenate([np.asarray(preds), np.asarray(maxvals)],
+                            axis=-1)
+        area = np.prod(s * 200.0, axis=1, keepdims=True)
+        boxes = np.concatenate(
+            [c, s, area,
+             np.asarray([[r['bbox_score']] for r in recs])], axis=1)
+        results.append(dict(
+            preds=kp, boxes=boxes,
+            image_paths=[r['image_file'] for r in recs],
+            bbox_ids=[r['bbox_id'] for r in recs]))
+    stats = ds.evaluate(results, res_folder=args.tmpdir)
+    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({k: float(v) for k, v in stats.items()}, f)
+
+
 def run_mesh_eval(cfg, args):
     """Mesh eval path: HMR inference over the val MeshDataset ->
     MeshDataset.evaluate (reference MeshH36MDataset joint_error
@@ -349,6 +416,8 @@ def main():
         return run_pose_lifter_eval(cfg, args)
     if cfg['model'].get('family') == 'mesh':
         return run_mesh_eval(cfg, args)
+    if cfg['model'].get('family') == 'posewarper':
+        return run_posewarper_eval(cfg, args)
     world = jax.process_count()
     model, ds, loader = build_eval_objects(cfg, args.batch_size,
                                            shard_by_process=world > 1)

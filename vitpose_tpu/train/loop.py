@@ -258,11 +258,15 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         from .lifter_loop import train_pose_lifter_model
         return train_pose_lifter_model(cfg, work_dir=work_dir,
                                        resume=resume, max_steps=max_steps)
+    if family == 'posewarper':
+        from .posewarper_loop import train_posewarper_model
+        return train_posewarper_model(cfg, work_dir=work_dir,
+                                      resume=resume, max_steps=max_steps)
     if family != 'topdown':
         raise NotImplementedError(
             f'unknown model family {family!r}; train_model handles '
-            'topdown, bottomup, interhand3d, voxelpose, mesh, and '
-            'pose_lifter configs')
+            'topdown, bottomup, interhand3d, voxelpose, mesh, '
+            'posewarper, and pose_lifter configs')
     if isinstance(cfg['data'].get('train'), (list, tuple)):
         return train_model_moe(cfg, work_dir=work_dir, resume=resume,
                                max_steps=max_steps)

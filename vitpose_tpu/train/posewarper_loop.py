@@ -1,0 +1,174 @@
+"""PoseWarper (video top-down) training loop, config-driven.
+
+Counterpart of the reference PoseWarper training path
+(mmpose/models/detectors/posewarper.py driven by
+TopDownPoseTrack18VideoDataset + the standard top-down pipeline, apis/
+train.py): 5-frame windows share ONE affine (the bbox lives on the key
+frame), the key frame's joints make the MSRA heatmap target, and a
+single jit step runs backbone-over-all-frames -> deformable temporal
+aggregation -> heatmap head -> JointsMSELoss -> Adam.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..data.posetrack import PoseTrackVideoDataset
+from .interhand_loop import _save_loop_outputs
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def load_window(rec, image_size, flip_pairs=(), rng=None,
+                flip_prob=0.5, scale_factor=0.35, rot_factor=45,
+                rot_prob=0.6):
+    """One record -> (frames [T, H, W, 3] normalized, joints [K, 2] in
+    crop pixels, visible [K], center [2], scale [2]).
+
+    All frames of the window share the key frame's affine (the reference
+    TopDownAffine warps the whole image list with one matrix,
+    top_down_transform.py:295 applied to data['img'] lists). rng=None
+    disables augmentation (the test pipeline).
+    """
+    import cv2
+    from ..ops.geometry import bbox_xywh2cs, affine_matrix
+
+    iw, ih = int(image_size[0]), int(image_size[1])
+    imgs = [cv2.cvtColor(cv2.imread(f), cv2.COLOR_BGR2RGB)
+            for f in rec['image_files']]
+    joints = rec['joints_3d'][:, :2].astype(np.float32).copy()
+    vis = (rec['joints_3d_visible'][:, 0] > 0).astype(np.float32)
+    if 'center' in rec and 'scale' in rec:
+        c = np.asarray(rec['center'], np.float32).copy()
+        s = np.asarray(rec['scale'], np.float32).copy()
+    else:
+        c, s = bbox_xywh2cs(rec['bbox'], aspect_ratio=iw / ih)
+        c, s = np.array(c, np.float32), np.array(s, np.float32)
+    rot = 0.0
+    if rng is not None:
+        if rng.rand() <= flip_prob and len(flip_pairs):
+            w = imgs[0].shape[1]
+            imgs = [im[:, ::-1].copy() for im in imgs]
+            for a, b in flip_pairs:
+                joints[[a, b]] = joints[[b, a]]
+                vis[[a, b]] = vis[[b, a]]
+            joints[:, 0] = w - joints[:, 0] - 1
+            c[0] = w - c[0] - 1
+        sf, rf = scale_factor, rot_factor
+        s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+        rot = (np.clip(rng.randn() * rf, -rf * 2, rf * 2)
+               if rng.rand() <= rot_prob else 0.0)
+    mat = np.asarray(affine_matrix(c[None], s[None],
+                                   np.asarray([rot], np.float32),
+                                   (iw, ih)))[0]
+    crops = [cv2.warpAffine(im.astype(np.float32), mat, (iw, ih),
+                            flags=cv2.INTER_LINEAR) for im in imgs]
+    frames = np.stack(crops) / 255.0
+    frames = (frames - IMAGENET_MEAN) / IMAGENET_STD
+    jw = np.concatenate([joints, np.ones((len(joints), 1), np.float32)],
+                        axis=1) @ mat.T
+    return frames.astype(np.float32), jw[:, :2].astype(np.float32), \
+        vis, c, s
+
+
+def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
+                           resume: bool = False,
+                           max_steps: Optional[int] = None):
+    """Train a posewarper config (see
+    configs/posetrack/posewarper_hrnet_w48_posetrack18.py). Returns
+    (variables, last-step metrics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .loop import build_model_from_cfg
+    from ..models.losses import joints_mse_loss
+    from ..ops.target import generate_msra_heatmaps
+
+    model = build_model_from_cfg(cfg['model'])
+    dcfg = cfg['data']
+    image_size = tuple(dcfg.get('image_size', (288, 384)))
+    heatmap_size = tuple(dcfg.get('heatmap_size', (72, 96)))
+    tr = dcfg['train']
+    ds = PoseTrackVideoDataset(
+        tr['ann_file'], tr.get('img_prefix', ''),
+        image_size=image_size, heatmap_size=heatmap_size,
+        frame_indices_train=list(dcfg.get('frame_indices', (-1,)))
+        if dcfg.get('frame_indices') else None,
+        frame_index_rand=dcfg.get('frame_index_rand', False),
+        seed=cfg.get('seed', 0))
+    batch_size = dcfg.get('batch_size', 16)
+    sigma = cfg.get('target', {}).get('sigma', 3.0)
+    flip_pairs = ds.info.flip_pairs
+
+    ocfg = cfg.get('optimizer', {})
+    schedule = optax.piecewise_constant_schedule(
+        ocfg.get('base_lr', 1e-4),
+        {e * max(1, len(ds) // batch_size): 0.1
+         for e in ocfg.get('decay_epochs', ())})
+    tx = optax.adam(schedule)
+
+    rng = jax.random.PRNGKey(cfg.get('seed', 0))
+    t = ds.num_frames
+    iw, ih = image_size
+    dummy = jnp.zeros((1, t, ih, iw, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    params = variables['params']
+    stats = {k: v for k, v in variables.items() if k != 'params'}
+    opt_state = tx.init(params)
+
+    mutable_cols = list(stats) or ['batch_stats']
+
+    @jax.jit
+    def step(params, stats, opt_state, frames, target, weight):
+        def loss_fn(p):
+            out, new_vars = model.apply(
+                {'params': p, **stats}, frames, train=True,
+                mutable=mutable_cols)
+            return joints_mse_loss(out, target, weight), new_vars
+        (loss, new_vars), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_vars, opt_state, dict(heatmap_loss=loss)
+
+    metrics = {}
+    n_steps = 0
+    done = False
+    order = np.arange(len(ds))
+    steps_per_epoch = max(1, len(ds) // batch_size)
+    for epoch in range(ocfg.get('total_epochs', 20)):
+        prng = np.random.RandomState(cfg.get('seed', 0) + epoch)
+        prng.shuffle(order)
+        for b in range(steps_per_epoch):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            if len(idxs) < batch_size:
+                idxs = np.concatenate(
+                    [idxs, order[:batch_size - len(idxs)]])
+            frames, joints, viss = [], [], []
+            for i in idxs:
+                f, j, v, _, _ = load_window(ds.db[int(i)], image_size,
+                                            flip_pairs=flip_pairs,
+                                            rng=prng)
+                frames.append(f)
+                joints.append(j)
+                viss.append(v)
+            target, weight = generate_msra_heatmaps(
+                jnp.asarray(np.stack(joints)),
+                jnp.asarray(np.stack(viss)),
+                image_size, heatmap_size, sigma=sigma)
+            params, new_vars, opt_state, metrics = step(
+                params, stats, opt_state,
+                jnp.asarray(np.stack(frames)), target, weight)
+            stats = {k: v for k, v in new_vars.items() if k != 'params'}
+            n_steps += 1
+            if max_steps is not None and n_steps >= max_steps:
+                done = True
+                break
+        if done:
+            break
+    variables = {'params': params, **stats}
+    metrics = {m: float(v) for m, v in metrics.items()}
+    _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
+    return variables, metrics
