@@ -113,6 +113,7 @@ def test_posewarper_train_and_eval_cli(tmp_path):
                   train=dict(ann_file=ANN_PT, img_prefix=f'{REF_PT}/'),
                   val=dict(ann_file=ANN_PT, img_prefix=f'{REF_PT}/')),
         target=dict(encoding='MSRA', sigma=1.0),
+        test_cfg=dict(flip_test=True, shift_heatmap=True),
         optimizer=dict(base_lr=1e-4, total_epochs=1),
         runtime=dict(work_dir=wd))
     variables, metrics = train_model(cfgd, max_steps=2)

@@ -249,7 +249,8 @@ def run_posewarper_eval(cfg, args):
         bbox_file=bbox_file,
         det_bbox_thr=dcfg.get('det_bbox_thr', 0.0))
     bs = args.batch_size or dcfg.get('batch_size', 8)
-    post = cfg.get('test_cfg', {}).get('post_process', 'default')
+    tcfg = cfg.get('test_cfg', {})
+    post = tcfg.get('post_process', 'default')
     results = []
     for start in range(0, len(ds), bs):
         recs = ds.db[start:start + bs]
@@ -259,9 +260,20 @@ def run_posewarper_eval(cfg, args):
             frames.append(f)
             centers.append(c)
             scales.append(s)
-        heat = np.asarray(model.apply(variables,
-                                      jnp.asarray(np.stack(frames)),
-                                      train=False), np.float32)
+        fw = jnp.asarray(recs[0]['frame_weight'])
+        x = jnp.asarray(np.stack(frames))
+        heat = model.apply(variables, x, train=False, frame_weight=fw,
+                           key_index=0)
+        if tcfg.get('flip_test', False):
+            # reference PoseWarper.forward_test flip-test averaging
+            # (posewarper.py:169-199, 1px shift_heatmap)
+            hm_f = model.apply(variables, x[:, :, :, ::-1, :],
+                               train=False, frame_weight=fw, key_index=0)
+            hm_f = hm_f[:, jnp.asarray(ds.info.flip_index)][..., ::-1]
+            if tcfg.get('shift_heatmap', True):
+                hm_f = hm_f.at[..., 1:].set(hm_f[..., :-1])
+            heat = (heat + hm_f) * 0.5
+        heat = np.asarray(heat, np.float32)
         c = np.stack(centers)
         s = np.stack(scales)
         preds, maxvals = keypoints_from_heatmaps(

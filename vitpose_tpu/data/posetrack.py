@@ -226,9 +226,11 @@ class PoseTrackVideoDataset(PoseTrackDataset):
         rec['image_files'] = files
         rec['nframes'] = nframes
         rec['frame_id'] = img.get('frame_id', img_id)
-        rec['frame_weight'] = np.asarray(
-            self.frame_weight_test if self.test_mode
-            else self.frame_weight_train, np.float32)
+        fw = np.asarray(self.frame_weight_test if self.test_mode
+                        else self.frame_weight_train, np.float32)
+        if len(fw) != len(files):   # window length diverges from the
+            fw = np.full((len(files),), 1.0 / len(files), np.float32)
+        rec['frame_weight'] = fw
 
     def evaluate(self, results, res_folder=None, metric='mAP',
                  rle_score=False, **kw):

@@ -36,7 +36,11 @@ class PoseWarperNeck(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, key, supports, train: bool = False):
+    def __call__(self, key, supports, train: bool = False,
+                 frame_weight=None):
+        # frame_weight: optional [T] per-frame aggregation weights
+        # (reference posewarper_neck.py:283-318 multiplies each warped
+        # feature by frame_weight[i]); None -> uniform mean over T.
         n, t, h, w, c = supports.shape
         k = self.kernel
         key_p = nn.Conv(self.out_channels, (1, 1), use_bias=False,
@@ -58,6 +62,10 @@ class PoseWarperNeck(nn.Module):
                     name=f'offset_d{di}')
             for di, dil in enumerate(self.dilations)]
 
+        if frame_weight is None:
+            fw = jnp.full((t,), 1.0 / t, self.dtype)
+        else:
+            fw = jnp.asarray(frame_weight, self.dtype)
         agg = None
         for ti in range(t):
             sup_p = sup_bn(reduce_sup(supports[:, ti]))
@@ -69,5 +77,6 @@ class PoseWarperNeck(nn.Module):
                                     dilation=dil)
                 warped = out if warped is None else warped + out
             warped = warped / len(self.dilations)
+            warped = warped * fw[ti]
             agg = warped if agg is None else agg + warped
-        return agg / t
+        return agg

@@ -24,7 +24,13 @@ class PoseWarper(nn.Module):
     backbone_mode_kwarg: str = 'train'
 
     @nn.compact
-    def __call__(self, frames, train: bool = False):
+    def __call__(self, frames, train: bool = False, frame_weight=None,
+                 key_index=None):
+        # frame_weight: optional [T] per-frame aggregation weights
+        # forwarded to the neck (reference posewarper.py:120-132 reads
+        # img_metas frame_weight). key_index: static index of the key
+        # frame in the window — 0 for PoseTrackVideoDataset windows (key
+        # frame first), default T//2 for symmetric windows.
         n, t, h, w, c = frames.shape
         kw = ({'deterministic': not train}
               if self.backbone_mode_kwarg == 'deterministic'
@@ -33,8 +39,9 @@ class PoseWarper(nn.Module):
         feats = self.backbone(frames.reshape(n * t, h, w, c), **kw)
         fh, fw, fc = feats.shape[1:]
         feats = feats.reshape(n, t, fh, fw, fc)
-        key = feats[:, t // 2]
-        agg = self.neck(key, feats, train=train)
+        key = feats[:, t // 2 if key_index is None else int(key_index)]
+        agg = self.neck(key, feats, train=train,
+                        frame_weight=frame_weight)
         out = self.head(agg, train=train)
         return out.transpose(0, 3, 1, 2)
 

@@ -125,7 +125,7 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
         def loss_fn(p):
             out, new_vars = model.apply(
                 {'params': p, **stats}, frames, train=True,
-                mutable=mutable_cols)
+                key_index=0, mutable=mutable_cols)
             return joints_mse_loss(out, target, weight), new_vars
         (loss, new_vars), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
