@@ -193,3 +193,29 @@ def test_pose_lifter_eval_cli(tmp_path):
     stats = json.load(open(os.path.join(wd, 'stats.json')))
     assert set(stats) == {'MPJPE', 'P-MPJPE', 'N-MPJPE'}
     assert all(np.isfinite(v) for v in stats.values())
+
+
+def test_pose_lifter_in_loop_validation(tmp_path):
+    """`evaluation = dict(interval=1)` runs the H36M MPJPE protocol at
+    epoch end and appends a mode='val' line to train.log.json (EvalHook
+    parity for the pose_lifter family)."""
+    import json
+    import os
+    from vitpose_tpu.train.loop import train_model
+
+    wd = str(tmp_path)
+    cfg = dict(
+        model=dict(family='pose_lifter', num_joints=17,
+                   stem_channels=32, kernel_sizes=(3, 3)),
+        data=dict(dataset='h36m', seq_len=9, batch_size=2,
+                  train=dict(ann_file=f"{REF}/test_h36m_body3d.npz"),
+                  val=dict(ann_file=f"{REF}/test_h36m_body3d.npz")),
+        optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
+        evaluation=dict(interval=1, metric=['mpjpe', 'p-mpjpe']),
+        runtime=dict(work_dir=wd))
+    train_model(cfg)
+    lines = [json.loads(l) for l in
+             open(os.path.join(wd, 'train.log.json'))]
+    val = [l for l in lines if l.get('mode') == 'val']
+    assert len(val) == 1 and val[0]['epoch'] == 1
+    assert np.isfinite(val[0]['MPJPE']) and np.isfinite(val[0]['P-MPJPE'])

@@ -295,3 +295,39 @@ def test_mesh_eval_cli(tmp_path):
     stats = json.load(open(os.path.join(wd, 'stats.json')))
     assert set(stats) == {'MPJPE', 'MPJPE-PA'}
     assert all(np.isfinite(v) for v in stats.values())
+
+
+def test_mesh_in_loop_validation(tmp_path):
+    """`evaluation = dict(interval=1)` runs the joint_error protocol at
+    epoch end of the adversarial loop and logs a mode='val' line."""
+    import json
+    import os
+    from vitpose_tpu.train.loop import train_model
+
+    wd = str(tmp_path)
+    cfg = dict(
+        model=dict(family='mesh', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18), num_iters=2,
+                   smpl='linear', disc_hidden=32),
+        data=dict(
+            image_size=(64, 64), batch_size=2,
+            train=dict(
+                configs=[dict(
+                    ann_file='/root/reference/tests/data/h36m/'
+                             'test_h36m.npz',
+                    img_prefix='/root/reference/tests/data/h36m')],
+                partition=[1.0],
+                adv_ann_file='/root/reference/tests/data/mosh/'
+                             'test_mosh.npz'),
+            val=dict(ann_file='/root/reference/tests/data/h36m/'
+                              'test_h36m.npz',
+                     img_prefix='/root/reference/tests/data/h36m')),
+        optimizer=dict(base_lr=1e-3, disc_lr=1e-4, total_epochs=1),
+        evaluation=dict(interval=1),
+        runtime=dict(work_dir=wd))
+    train_model(cfg)
+    lines = [json.loads(l) for l in
+             open(os.path.join(wd, 'train.log.json'))]
+    val = [l for l in lines if l.get('mode') == 'val']
+    assert len(val) == 1
+    assert np.isfinite(val[0]['MPJPE']) and np.isfinite(val[0]['MPJPE-PA'])

@@ -196,6 +196,12 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
                 break
         if done:
             break
+        if _should_eval(cfg, epoch):
+            from ..eval.families import evaluate_interhand3d
+            cur = {k: {**stats[k], 'params': params[k]} for k in params}
+            _log_val_stats(cfg, work_dir,
+                           evaluate_interhand3d(cfg, model, cur),
+                           epoch + 1)
     variables = {k: {**stats[k], 'params': params[k]} for k in params}
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
@@ -215,3 +221,25 @@ def _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps):
     save_params_npz(os.path.join(work_dir, 'final.npz'), variables)
     with open(os.path.join(work_dir, 'train.log.json'), 'a') as f:
         f.write(json.dumps(dict(metrics, step=n_steps)) + '\n')
+
+
+def _log_val_stats(cfg, work_dir, stats, epoch):
+    """Append a mode='val' line to train.log.json (the EvalHook logging
+    contract the topdown loop provides)."""
+    import json
+    import os
+    work_dir = work_dir or cfg.get('runtime', {}).get('work_dir')
+    if not work_dir:
+        return
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, 'train.log.json'), 'a') as f:
+        f.write(json.dumps(dict({k: float(v) for k, v in stats.items()},
+                                mode='val', epoch=epoch)) + '\n')
+
+
+def _should_eval(cfg, epoch):
+    """True when the reference-style `evaluation = dict(interval=N)`
+    config asks for validation after this (0-based) epoch."""
+    interval = cfg.get('evaluation', {}).get('interval', 0)
+    return bool(interval) and 'val' in cfg.get('data', {}) \
+        and (epoch + 1) % interval == 0

@@ -13,7 +13,8 @@ from typing import Optional
 import numpy as np
 
 from ..data.body3d import Body3DH36MDataset
-from .interhand_loop import _save_loop_outputs
+from .interhand_loop import (_log_val_stats, _save_loop_outputs,
+                             _should_eval)
 
 
 def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
@@ -86,6 +87,11 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
                 break
         if done:
             break
+        if _should_eval(cfg, epoch):
+            from ..eval.families import evaluate_pose_lifter
+            _log_val_stats(cfg, work_dir,
+                           evaluate_pose_lifter(cfg, model, variables),
+                           epoch + 1)
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
     return variables, metrics

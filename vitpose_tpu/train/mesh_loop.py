@@ -16,7 +16,8 @@ import numpy as np
 
 from ..data.mesh import (MeshAdvLoader, MeshDataset, MeshMixDataset,
                          MoshDataset)
-from .interhand_loop import _save_loop_outputs
+from .interhand_loop import (_log_val_stats, _save_loop_outputs,
+                             _should_eval)
 
 
 def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
@@ -79,6 +80,10 @@ def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
                 break
         if done:
             break
+        if _should_eval(cfg, epoch):
+            from ..eval.families import evaluate_mesh
+            _log_val_stats(cfg, work_dir,
+                           evaluate_mesh(cfg, mesh, gen_vars), epoch + 1)
     variables = {'gen': gen_vars, 'disc': disc_vars}
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)

@@ -15,7 +15,8 @@ from typing import Optional
 import numpy as np
 
 from ..data.posetrack import PoseTrackVideoDataset
-from .interhand_loop import _save_loop_outputs
+from .interhand_loop import (_log_val_stats, _save_loop_outputs,
+                             _should_eval)
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -168,6 +169,12 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
                 break
         if done:
             break
+        if _should_eval(cfg, epoch):
+            from ..eval.families import evaluate_posewarper
+            _log_val_stats(cfg, work_dir,
+                           evaluate_posewarper(
+                               cfg, model, {'params': params, **stats}),
+                           epoch + 1)
     variables = {'params': params, **stats}
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)

@@ -27,7 +27,8 @@ import numpy as np
 
 from ..data.panoptic_mview import PanopticMviewDataset
 from ..ops.target import generate_voxel_3d_targets
-from .interhand_loop import _save_loop_outputs
+from .interhand_loop import (_log_val_stats, _save_loop_outputs,
+                             _should_eval)
 
 
 def gt_projected_heatmaps(frame, cameras, num_joints, heatmap_size,
@@ -144,6 +145,12 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
                 _save_loop_outputs(cfg, work_dir, variables, metrics,
                                    n_steps)
                 return variables, metrics
+        if _should_eval(cfg, _epoch):
+            from ..eval.families import evaluate_voxelpose
+            _log_val_stats(cfg, work_dir,
+                           evaluate_voxelpose(cfg, model,
+                                              _rebuild(trainable, stats)),
+                           _epoch + 1)
     variables = _rebuild(trainable, stats)
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
     return variables, metrics
