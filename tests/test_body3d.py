@@ -212,10 +212,13 @@ def test_pose_lifter_in_loop_validation(tmp_path):
                   val=dict(ann_file=f"{REF}/test_h36m_body3d.npz")),
         optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
         evaluation=dict(interval=1, metric=['mpjpe', 'p-mpjpe']),
-        runtime=dict(work_dir=wd))
+        runtime=dict(work_dir=wd, save_best='MPJPE',
+                     save_best_mode='min'))
     train_model(cfg)
     lines = [json.loads(l) for l in
              open(os.path.join(wd, 'train.log.json'))]
     val = [l for l in lines if l.get('mode') == 'val']
     assert len(val) == 1 and val[0]['epoch'] == 1
     assert np.isfinite(val[0]['MPJPE']) and np.isfinite(val[0]['P-MPJPE'])
+    # save_best tracked the MPJPE metric into best.npz
+    assert os.path.exists(os.path.join(wd, 'best.npz'))

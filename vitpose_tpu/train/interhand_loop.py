@@ -185,6 +185,7 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
     metrics = {}
     n_steps = 0
     done = False
+    best = None
     for epoch in range(total_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
@@ -199,9 +200,9 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
         if _should_eval(cfg, epoch):
             from ..eval.families import evaluate_interhand3d
             cur = {k: {**stats[k], 'params': params[k]} for k in params}
-            _log_val_stats(cfg, work_dir,
-                           evaluate_interhand3d(cfg, model, cur),
-                           epoch + 1)
+            stats_val = evaluate_interhand3d(cfg, model, cur)
+            _log_val_stats(cfg, work_dir, stats_val, epoch + 1)
+            best = _save_best_ckpt(cfg, work_dir, stats_val, cur, best)
     variables = {k: {**stats[k], 'params': params[k]} for k in params}
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
@@ -243,3 +244,24 @@ def _should_eval(cfg, epoch):
     interval = cfg.get('evaluation', {}).get('interval', 0)
     return bool(interval) and 'val' in cfg.get('data', {}) \
         and (epoch + 1) % interval == 0
+
+
+def _save_best_ckpt(cfg, work_dir, stats, variables, best):
+    """`runtime.save_best = '<metric>'` (+ save_best_mode min/max) keeps
+    the best-scoring weights in work_dir/best.npz — the EvalHook
+    best-checkpoint contract (reference core/evaluation/eval_hooks.py +
+    checkpoint hook save_best). Returns the updated best value."""
+    import os
+    rcfg = cfg.get('runtime', {})
+    key = rcfg.get('save_best')
+    work_dir = work_dir or rcfg.get('work_dir')
+    if not key or key not in stats or not work_dir:
+        return best
+    mode = rcfg.get('save_best_mode', 'max')
+    v = float(stats[key])
+    if best is None or (v < best if mode == 'min' else v > best):
+        from ..utils.checkpoint import save_params_npz
+        os.makedirs(work_dir, exist_ok=True)
+        save_params_npz(os.path.join(work_dir, 'best.npz'), variables)
+        return v
+    return best

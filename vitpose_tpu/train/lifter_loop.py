@@ -13,8 +13,8 @@ from typing import Optional
 import numpy as np
 
 from ..data.body3d import Body3DH36MDataset
-from .interhand_loop import (_log_val_stats, _save_loop_outputs,
-                             _should_eval)
+from .interhand_loop import (_log_val_stats, _save_best_ckpt,
+                             _save_loop_outputs, _should_eval)
 
 
 def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
@@ -66,6 +66,7 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
     metrics = {}
     n_steps = 0
     done = False
+    best = None
     order = np.arange(len(ds))
     for epoch in range(total_epochs):
         np.random.RandomState(cfg.get('seed', 0) + epoch).shuffle(order)
@@ -89,9 +90,10 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
             break
         if _should_eval(cfg, epoch):
             from ..eval.families import evaluate_pose_lifter
-            _log_val_stats(cfg, work_dir,
-                           evaluate_pose_lifter(cfg, model, variables),
-                           epoch + 1)
+            stats_val = evaluate_pose_lifter(cfg, model, variables)
+            _log_val_stats(cfg, work_dir, stats_val, epoch + 1)
+            best = _save_best_ckpt(cfg, work_dir, stats_val, variables,
+                                   best)
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
     return variables, metrics

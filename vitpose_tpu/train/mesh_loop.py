@@ -16,8 +16,8 @@ import numpy as np
 
 from ..data.mesh import (MeshAdvLoader, MeshDataset, MeshMixDataset,
                          MoshDataset)
-from .interhand_loop import (_log_val_stats, _save_loop_outputs,
-                             _should_eval)
+from .interhand_loop import (_log_val_stats, _save_best_ckpt,
+                             _save_loop_outputs, _should_eval)
 
 
 def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
@@ -67,6 +67,7 @@ def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
     metrics = {}
     n_steps = 0
     done = False
+    best = None
     for epoch in range(ocfg.get('total_epochs', 100)):
         loader.set_epoch(epoch)
         for batch in loader:
@@ -82,8 +83,11 @@ def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
             break
         if _should_eval(cfg, epoch):
             from ..eval.families import evaluate_mesh
-            _log_val_stats(cfg, work_dir,
-                           evaluate_mesh(cfg, mesh, gen_vars), epoch + 1)
+            stats_val = evaluate_mesh(cfg, mesh, gen_vars)
+            _log_val_stats(cfg, work_dir, stats_val, epoch + 1)
+            best = _save_best_ckpt(cfg, work_dir, stats_val,
+                                   {'gen': gen_vars, 'disc': disc_vars},
+                                   best)
     variables = {'gen': gen_vars, 'disc': disc_vars}
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)

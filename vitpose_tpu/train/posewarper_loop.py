@@ -15,8 +15,8 @@ from typing import Optional
 import numpy as np
 
 from ..data.posetrack import PoseTrackVideoDataset
-from .interhand_loop import (_log_val_stats, _save_loop_outputs,
-                             _should_eval)
+from .interhand_loop import (_log_val_stats, _save_best_ckpt,
+                             _save_loop_outputs, _should_eval)
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -137,6 +137,7 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
     metrics = {}
     n_steps = 0
     done = False
+    best = None
     order = np.arange(len(ds))
     steps_per_epoch = max(1, len(ds) // batch_size)
     for epoch in range(ocfg.get('total_epochs', 20)):
@@ -171,10 +172,11 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
             break
         if _should_eval(cfg, epoch):
             from ..eval.families import evaluate_posewarper
-            _log_val_stats(cfg, work_dir,
-                           evaluate_posewarper(
-                               cfg, model, {'params': params, **stats}),
-                           epoch + 1)
+            stats_val = evaluate_posewarper(
+                cfg, model, {'params': params, **stats})
+            _log_val_stats(cfg, work_dir, stats_val, epoch + 1)
+            best = _save_best_ckpt(cfg, work_dir, stats_val,
+                                   {'params': params, **stats}, best)
     variables = {'params': params, **stats}
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)

@@ -27,8 +27,8 @@ import numpy as np
 
 from ..data.panoptic_mview import PanopticMviewDataset
 from ..ops.target import generate_voxel_3d_targets
-from .interhand_loop import (_log_val_stats, _save_loop_outputs,
-                             _should_eval)
+from .interhand_loop import (_log_val_stats, _save_best_ckpt,
+                             _save_loop_outputs, _should_eval)
 
 
 def gt_projected_heatmaps(frame, cameras, num_joints, heatmap_size,
@@ -102,6 +102,7 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
 
     metrics = {}
     n_steps = 0
+    best = None
     epochs = ocfg.get('total_epochs', 15)
     for _epoch in range(epochs):
         for idx in range(len(ds)):
@@ -147,10 +148,11 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
                 return variables, metrics
         if _should_eval(cfg, _epoch):
             from ..eval.families import evaluate_voxelpose
-            _log_val_stats(cfg, work_dir,
-                           evaluate_voxelpose(cfg, model,
-                                              _rebuild(trainable, stats)),
-                           _epoch + 1)
+            stats_val = evaluate_voxelpose(cfg, model,
+                                           _rebuild(trainable, stats))
+            _log_val_stats(cfg, work_dir, stats_val, _epoch + 1)
+            best = _save_best_ckpt(cfg, work_dir, stats_val,
+                                   _rebuild(trainable, stats), best)
     variables = _rebuild(trainable, stats)
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
     return variables, metrics
