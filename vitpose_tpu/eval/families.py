@@ -26,6 +26,7 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
     ds = Body3DH36MDataset(dcfg['val']['ann_file'],
                            seq_len=dcfg.get('seq_len', 27),
                            causal=dcfg.get('causal', False),
+                           det_file=dcfg['val'].get('det_file'),
                            test_mode=True)
     bs = dcfg.get('batch_size', 128)
     results = []
