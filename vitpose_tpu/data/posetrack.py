@@ -153,6 +153,70 @@ class PoseTrackDataset(TopDownDataset):
                          canvas_size=canvas_size, **kw)
 
 
+    def evaluate(self, results, res_folder=None, metric='mAP',
+                 rle_score=False, **kw):
+        """Rescoring + OKS-NMS, per-video json writing, poseval-style AP."""
+        metrics = (list(metric) if isinstance(metric, (list, tuple))
+                   else [metric])
+        for m in metrics:
+            if m != 'mAP':
+                raise KeyError(f'metric {m} is not supported '
+                               '(PoseTrack evaluates poseval mAP)')
+        detections = self._collect_detections(results, None, rle_score)
+        by_image = defaultdict(list)
+        for det in detections:
+            by_image[det['image_id']].append(det)
+
+        # group images per video (vid_id field of the PoseTrack jsons)
+        videos = defaultdict(list)
+        for img_id, img in self.coco.imgs.items():
+            videos[img.get('vid_id', 'seq')].append(img_id)
+
+        if res_folder is not None:
+            os.makedirs(res_folder, exist_ok=True)
+            for vid, img_ids in videos.items():
+                out = dict(images=[], annotations=[])
+                for img_id in sorted(img_ids):
+                    im = self.coco.imgs[img_id]
+                    out['images'].append(dict(
+                        id=img_id, file_name=im['file_name']))
+                    for tid, det in enumerate(by_image.get(img_id, [])):
+                        kp = np.asarray(det['keypoints']).reshape(-1, 3)
+                        out['annotations'].append(dict(
+                            image_id=img_id,
+                            keypoints=kp.flatten().tolist(),
+                            scores=kp[:, 2].tolist(),
+                            score=det['score'], track_id=tid))
+                with open(os.path.join(res_folder, f'{vid}.json'), 'w') as f:
+                    json.dump(out, f)
+
+        # build gt/pred frame lists over all labeled frames
+        gt_frames, pred_frames = [], []
+        k = self.num_joints
+        for vid, img_ids in videos.items():
+            for img_id in sorted(img_ids):
+                if not self.coco.imgs[img_id].get('is_labeled', True):
+                    continue
+                gts = []
+                for ann in self.coco.loadAnns(
+                        self.coco.getAnnIds(imgIds=img_id)):
+                    if 'keypoints' not in ann or 'bbox_head' not in ann:
+                        continue
+                    kp = np.asarray(ann['keypoints'],
+                                    np.float32).reshape(-1, 3)
+                    if kp.shape[0] != k or (kp[:, 2] > 0).sum() == 0:
+                        continue
+                    gts.append(dict(joints=kp,
+                                    head_size=_head_size(ann['bbox_head'])))
+                preds = [dict(joints=np.asarray(det['keypoints'],
+                                                np.float32).reshape(-1, 3))
+                         for det in by_image.get(img_id, [])]
+                gt_frames.append(gts)
+                pred_frames.append(preds)
+        return evaluate_posetrack_ap(gt_frames, pred_frames,
+                                     num_joints=k)
+
+
 class PoseTrackVideoDataset(PoseTrackDataset):
     """PoseTrack18 video dataset for PoseWarper: each record carries the
     key frame plus supporting-frame paths and per-frame weights
@@ -231,66 +295,3 @@ class PoseTrackVideoDataset(PoseTrackDataset):
         if len(fw) != len(files):   # window length diverges from the
             fw = np.full((len(files),), 1.0 / len(files), np.float32)
         rec['frame_weight'] = fw
-
-    def evaluate(self, results, res_folder=None, metric='mAP',
-                 rle_score=False, **kw):
-        """Rescoring + OKS-NMS, per-video json writing, poseval-style AP."""
-        metrics = (list(metric) if isinstance(metric, (list, tuple))
-                   else [metric])
-        for m in metrics:
-            if m != 'mAP':
-                raise KeyError(f'metric {m} is not supported '
-                               '(PoseTrack evaluates poseval mAP)')
-        detections = self._collect_detections(results, None, rle_score)
-        by_image = defaultdict(list)
-        for det in detections:
-            by_image[det['image_id']].append(det)
-
-        # group images per video (vid_id field of the PoseTrack jsons)
-        videos = defaultdict(list)
-        for img_id, img in self.coco.imgs.items():
-            videos[img.get('vid_id', 'seq')].append(img_id)
-
-        if res_folder is not None:
-            os.makedirs(res_folder, exist_ok=True)
-            for vid, img_ids in videos.items():
-                out = dict(images=[], annotations=[])
-                for img_id in sorted(img_ids):
-                    im = self.coco.imgs[img_id]
-                    out['images'].append(dict(
-                        id=img_id, file_name=im['file_name']))
-                    for tid, det in enumerate(by_image.get(img_id, [])):
-                        kp = np.asarray(det['keypoints']).reshape(-1, 3)
-                        out['annotations'].append(dict(
-                            image_id=img_id,
-                            keypoints=kp.flatten().tolist(),
-                            scores=kp[:, 2].tolist(),
-                            score=det['score'], track_id=tid))
-                with open(os.path.join(res_folder, f'{vid}.json'), 'w') as f:
-                    json.dump(out, f)
-
-        # build gt/pred frame lists over all labeled frames
-        gt_frames, pred_frames = [], []
-        k = self.num_joints
-        for vid, img_ids in videos.items():
-            for img_id in sorted(img_ids):
-                if not self.coco.imgs[img_id].get('is_labeled', True):
-                    continue
-                gts = []
-                for ann in self.coco.loadAnns(
-                        self.coco.getAnnIds(imgIds=img_id)):
-                    if 'keypoints' not in ann or 'bbox_head' not in ann:
-                        continue
-                    kp = np.asarray(ann['keypoints'],
-                                    np.float32).reshape(-1, 3)
-                    if kp.shape[0] != k or (kp[:, 2] > 0).sum() == 0:
-                        continue
-                    gts.append(dict(joints=kp,
-                                    head_size=_head_size(ann['bbox_head'])))
-                preds = [dict(joints=np.asarray(det['keypoints'],
-                                                np.float32).reshape(-1, 3))
-                         for det in by_image.get(img_id, [])]
-                gt_frames.append(gts)
-                pred_frames.append(preds)
-        return evaluate_posetrack_ap(gt_frames, pred_frames,
-                                     num_joints=k)
