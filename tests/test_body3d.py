@@ -212,8 +212,9 @@ def test_pose_lifter_in_loop_validation(tmp_path):
                   val=dict(ann_file=f"{REF}/test_h36m_body3d.npz")),
         optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
         evaluation=dict(interval=1, metric=['mpjpe', 'p-mpjpe']),
-        runtime=dict(work_dir=wd, save_best='MPJPE',
-                     save_best_mode='min'))
+        runtime=dict(work_dir=wd, save_best='MPJPE'))
+    # no explicit save_best_mode: MPJPE must be inferred less-is-better
+    # (reference MMPOSE_LESS_KEYS)
     train_model(cfg)
     lines = [json.loads(l) for l in
              open(os.path.join(wd, 'train.log.json'))]

@@ -138,3 +138,28 @@ def test_posewarper_train_and_eval_cli(tmp_path):
     stats = json.load(open(os.path.join(wd, 'stats.json')))
     assert 'Total AP' in stats and np.isfinite(stats['Total AP'])
     assert 'Wri AP' in stats
+
+
+def test_save_best_mode_inference(tmp_path):
+    """_save_best_ckpt infers less-is-better for error metrics (MPJPE)
+    and greater-is-better otherwise, without an explicit mode."""
+    import os
+    from vitpose_tpu.train.interhand_loop import _save_best_ckpt
+
+    wd = str(tmp_path)
+    cfg = dict(runtime=dict(save_best='MPJPE'))
+    varset = {'w': np.zeros(2)}
+    best = _save_best_ckpt(cfg, wd, {'MPJPE': 50.0}, varset, None)
+    assert best == 50.0 and os.path.exists(os.path.join(wd, 'best.npz'))
+    # worse (higher) MPJPE must NOT overwrite best
+    best = _save_best_ckpt(cfg, wd, {'MPJPE': 60.0}, varset, best)
+    assert best == 50.0
+    best = _save_best_ckpt(cfg, wd, {'MPJPE': 40.0}, varset, best)
+    assert best == 40.0
+    # AP-style metric: greater is better; accepted from evaluation too
+    cfg2 = dict(evaluation=dict(save_best='Total AP'))
+    best2 = _save_best_ckpt(cfg2, wd, {'Total AP': 10.0}, varset, None)
+    best2 = _save_best_ckpt(cfg2, wd, {'Total AP': 5.0}, varset, best2)
+    assert best2 == 10.0
+    best2 = _save_best_ckpt(cfg2, wd, {'Total AP': 12.0}, varset, best2)
+    assert best2 == 12.0

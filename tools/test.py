@@ -167,7 +167,8 @@ def run_posewarper_eval(cfg, args):
     model = build_model_from_cfg(cfg['model'])
     stats = evaluate_posewarper(cfg, model, _load_family_npz(args),
                                 batch_size=args.batch_size,
-                                res_folder=args.tmpdir)
+                                res_folder=args.tmpdir,
+                                metric=args.metric)
     _emit_stats(stats, args)
 
 
@@ -178,7 +179,8 @@ def run_mesh_eval(cfg, args):
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.eval.families import evaluate_mesh
     model = build_model_from_cfg(cfg['model'])
-    stats = evaluate_mesh(cfg, model, _load_family_npz(args))
+    stats = evaluate_mesh(cfg, model, _load_family_npz(args),
+                          metric=args.metric)
     _emit_stats(stats, args)
 
 

@@ -16,7 +16,16 @@ model = dict(
 data = dict(
     dataset='posetrack18', family='posetrack_video',
     image_size=(288, 384), heatmap_size=(72, 96),
-    frame_indices=(-2, -1, 0, 1, 2), batch_size=16, num_workers=8,
+    # test window (reference frame_indices_test); training samples ONE
+    # random adjacent frame per record (frame_index_rand, stage-2
+    # recipe) with frame_weight_train=(0.0, 1.0) — only the warped
+    # support feature is supervised
+    frame_indices=(-2, -1, 0, 1, 2),
+    frame_index_range=(-2, 2), num_adj_frames=1,
+    frame_weight_train=(0.0, 1.0),
+    batch_size=16, num_workers=8,
+    aug=dict(flip_prob=0.5, half_body_prob=0.3, scale_factor=0.35,
+             rot_factor=45, rot_prob=0.6),
     train=dict(ann_file=f'{_ROOT}/annotations/posetrack18_train.json',
                img_prefix=f'{_ROOT}/'),
     val=dict(ann_file=f'{_ROOT}/annotations/posetrack18_val.json',
@@ -25,6 +34,7 @@ data = dict(
                        'posetrack18_val_human_detections.json'),
 )
 target = dict(encoding='MSRA', sigma=3.0)
-optimizer = dict(base_lr=1e-4, warmup_iters=500, decay_epochs=(10, 15),
-                 total_epochs=20)
+test_cfg = dict(flip_test=True, shift_heatmap=True,
+                post_process='default')
+optimizer = dict(base_lr=1e-4, decay_epochs=(10, 15), total_epochs=20)
 runtime = dict(work_dir='work_dirs/posewarper_hrnet_w48_posetrack18')

@@ -44,7 +44,7 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
     return ds.evaluate(results, metric=metric)
 
 
-def evaluate_mesh(cfg: dict, model, variables):
+def evaluate_mesh(cfg: dict, model, variables, metric=None):
     """HMR inference over the val MeshDataset -> joint_error protocol
     (reference MeshH36MDataset, mesh_h36m_dataset.py:31: 14 LSP joints,
     pelvis-centred MPJPE / MPJPE-PA in mm)."""
@@ -80,12 +80,14 @@ def evaluate_mesh(cfg: dict, model, variables):
                           train=False)
         results.append(dict(keypoints_3d=np.asarray(out['joints_3d']),
                             image_path=[r['image_file'] for r in recs]))
-    return ds.evaluate(results)
+    metric = metric or cfg.get('evaluation', {}).get('metric',
+                                                     'joint_error')
+    return ds.evaluate(results, metric=metric)
 
 
 def evaluate_posewarper(cfg: dict, model, variables,
                         batch_size: Optional[int] = None,
-                        res_folder: Optional[str] = None):
+                        res_folder: Optional[str] = None, metric=None):
     """Frame windows (key frame first) -> temporal-aggregation forward
     (optional flip test per cfg.test_cfg) -> heatmap decode ->
     PoseTrack poseval-style mAP (reference posewarper.py forward_test +
@@ -148,7 +150,8 @@ def evaluate_posewarper(cfg: dict, model, variables,
             preds=kp, boxes=boxes,
             image_paths=[r['image_file'] for r in recs],
             bbox_ids=[r['bbox_id'] for r in recs]))
-    return ds.evaluate(results, res_folder=res_folder)
+    metric = metric or cfg.get('evaluation', {}).get('metric', 'mAP')
+    return ds.evaluate(results, res_folder=res_folder, metric=metric)
 
 
 def evaluate_interhand3d(cfg: dict, model, variables, metric=None):

@@ -247,20 +247,27 @@ def _should_eval(cfg, epoch):
 
 
 def _save_best_ckpt(cfg, work_dir, stats, variables, best):
-    """`runtime.save_best = '<metric>'` (+ save_best_mode min/max) keeps
-    the best-scoring weights in work_dir/best.npz — the EvalHook
-    best-checkpoint contract (reference core/evaluation/eval_hooks.py +
-    checkpoint hook save_best). Returns the updated best value."""
+    """`save_best = '<metric>'` (in runtime or evaluation, matching the
+    topdown loop) keeps the best-scoring weights in work_dir/best.npz —
+    the EvalHook best-checkpoint contract (reference
+    core/evaluation/eval_hooks.py + checkpoint hook save_best). The
+    min/max direction is inferred from the metric name (MPJPE/NME/EPE/
+    loss are less-is-better, reference MMPOSE_LESS_KEYS) unless
+    save_best_mode overrides it. Returns the updated best value."""
     import os
+    from ..utils.checkpoint import _LESS_IS_BETTER, save_params_npz
     rcfg = cfg.get('runtime', {})
-    key = rcfg.get('save_best')
+    key = rcfg.get('save_best') or cfg.get('evaluation', {}).get(
+        'save_best')
     work_dir = work_dir or rcfg.get('work_dir')
     if not key or key not in stats or not work_dir:
         return best
-    mode = rcfg.get('save_best_mode', 'max')
+    mode = rcfg.get('save_best_mode') or cfg.get('evaluation', {}).get(
+        'save_best_mode')
+    if mode is None:
+        mode = 'min' if any(m in key for m in _LESS_IS_BETTER) else 'max'
     v = float(stats[key])
     if best is None or (v < best if mode == 'min' else v > best):
-        from ..utils.checkpoint import save_params_npz
         os.makedirs(work_dir, exist_ok=True)
         save_params_npz(os.path.join(work_dir, 'best.npz'), variables)
         return v

@@ -24,14 +24,17 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 def load_window(rec, image_size, flip_pairs=(), rng=None,
                 flip_prob=0.5, scale_factor=0.35, rot_factor=45,
-                rot_prob=0.6):
+                rot_prob=0.6, info=None, half_body_prob=0.0,
+                num_joints_half_body=8):
     """One record -> (frames [T, H, W, 3] normalized, joints [K, 2] in
     crop pixels, visible [K], center [2], scale [2]).
 
     All frames of the window share the key frame's affine (the reference
     TopDownAffine warps the whole image list with one matrix,
     top_down_transform.py:295 applied to data['img'] lists). rng=None
-    disables augmentation (the test pipeline).
+    disables augmentation (the test pipeline). With rng and `info`, the
+    reference train pipeline's TopDownHalfBodyTransform
+    (top_down_transform.py:176) is applied at `half_body_prob`.
     """
     import cv2
     from ..ops.geometry import bbox_xywh2cs, affine_matrix
@@ -57,6 +60,25 @@ def load_window(rec, image_size, flip_pairs=(), rng=None,
                 vis[[a, b]] = vis[[b, a]]
             joints[:, 0] = w - joints[:, 0] - 1
             c[0] = w - c[0] - 1
+        if (info is not None and vis.sum() > num_joints_half_body
+                and rng.rand() < half_body_prob):
+            upper = [j for j in info.upper_body_ids if vis[j] > 0]
+            lower = [j for j in range(info.num_joints)
+                     if j not in info.upper_body_ids and vis[j] > 0]
+            sel = (upper if (rng.randn() < 0.5 and len(upper) > 2)
+                   else lower if len(lower) > 2 else upper)
+            if len(sel) >= 2:
+                pts = joints[sel]
+                lt, rb = pts.min(axis=0), pts.max(axis=0)
+                w2, h2 = rb[0] - lt[0], rb[1] - lt[1]
+                ar = iw / ih
+                if w2 > ar * h2:
+                    h2 = w2 / ar
+                elif w2 < ar * h2:
+                    w2 = h2 * ar
+                c = pts.mean(axis=0).astype(np.float32)
+                s = np.array([w2 / 200.0, h2 / 200.0],
+                             np.float32) * 1.5
         sf, rf = scale_factor, rot_factor
         s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
         rot = (np.clip(rng.randn() * rf, -rf * 2, rf * 2)
@@ -92,16 +114,26 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
     image_size = tuple(dcfg.get('image_size', (288, 384)))
     heatmap_size = tuple(dcfg.get('heatmap_size', (72, 96)))
     tr = dcfg['train']
+    # train-time frame selection follows the reference stage-2 recipe:
+    # 1 random adjacent support frame per record (frame_index_rand +
+    # num_adj_frames=1) unless frame_indices_train pins a fixed set;
+    # data.frame_indices is the TEST window spec and is NOT used here.
+    fw_train = tuple(dcfg.get('frame_weight_train', (0.0, 1.0)))
     ds = PoseTrackVideoDataset(
         tr['ann_file'], tr.get('img_prefix', ''),
         image_size=image_size, heatmap_size=heatmap_size,
-        frame_indices_train=list(dcfg.get('frame_indices', (-1,)))
-        if dcfg.get('frame_indices') else None,
-        frame_index_rand=dcfg.get('frame_index_rand', False),
+        frame_indices_train=(list(dcfg['frame_indices_train'])
+                             if dcfg.get('frame_indices_train')
+                             else None),
+        frame_index_rand=dcfg.get('frame_index_rand', True),
+        frame_index_range=dcfg.get('frame_index_range', (-2, 2)),
+        num_adj_frames=dcfg.get('num_adj_frames', 1),
+        frame_weight_train=fw_train,
         seed=cfg.get('seed', 0))
     batch_size = dcfg.get('batch_size', 16)
     sigma = cfg.get('target', {}).get('sigma', 3.0)
     flip_pairs = ds.info.flip_pairs
+    aug = dcfg.get('aug', {})
 
     ocfg = cfg.get('optimizer', {})
     schedule = optax.piecewise_constant_schedule(
@@ -120,13 +152,19 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
     opt_state = tx.init(params)
 
     mutable_cols = list(stats) or ['batch_stats']
+    # reference PoseWarper reads frame_weight from img_metas in BOTH
+    # forward_train and forward_test (posewarper.py:120-132); the train
+    # tuple is identical for every record, so close over it statically
+    train_fw = (jnp.asarray(ds.db[0]['frame_weight'])
+                if len(ds.db) else jnp.full((t,), 1.0 / t))
 
     @jax.jit
     def step(params, stats, opt_state, frames, target, weight):
         def loss_fn(p):
             out, new_vars = model.apply(
                 {'params': p, **stats}, frames, train=True,
-                key_index=0, mutable=mutable_cols)
+                frame_weight=train_fw, key_index=0,
+                mutable=mutable_cols)
             return joints_mse_loss(out, target, weight), new_vars
         (loss, new_vars), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -150,9 +188,15 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
                     [idxs, order[:batch_size - len(idxs)]])
             frames, joints, viss = [], [], []
             for i in idxs:
-                f, j, v, _, _ = load_window(ds.db[int(i)], image_size,
-                                            flip_pairs=flip_pairs,
-                                            rng=prng)
+                f, j, v, _, _ = load_window(
+                    ds.db[int(i)], image_size,
+                    flip_pairs=flip_pairs, rng=prng,
+                    flip_prob=aug.get('flip_prob', 0.5),
+                    scale_factor=aug.get('scale_factor', 0.35),
+                    rot_factor=aug.get('rot_factor', 45),
+                    rot_prob=aug.get('rot_prob', 0.6),
+                    info=ds.info,
+                    half_body_prob=aug.get('half_body_prob', 0.3))
                 frames.append(f)
                 joints.append(j)
                 viss.append(v)
