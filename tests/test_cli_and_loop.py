@@ -176,6 +176,59 @@ def test_top_down_img_demo_cli(tmp_path):
     assert any(f.suffix == '.jpg' for f in tmp_path.iterdir())
 
 
+@pytest.mark.slow
+def test_train_loop_combined_target(tmp_path):
+    """CombinedTarget (UDP offset) training end-to-end through the config
+    path: preprocess emits 3K-channel targets, head emits 3K channels, the
+    CombinedTargetMSE loss wires up (reference top_down_transform.py:625
+    target + mse_loss.py:48 loss)."""
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+    work_dir = str(tmp_path / "wd")
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    cfg['model'] = dict(variant='s', img_size=(64, 48), out_channels=51,
+                        head='heatmap', flip_test=True, use_udp=True,
+                        target_type='CombinedTarget',
+                        backbone_overrides=dict(embed_dim=32, depth=2,
+                                                num_heads=4))
+    cfg['optimizer']['total_epochs'] = 1
+    cfg['runtime']['eval_interval'] = 1
+    state = train_model(cfg, work_dir=work_dir, max_steps=2)
+    assert state is not None
+    records = [json.loads(l) for l in open(
+        os.path.join(work_dir, 'train.log.json'))]
+    losses = [r['heatmap_loss'] for r in records if r.get('mode') == 'train']
+    assert losses and all(np.isfinite(l) for l in losses)
+
+
+@pytest.mark.slow
+def test_resume_redoes_incomplete_epoch(tmp_path):
+    """A preemption checkpoint (meta completed=False) makes resume redo
+    that epoch instead of skipping its remaining iterations."""
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+    work_dir = str(tmp_path / "wd")
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    cfg['model'] = dict(variant='s', img_size=(64, 48), out_channels=17,
+                        head='heatmap', flip_test=False, use_udp=True,
+                        backbone_overrides=dict(embed_dim=32, depth=2,
+                                                num_heads=4))
+    cfg['runtime']['eval_interval'] = 10    # skip eval for speed
+    train_model(cfg, work_dir=work_dir)     # 2 epochs -> ckpt at epoch 1
+    info_path = os.path.join(work_dir, 'ckpts', 'info_1.json')
+    info = json.load(open(info_path))
+    assert info.get('meta', {}).get('completed') is not False
+    # mark epoch 1's checkpoint as a mid-epoch preemption save
+    info['meta'] = {'completed': False}
+    json.dump(info, open(info_path, 'w'))
+    cfg['optimizer']['total_epochs'] = 3
+    train_model(cfg, work_dir=work_dir, resume=True, max_steps=1)
+    records = [json.loads(l) for l in open(
+        os.path.join(work_dir, 'train.log.json'))]
+    resume_recs = [r for r in records if r.get('mode') == 'resume']
+    assert resume_recs and resume_recs[-1]['epoch'] == 1   # redo, not 2
+
+
 def test_prune_work_dirs(tmp_path):
     """reference prune_work_dirs.py selection semantics on orbax-style
     numbered step dirs: last step always kept, best/ never touched."""

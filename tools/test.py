@@ -112,7 +112,11 @@ def run_bottomup_eval(cfg, args):
             preds=[p['keypoints'] for p in pose_results],
             scores=[p['score'] for p in pose_results],
             image_paths=[rec['image_file']]))
-    stats = ds.evaluate(results)
+    metric = args.metric or cfg.get('evaluation', {}).get('metric')
+    if metric:
+        stats = ds.evaluate(results, metric=metric)
+    else:
+        stats = ds.evaluate(results)
     print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
     if args.out:
         with open(args.out, 'w') as f:

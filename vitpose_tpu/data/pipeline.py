@@ -30,7 +30,8 @@ import numpy as np
 
 from ..ops.geometry import (affine_matrix, udp_warp_matrix,
                             apply_affine_to_points)
-from ..ops.target import generate_msra_heatmaps, generate_udp_heatmaps
+from ..ops.target import (generate_combined_target, generate_msra_heatmaps,
+                          generate_udp_heatmaps)
 from ..ops.warp import warp_affine_batch
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -125,7 +126,8 @@ def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
 
 def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
                        use_udp=True, sigma=2.0, with_targets=True,
-                       unbiased=False, pad_num_joints=None):
+                       unbiased=False, pad_num_joints=None,
+                       target_type='GaussianHeatmap'):
     """Build the jitted device-side preprocessing function.
 
     fn(imgs_uint8 [N,H,W,3], center [N,2], scale [N,2], rot [N],
@@ -166,7 +168,13 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
         out = {'imgs': crops}
         if with_targets:
             joints_c = apply_affine_to_points(joints, mat)
-            if use_udp:
+            if target_type.lower() == 'combinedtarget':
+                # UDP CombinedTarget: [N, K, 3, H, W] -> 3K channels
+                # (reference top_down_transform.py:625-653)
+                t, weight = generate_combined_target(
+                    joints_c, vis, (iw, ih), heatmap_size)
+                target = t.reshape(t.shape[0], -1, *t.shape[-2:])
+            elif use_udp:
                 target, weight = generate_udp_heatmaps(
                     joints_c, vis, (iw, ih), heatmap_size, sigma=sigma)
             else:

@@ -138,12 +138,26 @@ class CocoKeypointEval:
         out['keypoints'] = kp[s * 3:e * 3]
         return out
 
-    def _match_image(self, gts, dts, area_rng):
+    def _prep_image(self, gts, dts):
+        """Area-range-independent per-image work, done ONCE and reused by
+        every (area range) pass: score-sort/truncate dts and compute the
+        OKS matrix (pycocotools likewise computes ious once per image)."""
+        d_scores = np.array([d['score'] for d in dts])
+        d_order = np.argsort(-d_scores, kind='stable')[:self.max_dets]
+        dts = [dts[i] for i in d_order]
+        d_scores = d_scores[d_order]
+        n_d, n_g = len(dts), len(gts)
+        ious = compute_oks_matrix(gts, dts, self.sigmas) if n_d * n_g else \
+            np.zeros((n_d, n_g))
+        return gts, dts, d_scores, ious
+
+    def _match_image(self, prep, area_rng):
         """Greedy per-image matching over all OKS thresholds at once.
 
         Returns (dt_scores [D'], dt_matched [T, D'], dt_ignore [T, D'],
         n_valid_gt) where D' = min(D, max_dets) dts sorted by score.
         """
+        gts, dts, d_scores, ious = prep
         t_n = len(self.oks_thrs)
         # closed interval [a0, a1], matching COCOeval's `area>aRng[1]` test
         gt_ignore = np.array(
@@ -153,15 +167,9 @@ class CocoKeypointEval:
         g_order = np.argsort(gt_ignore, kind='stable')
         gts = [gts[i] for i in g_order]
         gt_ignore = gt_ignore[g_order]
-
-        d_scores = np.array([d['score'] for d in dts])
-        d_order = np.argsort(-d_scores, kind='stable')[:self.max_dets]
-        dts = [dts[i] for i in d_order]
-        d_scores = d_scores[d_order]
+        ious = ious[:, g_order] if ious.size else ious
 
         n_d, n_g = len(dts), len(gts)
-        ious = compute_oks_matrix(gts, dts, self.sigmas) if n_d * n_g else \
-            np.zeros((n_d, n_g))
 
         dt_matched = np.zeros((t_n, n_d), bool)
         dt_ignore = np.zeros((t_n, n_d), bool)
@@ -205,15 +213,21 @@ class CocoKeypointEval:
         cat_ids = self.coco_gt.getCatIds() or [1]
         stats = {}
         results = {}
+        # gather + score-sort + OKS once per (image, category); only the
+        # ignore flags differ between area ranges
+        per_cat = {}
+        for cat in cat_ids:
+            per_img = self._gather(coco_dt, img_ids, cat=cat)
+            per_cat[cat] = {i: self._prep_image(g, d)
+                            for i, (g, d) in per_img.items()}
         for a_name, a_rng in self.area_rngs:
             precisions, recalls = [], []
             n_gt_total = 0
             for cat in cat_ids:
-                per_img = self._gather(coco_dt, img_ids, cat=cat)
                 scores_all, matched_all, ignore_all = [], [], []
                 n_gt = 0
-                for img_id, (gts, dts) in per_img.items():
-                    s, m, ig, ng = self._match_image(gts, dts, a_rng)
+                for img_id, prep in per_cat[cat].items():
+                    s, m, ig, ng = self._match_image(prep, a_rng)
                     scores_all.append(s)
                     matched_all.append(m)
                     ignore_all.append(ig)
@@ -247,8 +261,7 @@ class CocoKeypointEval:
                         q = np.zeros(r_n)
                         valid = inds < nd
                         q[valid] = pr[inds[valid]]
-                        precision[ti] = np.where(
-                            valid | (np.arange(r_n) < 0), q, 0.0)
+                        precision[ti] = q
                 precisions.append(precision)
                 recalls.append(recall)
                 n_gt_total += n_gt

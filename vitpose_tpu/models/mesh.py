@@ -112,6 +112,28 @@ class ParametricMesh:
                     joints_3d=joints3d,
                     joints_2d=project_points(joints3d, cam))
 
+    def train_apply(self, variables, imgs):
+        """Training-mode forward that also returns variables with advanced
+        backbone BatchNorm statistics (train=True removes the running
+        stats from the gradient graph, so differentiating the loss w.r.t.
+        the full tree leaves them untouched by the optimizer)."""
+        bb = variables['backbone']
+        if 'batch_stats' in bb:
+            feat, upd = self.backbone.apply(bb, imgs, train=True,
+                                            mutable=['batch_stats'])
+            new_bb = {**bb, **upd}
+        else:
+            feat = self.backbone.apply(bb, imgs, train=True)
+            new_bb = bb
+        feat = jnp.mean(feat, axis=(1, 2))
+        pose, shape, cam = self.head.apply(variables['head'], feat,
+                                           train=True)
+        verts, joints3d = self.smpl_fn(pose, shape)
+        out = dict(pose=pose, shape=shape, cam=cam, vertices=verts,
+                   joints_3d=joints3d,
+                   joints_2d=project_points(joints3d, cam))
+        return out, {'backbone': new_bb, 'head': variables['head']}
+
 
 def make_adversarial_train_step(mesh: ParametricMesh,
                                 disc: SMPLDiscriminator, gen_tx, disc_tx,
@@ -124,7 +146,10 @@ def make_adversarial_train_step(mesh: ParametricMesh,
 
     def step(gen_vars, disc_vars, gen_opt, disc_opt, batch):
         def gen_loss_fn(gv):
-            out = mesh.apply(gv, batch['imgs'], train=False)
+            # train_apply: BN uses batch statistics (running stats leave
+            # the gradient graph -> zero grads/updates) and returns the
+            # advanced stats, merged back after the optimizer step.
+            out, new_gv = mesh.train_apply(gv, batch['imgs'])
             l2d = mesh_joint_loss(out['joints_2d'], batch['joints_2d'],
                                   batch['joints_2d_visible']) * w_joint2d
             l3d = mesh_joint_loss(out['joints_3d'], batch['joints_3d'],
@@ -132,12 +157,17 @@ def make_adversarial_train_step(mesh: ParametricMesh,
             logits = disc.apply(disc_vars, out['pose'], out['shape'])
             ladv = gan_loss(logits, True, 'lsgan') * w_adv
             return l2d + l3d + ladv, dict(loss_2d=l2d, loss_3d=l3d,
-                                          loss_adv=ladv, out=out)
+                                          loss_adv=ladv, out=out,
+                                          new_gv=new_gv)
 
         (gl, aux), ggrads = jax.value_and_grad(gen_loss_fn,
                                                has_aux=True)(gen_vars)
         gupd, gen_opt = gen_tx.update(ggrads, gen_opt, gen_vars)
         gen_vars = optax.apply_updates(gen_vars, gupd)
+        gen_vars = {k: {**gen_vars[k],
+                        **{c: v for c, v in aux['new_gv'][k].items()
+                           if c != 'params'}}
+                    for k in gen_vars}
 
         def disc_loss_fn(dv):
             fake = disc.apply(dv, jax.lax.stop_gradient(aux['out']['pose']),
@@ -149,7 +179,8 @@ def make_adversarial_train_step(mesh: ParametricMesh,
         dl, dgrads = jax.value_and_grad(disc_loss_fn)(disc_vars)
         dupd, disc_opt = disc_tx.update(dgrads, disc_opt, disc_vars)
         disc_vars = optax.apply_updates(disc_vars, dupd)
-        metrics = {k: v for k, v in aux.items() if k != 'out'}
+        metrics = {k: v for k, v in aux.items()
+                   if k not in ('out', 'new_gv')}
         metrics.update(gen_loss=gl, disc_loss=dl)
         return gen_vars, disc_vars, gen_opt, disc_opt, metrics
 

@@ -60,7 +60,8 @@ class BottomUpLoader:
                 canvas[:resized.shape[0], :resized.shape[1]] = resized
                 joints = rec['joints'].copy()
                 joints[..., :2] *= f
-                if self.is_train and rng.rand() < 0.5:
+                flipped = self.is_train and rng.rand() < 0.5
+                if flipped:
                     canvas = canvas[:, ::-1]
                     fi = self.ds.info.flip_index
                     joints = joints[:, fi]
@@ -70,6 +71,9 @@ class BottomUpLoader:
                                          resized.shape[0]))
                 mask_c = np.zeros((s, s), np.float32)
                 mask_c[:resized.shape[0], :resized.shape[1]] = mask
+                if flipped:
+                    # keep the loss mask aligned to the flipped canvas
+                    mask_c = mask_c[:, ::-1]
                 t = generate_ae_targets(joints, mask_c, s,
                                         self.output_size,
                                         sigma=self.sigma,

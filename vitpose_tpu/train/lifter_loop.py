@@ -54,14 +54,20 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
     opt_state = tx.init(variables)
 
     @jax.jit
-    def step(variables, opt_state, x, y_rel):
+    def step(variables, opt_state, x, y_rel, drop_rng):
+        # train=True: BN normalizes by batch statistics (running stats
+        # leave the gradient graph -> zero grads/updates for them) and
+        # dropout fires; the mutated stats are merged back afterwards.
         def loss_fn(v):
-            out = model.apply(v, x, train=False)
-            return mpjpe_loss(out, y_rel)
-        loss, grads = jax.value_and_grad(loss_fn)(variables)
+            out, upd = model.apply(v, x, train=True,
+                                   mutable=['batch_stats'],
+                                   rngs={'dropout': drop_rng})
+            return mpjpe_loss(out, y_rel), upd
+        (loss, upd), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(variables)
         updates, opt_state = tx.update(grads, opt_state, variables)
-        return (optax.apply_updates(variables, updates), opt_state,
-                dict(mpjpe_loss=loss))
+        variables = optax.apply_updates(variables, updates)
+        return {**variables, **upd}, opt_state, dict(mpjpe_loss=loss)
 
     metrics = {}
     n_steps = 0
@@ -80,8 +86,9 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
             y = jnp.stack([jnp.asarray(ds[int(i)]['target_3d'])
                            for i in idxs])
             y_rel = y - y[:, :1]
-            variables, opt_state, metrics = step(variables, opt_state,
-                                                 x, y_rel)
+            variables, opt_state, metrics = step(
+                variables, opt_state, x, y_rel,
+                jax.random.fold_in(rng, n_steps))
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
                 done = True

@@ -296,11 +296,13 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         process_index=jax.process_index(), process_count=n_proc)
 
     tcfg = cfg.get('target', {})
+    target_type = cfg['model'].get('target_type', 'GaussianHeatmap')
     preprocess = make_preprocess_fn(
         image_size=image_size, heatmap_size=heatmap_size,
         use_udp=tcfg.get('encoding', 'UDP') == 'UDP',
         sigma=tcfg.get('sigma', 2.0),
-        unbiased=tcfg.get('unbiased', False))
+        unbiased=tcfg.get('unbiased', False),
+        target_type=target_type)
 
     # ---- model + optimizer -----------------------------------------
     model = build_model_from_cfg(cfg['model'])
@@ -342,7 +344,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     n_data = rt.get('n_data') or math.gcd(batch_size, n_dev)
     mesh = make_mesh(n_data=n_data, n_expert=1,
                      devices=jax.devices()[:n_data])
-    step_fn = make_train_step(model)
+    step_fn = make_train_step(model, target_type=target_type)
     batch0 = {'imgs': pre0['imgs'], 'target': pre0['target'],
               'target_weight': pre0['target_weight']}
     jitted, state, place_batch = shard_train_step(step_fn, mesh, state,
@@ -360,6 +362,9 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         state, ep = ckpt.restore(state)
         if ep is not None:
             start_epoch = ep + 1
+            info = ckpt.load_info(ep)
+            if info and info.get('meta', {}).get('completed') is False:
+                start_epoch = ep    # preempted mid-epoch: redo that epoch
             _log(work_dir, {'mode': 'resume', 'epoch': start_epoch})
 
     # ---- val loader -------------------------------------------------
@@ -383,7 +388,9 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     ckpt_interval = rt.get('ckpt_interval', 10)
     use_tb = rt.get('tensorboard', False)
     mcfg = model.cfg
-    global_step = 0
+    # resume continues the optimizer-step counter so the per-step RNG
+    # streams (fold_in below) don't replay from zero
+    global_step = int(state.step)
     from ..parallel.distributed import PreemptionGuard
     guard = PreemptionGuard().install()
 
@@ -413,7 +420,9 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
             if guard.should_stop:
                 _log(work_dir, {'mode': 'preempt', 'epoch': epoch,
                                 'step': global_step})
-                ckpt.save(epoch, state)
+                # mid-epoch save: mark incomplete so resume redoes this
+                # epoch instead of skipping its remaining iterations
+                ckpt.save(epoch, state, meta={'completed': False})
                 return state
             if max_steps and global_step >= max_steps:
                 return state
@@ -429,7 +438,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
             results = run_validation(
                 model, variables, val_loader,
                 use_udp=mcfg.use_udp, post_process=mcfg.post_process,
-                modulate_kernel=mcfg.modulate_kernel)
+                modulate_kernel=mcfg.modulate_kernel,
+                target_type=mcfg.target_type)
             eval_metric = cfg.get('evaluation', {}).get('metric')
             stats = (val_loader.ds.evaluate(results, metric=eval_metric)
                      if eval_metric else val_loader.ds.evaluate(results))
@@ -481,7 +491,15 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
     max_k = dcfg.get('max_num_joints', 133)
     tcfg = cfg.get('target', {})
 
-    datasets, loaders, preprocs = [], [], []
+    # one preprocess fn for every dataset entry: image/heatmap size and
+    # target encoding are shared across the mixture (targets are padded to
+    # max_num_joints), and indexing per-dataset fns by the configured
+    # dataset_idx value would break for non-positional idx values
+    preprocess = make_preprocess_fn(
+        image_size=image_size, heatmap_size=heatmap_size,
+        use_udp=tcfg.get('encoding', 'UDP') == 'UDP',
+        sigma=tcfg.get('sigma', 2.0), pad_num_joints=max_k)
+    datasets, loaders = [], []
     for i, entry in enumerate(dcfg['train']):
         ds = topdown_dataset_cls(entry.get('dataset', 'coco'))(
             entry['ann_file'], entry['img_prefix'],
@@ -497,13 +515,8 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
             seed=seed + i, num_workers=dcfg.get('num_workers', 8),
             process_index=jax.process_index(),
             process_count=jax.process_count())
-        pre = make_preprocess_fn(
-            image_size=image_size, heatmap_size=heatmap_size,
-            use_udp=tcfg.get('encoding', 'UDP') == 'UDP',
-            sigma=tcfg.get('sigma', 2.0), pad_num_joints=max_k)
         datasets.append(ds)
         loaders.append(loader)
-        preprocs.append(pre)
     mixture = MultiDatasetLoader(loaders)
     num_datasets = len(datasets)
 
@@ -518,8 +531,8 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
     steps_per_epoch = max(1, len(mixture))
 
     b0 = next(iter(loaders[0]))
-    pre0 = preprocs[0](b0['imgs'], b0['center'], b0['scale'], b0['rot'],
-                       b0['joints'], b0['vis'], b0.get('flip'))
+    pre0 = preprocess(b0['imgs'], b0['center'], b0['scale'], b0['rot'],
+                      b0['joints'], b0['vis'], b0.get('flip'))
     n0 = pre0['imgs'].shape[0]
     init_expert = jnp.zeros(n0, jnp.int32)
     init_vars = model.init(rng, pre0['imgs'], train=False,
@@ -585,7 +598,9 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
     eval_interval = rt.get('eval_interval', 10)
     ckpt_interval = rt.get('ckpt_interval', 10)
     mcfg = model.cfg
-    global_step = 0
+    # resume continues the optimizer-step counter so the per-step RNG
+    # streams (fold_in below) don't replay from zero
+    global_step = int(state.step)
 
     for epoch in range(start_epoch, total_epochs):
         for l in loaders:
@@ -594,10 +609,10 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
         t_epoch = time.time()
         for it, batch in enumerate(mixture):
             d = int(batch['dataset_idx'][0])
-            pre = preprocs[d](batch['imgs'], batch['center'],
-                              batch['scale'], batch['rot'],
-                              batch['joints'], batch['vis'],
-                              batch.get('flip'))
+            pre = preprocess(batch['imgs'], batch['center'],
+                             batch['scale'], batch['rot'],
+                             batch['joints'], batch['vis'],
+                             batch.get('flip'))
             dev_batch = place_batch({
                 'imgs': pre['imgs'], 'target': pre['target'],
                 'target_weight': pre['target_weight'],

@@ -99,6 +99,16 @@ class CheckpointManager:
     def latest_epoch(self):
         return self.mgr.latest_step()
 
+    def load_info(self, epoch):
+        """The info json written alongside checkpoint `epoch` (contains
+        'meta' — e.g. completed=False for a mid-epoch preemption save) or
+        None."""
+        path = os.path.join(self.directory, f'info_{epoch}.json')
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def restore_best(self):
         """The separately-persisted best weights ({params, batch_stats}
         variables dict), or None if no best was recorded yet."""
