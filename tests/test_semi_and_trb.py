@@ -233,3 +233,88 @@ def test_semi_supervision_pairing_changes_per_epoch():
     assert [ds[i]['idx'] for i in range(8)] == first  # deterministic
     ds.set_epoch(1)
     assert [ds[i]['idx'] for i in range(8)] != first  # re-drawn per epoch
+
+
+def test_lifter_input_protocol_golden():
+    """flip_relative_pose == reference fliplr_regression (static + root
+    centers) and normalize_screen_coordinates == reference
+    ImageCoordinateNormalization math (pose3d_transform.py:158-165)."""
+    from ref_loader import ref_post_transforms
+    from vitpose_tpu.data.body3d import (flip_relative_pose,
+                                         normalize_screen_coordinates)
+
+    pt = ref_post_transforms()
+    rng = np.random.RandomState(7)
+    pairs = [[1, 4], [2, 5], [3, 6], [11, 14], [12, 15], [13, 16]]
+    x = rng.randn(9, 17, 2).astype(np.float32)     # [T, K, 2] sequence
+    ref = pt.fliplr_regression(x.copy(), pairs, center_mode='static',
+                               center_x=0.0)
+    got = flip_relative_pose(x, pairs)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    y = rng.randn(17, 3).astype(np.float32)
+    y -= y[:1]                                     # root-centered
+    ref3 = pt.fliplr_regression(y.copy(), pairs, center_mode='root',
+                                center_index=0)
+    got3 = flip_relative_pose(y, pairs)            # root x = 0 -> static 0
+    np.testing.assert_allclose(got3, ref3, rtol=1e-6, atol=1e-6)
+
+    pts = rng.rand(17, 2).astype(np.float32) * 1000
+    w, h = 1000.0, 1002.0
+    center = np.array([0.5 * w, 0.5 * h], np.float32)
+    ref_n = (pts - center) / np.float32(0.5 * w)
+    np.testing.assert_allclose(normalize_screen_coordinates(pts, w, h),
+                               ref_n, rtol=1e-6)
+
+
+def test_h36m_camera_params_loaded():
+    """cameras.pkl -> per-frame sensor size + normalized intrinsics (the
+    reference ImageCoordinateNormalization(norm_camera=True) +
+    CollectCameraIntrinsics contract)."""
+    from vitpose_tpu.data.body3d import Body3DH36MDataset
+
+    ds = Body3DH36MDataset(
+        f"{REF}/tests/data/h36m/test_h36m_body3d.npz", seq_len=1,
+        camera_param_file=f"{REF}/tests/data/h36m/cameras.pkl")
+    assert ds.cam_intr is not None and ds.cam_intr.shape[1] == 9
+    # fixture cameras are 1000x1002 or 1000x1000
+    assert (ds.cam_wh[:, 0] == 1000).all()
+    intr = ds.normalized_intrinsics(0)
+    # f normalized by w/2 -> ~2.2, c -> ~0
+    assert 1.5 < intr[0] < 3.0 and abs(intr[2]) < 0.1
+    # normalize_2d maps the sensor to [-1, 1]
+    pts = np.array([[0.0, 0.0], [1000.0, 1002.0]], np.float32)
+    n = ds.normalize_2d(pts, 0)
+    np.testing.assert_allclose(n[0], [-1.0, -ds.cam_wh[0, 1] / 1000.0],
+                               rtol=1e-5)
+
+
+def test_train_semi_supervised_lifter_from_config():
+    """tools/train.py path for the semi-supervised pose_lifter family:
+    with_traj model + labeled MPJPE + traj MPJPE + warmup-gated
+    projection/bone losses, driven purely by the config dict."""
+    import tempfile
+    import os
+    from vitpose_tpu.train.loop import train_model
+
+    h36m = f"{REF}/tests/data/h36m/test_h36m_body3d.npz"
+    cams = f"{REF}/tests/data/h36m/cameras.pkl"
+    with tempfile.TemporaryDirectory() as wd:
+        cfg = dict(
+            model=dict(family='pose_lifter', num_joints=17,
+                       stem_channels=32, kernel_sizes=(3, 3),
+                       with_traj=True),
+            loss_semi=dict(projection_loss_weight=0.1,
+                           bone_loss_weight=1.0, warmup_iterations=1),
+            data=dict(dataset='h36m', semi_supervised=True, seq_len=9,
+                      batch_size=2,
+                      train=dict(ann_file=h36m, camera_param_file=cams),
+                      train_unlabeled=dict(ann_file=h36m,
+                                           camera_param_file=cams)),
+            optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
+            runtime=dict(work_dir=wd))
+        variables, metrics = train_model(cfg, max_steps=3)
+        for k in ('mpjpe_loss', 'traj_loss', 'proj_loss', 'bone_loss'):
+            assert k in metrics and np.isfinite(metrics[k]), (k, metrics)
+        # past warmup (steps 2,3) the semi losses are live
+        assert metrics['proj_loss'] != 0.0 or metrics['bone_loss'] != 0.0
+        assert os.path.exists(os.path.join(wd, 'final.npz'))

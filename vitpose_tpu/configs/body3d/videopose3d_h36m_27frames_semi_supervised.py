@@ -20,8 +20,9 @@ loss_semi = dict(
     projection_loss_weight=1.0,
     bone_loss_weight=1.0,
     warmup_epochs=5,
-    # H36M joint parents for the bone term
-    joint_parents=[0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 8, 10, 11, 8, 13, 14, 0],
+    # H36M joint parents for the bone term (reference semi config
+    # loss_semi.joint_parents)
+    joint_parents=[0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9, 8, 11, 12, 8, 14, 15],
 )
 data = dict(
     dataset='h36m', family='body3d', semi_supervised=True,

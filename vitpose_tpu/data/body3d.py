@@ -60,10 +60,38 @@ def _seq_name(imgname):
     return re.sub(r'_\d+\.(jpg|png)$', '', base)
 
 
+def _subject_camera(imgname):
+    """'S1_Directions_1.54138969_000001.jpg' -> ('S1', '54138969')
+    (the key layout of the H36M cameras.pkl shipped with the reference)."""
+    base = os.path.basename(str(imgname))
+    subj = base.split('_', 1)[0]
+    m = re.search(r'\.(\d+)_', base)
+    return subj, (m.group(1) if m else None)
+
+
+def normalize_screen_coordinates(pts, w, h):
+    """Reference ImageCoordinateNormalization (pose3d_transform.py:125):
+    map [0, w] -> [-1, 1] preserving aspect ratio: (x - [w/2, h/2]) / (w/2)."""
+    pts = np.asarray(pts, np.float32)
+    center = np.array([0.5 * w, 0.5 * h], np.float32)
+    return (pts - center) / np.float32(0.5 * w)
+
+
+def flip_relative_pose(pose, flip_pairs, center_x=0.0):
+    """Reference RelativeJointRandomFlip (pose3d_transform.py:229):
+    mirror x around `center_x` and swap left/right joints. pose [..., K, D]."""
+    out = np.asarray(pose, np.float32).copy()
+    out[..., 0] = 2.0 * center_x - out[..., 0]
+    idx = np.arange(out.shape[-2])
+    for a, b in flip_pairs:
+        idx[a], idx[b] = b, a
+    return out[..., idx, :]
+
+
 class Body3DH36MDataset:
     def __init__(self, ann_file, img_prefix='', seq_len=27,
                  seq_frame_interval=1, causal=False, det_file=None,
-                 test_mode=False):
+                 test_mode=False, camera_param_file=None):
         data = np.load(ann_file, allow_pickle=True)
         self.imgnames = data['imgname']
         self.centers = np.asarray(data['center'], np.float32)
@@ -79,7 +107,59 @@ class Body3DH36MDataset:
         self.causal = causal
         self.test_mode = test_mode
         self.num_joints = self.joints_2d.shape[1]
+        self._load_cameras(camera_param_file)
         self.sample_indices = self._build_sequences()
+
+    def _load_cameras(self, camera_param_file):
+        """Per-frame camera w/h + intrinsics from the reference's
+        cameras.pkl ({(subject, cam_id): {f, c, k, p, w, h, ...}},
+        body3d_h36m_dataset.py:124 load_camera). Frames without a camera
+        fall back to the nominal H36M 1000x1000 sensor."""
+        n = len(self.imgnames)
+        self.cam_wh = np.full((n, 2), 1000.0, np.float32)
+        # raw intrinsics [f(2), c(2), k(3), p(2)] per frame (the layout of
+        # the reference CollectCameraIntrinsics, pose3d_transform.py:185)
+        self.cam_intr = None
+        if not camera_param_file:
+            return
+        import pickle
+        with open(camera_param_file, 'rb') as f:
+            cams = pickle.load(f)
+        self.cam_intr = np.zeros((n, 9), np.float32)
+        self.cam_intr[:, :2] = 1000.0      # nominal focal fallback
+        self.cam_intr[:, 2:4] = 500.0
+        for i, name in enumerate(self.imgnames):
+            cam = cams.get(_subject_camera(name))
+            if cam is None:
+                continue
+            self.cam_wh[i] = (float(cam['w']), float(cam['h']))
+            self.cam_intr[i] = np.concatenate([
+                np.asarray(cam['f'], np.float32).ravel(),
+                np.asarray(cam['c'], np.float32).ravel(),
+                np.asarray(cam.get('k', np.zeros(3)), np.float32).ravel(),
+                np.asarray(cam.get('p', np.zeros(2)), np.float32).ravel()])
+
+    def normalize_2d(self, pts, frame_idx):
+        """ImageCoordinateNormalization with the frame's camera size."""
+        w, h = self.cam_wh[int(frame_idx)]
+        return normalize_screen_coordinates(pts, w, h)
+
+    def normalized_intrinsics(self, frame_idx):
+        """Intrinsics in normalized image coordinates (reference
+        ImageCoordinateNormalization(norm_camera=True),
+        pose3d_transform.py:167-176): f/=w/2, c=(c-center)/(w/2)."""
+        i = int(frame_idx)
+        if self.cam_intr is None:
+            intr = np.array([1000., 1000., 500., 500., 0, 0, 0, 0, 0],
+                            np.float32)
+        else:
+            intr = self.cam_intr[i].copy()
+        w, h = self.cam_wh[i]
+        s = np.float32(0.5 * w)
+        intr[0:2] /= s
+        intr[2:4] = (intr[2:4] - np.array([0.5 * w, 0.5 * h],
+                                          np.float32)) / s
+        return intr
 
     def _build_sequences(self):
         """Per target frame, a padded window of frame indices from the same

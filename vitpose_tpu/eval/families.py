@@ -23,18 +23,23 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
     from ..data.body3d import Body3DH36MDataset
 
     dcfg = cfg['data']
-    ds = Body3DH36MDataset(dcfg['val']['ann_file'],
+    vcfg = dcfg['val']
+    ds = Body3DH36MDataset(vcfg['ann_file'],
                            seq_len=dcfg.get('seq_len', 27),
                            causal=dcfg.get('causal', False),
-                           det_file=dcfg['val'].get('det_file'),
+                           det_file=vcfg.get('det_file'),
+                           camera_param_file=vcfg.get('camera_param_file'),
                            test_mode=True)
     bs = dcfg.get('batch_size', 128)
     results = []
     for start in range(0, len(ds), bs):
         idxs = list(range(start, min(start + bs, len(ds))))
-        x = jnp.stack([jnp.asarray(ds[i]['input_2d'])
-                       for i in idxs]) / 1000.0
-        out = np.asarray(model.apply(variables, x, train=False))
+        x = jnp.stack([jnp.asarray(ds.normalize_2d(
+            ds[i]['input_2d'], ds[i]['target_idx'])) for i in idxs])
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, tuple):        # with_traj -> (pose, traj)
+            out = out[0]
+        out = np.asarray(out)
         roots = np.stack([np.asarray(ds[i]['target_3d'])[:1]
                           for i in idxs])
         results.append(dict(preds=out + roots,

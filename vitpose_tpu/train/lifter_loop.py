@@ -5,6 +5,21 @@ mmpose/models/detectors/pose_lifter.py, with Body3DH36MDataset 2D->3D
 windows). One jit step: TCN forward over [N, T, K, 2] windows -> MPJPE
 loss on root-relative 3D -> Adam with per-epoch exponential lr decay
 (the VideoPose3D recipe's `lr_decay`).
+
+Input protocol follows the reference pipelines
+(configs/.../videopose3d_h36m_27frames_fullconv_supervised.py:73-97):
+ImageCoordinateNormalization of the 2D input by the frame's camera
+sensor, GetRootCenteredPose on the 3D target, and the 50%-probability
+RelativeJointRandomFlip train augmentation (input mirrored around the
+normalized x=0 center, target around the root x).
+
+With ``data.semi_supervised`` (+ ``model.with_traj``) the loop runs the
+VideoPose3D semi-supervised recipe (reference
+videopose3d_h36m_27frames_fullconv_semi-supervised.py): labeled MPJPE +
+trajectory-head MPJPE on the global root, plus warmup-gated
+projection/bone-consistency losses on an unlabeled stream whose targets
+are its own 2D detections re-projected through per-frame normalized
+camera intrinsics (SemiSupervisionLoss, regression_loss.py:360).
 """
 from __future__ import annotations
 
@@ -12,9 +27,65 @@ from typing import Optional
 
 import numpy as np
 
-from ..data.body3d import Body3DH36MDataset
+from ..data.body3d import (Body3DH36MDataset, flip_relative_pose)
 from .interhand_loop import (_log_val_stats, _save_best_ckpt,
                              _save_loop_outputs, _should_eval)
+
+
+def _flip_pairs(dcfg):
+    from ..data import DatasetInfo
+    return DatasetInfo.load(dcfg.get('dataset', 'h36m')).flip_pairs
+
+
+def _build_dataset(dcfg, entry):
+    return Body3DH36MDataset(
+        entry['ann_file'], seq_len=dcfg.get('seq_len', 27),
+        seq_frame_interval=dcfg.get('seq_frame_interval', 1),
+        causal=dcfg.get('causal', False), det_file=entry.get('det_file'),
+        camera_param_file=entry.get('camera_param_file'))
+
+
+def _labeled_batch(ds, idxs, flip_pairs, rng):
+    """[input_2d (normalized), target (root-centered), root] with the
+    reference 50% RelativeJointRandomFlip when `rng` is given."""
+    xs, ys, roots = [], [], []
+    for i in idxs:
+        s = ds[int(i)]
+        x = ds.normalize_2d(s['input_2d'], s['target_idx'])
+        y = np.asarray(s['target_3d'], np.float32)
+        root = y[:1].copy()
+        y = y - root
+        if rng is not None and rng.rand() < 0.5:
+            x = flip_relative_pose(x, flip_pairs)       # static center x=0
+            y = flip_relative_pose(y, flip_pairs)       # root x = 0
+        xs.append(x)
+        ys.append(y)
+        roots.append(root)
+    return (np.stack(xs), np.stack(ys), np.stack(roots))
+
+
+def _unlabeled_batch(ds, idxs, flip_pairs, rng):
+    """[input_2d (normalized), target_2d (normalized detections at the
+    target frame), intrinsics (normalized)] with flip_camera semantics
+    (c_x negated alongside the mirrored joints,
+    pose3d_transform.py:289-293)."""
+    xs, t2ds, intrs = [], [], []
+    for i in idxs:
+        s = ds[int(i)]
+        ti = s['target_idx']
+        x = ds.normalize_2d(s['input_2d'], ti)
+        t2d = ds.normalize_2d(np.asarray(s['input_2d'])[
+            -1 if ds.causal else len(s['input_2d']) // 2], ti)
+        intr = ds.normalized_intrinsics(ti)
+        if rng is not None and rng.rand() < 0.5:
+            x = flip_relative_pose(x, flip_pairs)
+            t2d = flip_relative_pose(t2d, flip_pairs)
+            intr = intr.copy()
+            intr[2] = -intr[2]                           # flip_camera: c_x
+        xs.append(x)
+        t2ds.append(t2d)
+        intrs.append(intr)
+    return np.stack(xs), np.stack(t2ds), np.stack(intrs)
 
 
 def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
@@ -27,13 +98,18 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
     import jax.numpy as jnp
     import optax
     from .loop import build_model_from_cfg
-    from ..models.losses_regression import mpjpe_loss
+    from ..models.losses_regression import (mpjpe_loss,
+                                            semi_supervision_loss)
 
     model = build_model_from_cfg(cfg['model'])
     dcfg = cfg['data']
-    ds = Body3DH36MDataset(dcfg['train']['ann_file'],
-                           seq_len=dcfg.get('seq_len', 27),
-                           causal=dcfg.get('causal', False))
+    semi = bool(dcfg.get('semi_supervised')) and \
+        bool(cfg['model'].get('with_traj'))
+    ds = _build_dataset(dcfg, dcfg['train'])
+    ds_unlabeled = (_build_dataset(dcfg, dcfg.get('train_unlabeled',
+                                                  dcfg['train']))
+                    if semi else None)
+    flip_pairs = _flip_pairs(dcfg)
     batch_size = dcfg.get('batch_size', 128)
 
     ocfg = cfg.get('optimizer', {})
@@ -47,21 +123,31 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
         staircase=True)
     tx = optax.adam(schedule)
 
+    scfg = cfg.get('loss_semi', {})
+    warmup_iters = scfg.get('warmup_epochs', 5) * steps_per_epoch \
+        if 'warmup_iterations' not in scfg else scfg['warmup_iterations']
+    parents = scfg.get('joint_parents',
+                       [0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9, 8, 11, 12, 8,
+                        14, 15])
+
     sample = ds[0]
     rng = jax.random.PRNGKey(cfg.get('seed', 0))
-    x0 = jnp.asarray(sample['input_2d'])[None] / 1000.0
+    x0 = jnp.asarray(ds.normalize_2d(sample['input_2d'],
+                                     sample['target_idx']))[None]
     variables = model.init(rng, x0, train=False)
     opt_state = tx.init(variables)
 
+    def _apply(v, x, drop_rng):
+        # train=True: BN normalizes by batch statistics (running stats
+        # leave the gradient graph -> zero grads/updates) and dropout
+        # fires; the mutated stats are merged back afterwards.
+        return model.apply(v, x, train=True, mutable=['batch_stats'],
+                           rngs={'dropout': drop_rng})
+
     @jax.jit
     def step(variables, opt_state, x, y_rel, drop_rng):
-        # train=True: BN normalizes by batch statistics (running stats
-        # leave the gradient graph -> zero grads/updates for them) and
-        # dropout fires; the mutated stats are merged back afterwards.
         def loss_fn(v):
-            out, upd = model.apply(v, x, train=True,
-                                   mutable=['batch_stats'],
-                                   rngs={'dropout': drop_rng})
+            out, upd = _apply(v, x, drop_rng)
             return mpjpe_loss(out, y_rel), upd
         (loss, upd), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(variables)
@@ -69,26 +155,55 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
         variables = optax.apply_updates(variables, updates)
         return {**variables, **upd}, opt_state, dict(mpjpe_loss=loss)
 
+    @jax.jit
+    def step_semi(variables, opt_state, x, y_rel, root, xu, t2d, intr,
+                  warm, drop_rng):
+        def loss_fn(v):
+            (pose, traj), upd = _apply(v, x, drop_rng)
+            (upose, utraj), upd2 = _apply({**v, **upd}, xu,
+                                          jax.random.fold_in(drop_rng, 1))
+            l_pose = mpjpe_loss(pose, y_rel)
+            l_traj = mpjpe_loss(traj, root)
+            sl = semi_supervision_loss(
+                pose, upose, utraj, t2d, intr, parents,
+                projection_loss_weight=scfg.get('projection_loss_weight',
+                                                1.0),
+                bone_loss_weight=scfg.get('bone_loss_weight', 1.0),
+                warmup=warm)
+            total = l_pose + l_traj + sl['proj_loss'] + sl['bone_loss']
+            return total, (upd2, dict(mpjpe_loss=l_pose, traj_loss=l_traj,
+                                      **sl))
+        (_, (upd, mets)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return {**variables, **upd}, opt_state, mets
+
     metrics = {}
     n_steps = 0
     done = False
     best = None
     order = np.arange(len(ds))
     for epoch in range(total_epochs):
-        np.random.RandomState(cfg.get('seed', 0) + epoch).shuffle(order)
+        ep_rng = np.random.RandomState(cfg.get('seed', 0) + epoch)
+        ep_rng.shuffle(order)
         for b in range(steps_per_epoch):
             idxs = order[b * batch_size:(b + 1) * batch_size]
             if len(idxs) < batch_size:    # static shapes: repeat-pad
                 idxs = np.concatenate([idxs, order[:batch_size
                                                    - len(idxs)]])
-            x = jnp.stack([jnp.asarray(ds[int(i)]['input_2d'])
-                           for i in idxs]) / 1000.0
-            y = jnp.stack([jnp.asarray(ds[int(i)]['target_3d'])
-                           for i in idxs])
-            y_rel = y - y[:, :1]
-            variables, opt_state, metrics = step(
-                variables, opt_state, x, y_rel,
-                jax.random.fold_in(rng, n_steps))
+            x, y_rel, roots = _labeled_batch(ds, idxs, flip_pairs, ep_rng)
+            drop = jax.random.fold_in(rng, n_steps)
+            if semi:
+                u_idxs = ep_rng.randint(0, len(ds_unlabeled), batch_size)
+                xu, t2d, intr = _unlabeled_batch(ds_unlabeled, u_idxs,
+                                                 flip_pairs, ep_rng)
+                variables, opt_state, metrics = step_semi(
+                    variables, opt_state, x, y_rel, roots, xu, t2d, intr,
+                    float(n_steps >= warmup_iters), drop)
+            else:
+                variables, opt_state, metrics = step(
+                    variables, opt_state, x, y_rel, drop)
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
                 done = True
