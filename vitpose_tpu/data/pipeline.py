@@ -168,7 +168,20 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
         out = {'imgs': crops}
         if with_targets:
             joints_c = apply_affine_to_points(joints, mat)
-            if target_type.lower() == 'combinedtarget':
+            if target_type.lower() == 'regression':
+                # DeepPose: normalized [0, 1] coordinates; weight masks
+                # joints outside the crop (reference
+                # top_down_transform.py:761 TopDownGenerateTargetRegression)
+                size = jnp.asarray([iw, ih], jnp.float32)
+                inside = ((joints_c[..., 0] >= 0)
+                          & (joints_c[..., 0] <= iw - 1)
+                          & (joints_c[..., 1] >= 0)
+                          & (joints_c[..., 1] <= ih - 1))
+                target = (joints_c / size).astype(jnp.float32)
+                weight = (vis.astype(jnp.float32)
+                          * inside.astype(jnp.float32))[..., None]
+                weight = jnp.repeat(weight, 2, axis=-1)       # [N, K, 2]
+            elif target_type.lower() == 'combinedtarget':
                 # UDP CombinedTarget: [N, K, 3, H, W] -> 3K channels
                 # (reference top_down_transform.py:625-653)
                 t, weight = generate_combined_target(

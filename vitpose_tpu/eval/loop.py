@@ -53,6 +53,14 @@ def make_val_step(model, image_size, use_udp=True, post_process='default',
             IMAGENET_STD)
         hm = infer(model, variables, crops, flip_index=flip_index,
                    expert_idx=expert_idx, head_idx=head_idx)
+        if target_type.lower() == 'regression':
+            # DeepPose decode: normalized coords * img_size -> image space
+            # (reference keypoints_from_regression, top_down_eval.py:441)
+            from ..ops.geometry import transform_preds
+            px = hm * jnp.asarray([iw, ih], jnp.float32)
+            preds = transform_preds(px, center_orig, scale_orig, (iw, ih),
+                                    use_udp=use_udp)
+            return preds, jnp.ones(hm.shape[:2] + (1,), jnp.float32)
         preds, maxvals = keypoints_from_heatmaps(
             hm, center_orig, scale_orig, post_process=post_process,
             kernel=modulate_kernel, use_udp=use_udp, target_type=target_type)

@@ -32,7 +32,7 @@ from .losses import joints_mse_loss, combined_target_mse_loss
 @dataclasses.dataclass(frozen=True)
 class TopDownConfig:
     backbone: ViTConfig = ViTConfig()
-    head_type: str = 'heatmap'            # 'heatmap' | 'simple'
+    head_type: str = 'heatmap'    # 'heatmap' | 'simple' | 'regression' | ...
     out_channels: int = 17
     deconv_filters: tuple = (256, 256)
     deconv_kernels: tuple = (4, 4)
@@ -52,6 +52,8 @@ class TopDownConfig:
     modulate_kernel: int = 11
     use_udp: bool = True
     target_type: str = 'GaussianHeatmap'
+    # regression (DeepPose) criterion: 'smooth_l1' | 'wing' | 'soft_wing'
+    reg_loss: str = 'smooth_l1'
     # ViTPose+ multi-head (associate heads for extra datasets)
     num_extra_heads: int = 0
     extra_head_channels: tuple = ()
@@ -147,6 +149,12 @@ class GenericTopDown(nn.Module):
                           deconv_groups=c.deconv_groups)
             self.head = ViPNASHead(c.out_channels, dtype=dtype, name='head',
                                    **kw)
+        elif c.head_type == 'regression':
+            # DeepPose: GAP neck + fc -> [N, K, 2] normalized coordinates
+            # (reference deeppose_regression_head.py:13 + gap_neck.py)
+            from .heads_extra import RegressionHead
+            self.head = RegressionHead(c.out_channels, dtype=dtype,
+                                       name='head')
         else:
             self.head = HeatmapHead(
                 c.out_channels, c.deconv_filters, c.deconv_kernels,
@@ -159,7 +167,10 @@ class GenericTopDown(nn.Module):
         if isinstance(feat, (list, tuple)):
             feat = feat[0]
         out = self.head(feat, train=train)
-        out = out.transpose(0, 3, 1, 2).astype(jnp.float32)
+        if self.cfg.head_type == 'regression':
+            out = out.astype(jnp.float32)           # [N, K, 2] coords
+        else:
+            out = out.transpose(0, 3, 1, 2).astype(jnp.float32)
         return [out] if all_heads else out
 
 
@@ -243,6 +254,12 @@ def infer(model: TopDownModel, variables, imgs, flip_index=None,
         return hm
     hm_f = model.apply(variables, imgs[:, :, ::-1, :], train=False,
                        expert_idx=expert_idx, head_idx=head_idx)
+    if cfg.head_type == 'regression':
+        # fliplr_regression with the deeppose default static center 0.5
+        # (normalized coords; reference deeppose_regression_head.py:110)
+        hm_f = hm_f[:, jnp.asarray(flip_index)]
+        hm_f = hm_f.at[..., 0].set(1.0 - hm_f[..., 0])
+        return (hm + hm_f) * 0.5
     # flip back: channel permutation + horizontal reverse
     if cfg.target_type.lower() == 'combinedtarget':
         n, c3, h, w = hm_f.shape

@@ -344,7 +344,9 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     n_data = rt.get('n_data') or math.gcd(batch_size, n_dev)
     mesh = make_mesh(n_data=n_data, n_expert=1,
                      devices=jax.devices()[:n_data])
-    step_fn = make_train_step(model, target_type=target_type)
+    step_fn = make_train_step(
+        model, target_type=target_type,
+        reg_loss=cfg['model'].get('reg_loss', 'smooth_l1'))
     batch0 = {'imgs': pre0['imgs'], 'target': pre0['target'],
               'target_weight': pre0['target_weight']}
     jitted, state, place_batch = shard_train_step(step_fn, mesh, state,

@@ -46,11 +46,18 @@ def _match_target(target, out):
                             method='bilinear')
 
 
-def make_train_step(model, target_type='GaussianHeatmap'):
+def make_train_step(model, target_type='GaussianHeatmap',
+                    reg_loss='smooth_l1'):
     """Single-dataset training step: (state, batch, rng) -> (state, metrics).
 
     batch: dict with imgs [N,H,W,3], target [N,K,Hh,Wh], target_weight [N,K].
+    target_type='Regression' trains a coordinate-regression (DeepPose)
+    head: target [N,K,2] normalized coords, `reg_loss` selects the
+    criterion (reference deeppose configs: SmoothL1 for body, Wing /
+    SoftWing for face).
     """
+    if target_type.lower() == 'regression':
+        return _make_regression_train_step(model, reg_loss)
     loss_f = (combined_target_mse_loss
               if target_type.lower() == 'combinedtarget' else joints_mse_loss)
 
@@ -84,6 +91,41 @@ def make_train_step(model, target_type='GaussianHeatmap'):
             acc, cnt = pose_pck_accuracy(out, batch['target'],
                                          batch['target_weight'] > 0)
             metrics['acc_pose'] = acc
+        return new_state, metrics
+
+    return train_step
+
+
+def _make_regression_train_step(model, reg_loss='smooth_l1'):
+    """DeepPose coordinate-regression step (reference
+    DeepposeRegressionHead.get_loss/get_accuracy,
+    deeppose_regression_head.py:48-95): criterion over [N,K,2] normalized
+    coords + PCK@0.05 with unit normalization, computed on device."""
+    from ..models.losses_regression import (smooth_l1_loss, wing_loss,
+                                            soft_wing_loss)
+    loss_f = {'smooth_l1': smooth_l1_loss, 'wing': wing_loss,
+              'soft_wing': soft_wing_loss}[reg_loss]
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            out, new_stats = _apply_train(
+                model, params, state.batch_stats, batch['imgs'], rng,
+                expert_idx=batch.get('expert_idx'))
+            loss = loss_f(out, batch['target'], batch['target_weight'])
+            return loss, (new_stats, out)
+
+        (loss, (new_stats, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        # keypoint_pck_accuracy(thr=0.05, normalize=ones) on device
+        vis = batch['target_weight'][..., 0] > 0               # [N, K]
+        dist = jnp.linalg.norm(out - batch['target'], axis=-1)  # [N, K]
+        hits = jnp.sum(jnp.where(vis, (dist < 0.05).astype(jnp.float32),
+                                 0.0))
+        cnt = jnp.maximum(jnp.sum(vis.astype(jnp.float32)), 1.0)
+        metrics = {'reg_loss': loss, 'heatmap_loss': loss,
+                   'acc_pose': hits / cnt,
+                   'grad_norm': optax.global_norm(grads)}
         return new_state, metrics
 
     return train_step

@@ -231,11 +231,17 @@ def convert_backbone(sd, params=None, prefix=''):
 
 
 def convert_head(sd, prefix='keypoint_head.'):
-    """Map torch TopdownHeatmapSimpleHead tensors -> (params, batch_stats)."""
+    """Map torch TopdownHeatmapSimpleHead tensors -> (params, batch_stats).
+    Also handles the DeepposeRegressionHead layout (a single `fc` Linear,
+    deeppose_regression_head.py:40) -> RegressionHead params."""
     def g(name):
         return sd.get(prefix + name)
 
     params, stats = {}, {}
+    if g('fc.weight') is not None:
+        _set(params, ('fc', 'kernel'), g('fc.weight').T)
+        _set(params, ('fc', 'bias'), g('fc.bias'))
+        return params, stats
     # deconv_layers is a Sequential: [deconv, BN, ReLU] * n
     di = 0
     while g(f'deconv_layers.{di * 3}.weight') is not None:
