@@ -223,3 +223,49 @@ def test_pose_lifter_in_loop_validation(tmp_path):
     assert np.isfinite(val[0]['MPJPE']) and np.isfinite(val[0]['P-MPJPE'])
     # save_best tracked the MPJPE metric into best.npz
     assert os.path.exists(os.path.join(wd, 'best.npz'))
+
+
+def test_simplebaseline3d_protocol(tmp_path):
+    """SimpleBaseline3D config path: root-removed 16-joint targets with
+    mean/std NormalizeJointCoordinate (from stats pkl), MSE loss, eval
+    un-normalizes + reinserts the root (reference simplebaseline3d_h36m.py
+    + pose3d_transform.py:61 NormalizeJointCoordinate)."""
+    import json
+    import pickle
+    import tempfile
+    from vitpose_tpu.data.body3d import Body3DH36MDataset
+    from vitpose_tpu.train.loop import train_model, build_model_from_cfg
+    from vitpose_tpu.eval.families import evaluate_pose_lifter
+
+    h36m = f"{REF}/test_h36m_body3d.npz"
+    ds = Body3DH36MDataset(h36m, seq_len=1, causal=True)
+    # build the stats pkls the reference quotes, from the fixture itself
+    rel = ds.joints_3d[:, :, :3] - ds.joints_3d[:, :1, :3]
+    rel = rel[:, 1:]
+    p3d = tmp_path / "joint3d_rel_stats.pkl"
+    with open(p3d, "wb") as f:
+        pickle.dump({"mean": rel.mean(0), "std": rel.std(0) + 1e-3}, f)
+    p2d = tmp_path / "joint2d_stats.pkl"
+    with open(p2d, "wb") as f:
+        pickle.dump({"mean": ds.joints_2d[..., :2].mean(0),
+                     "std": ds.joints_2d[..., :2].std(0) + 1e-3}, f)
+
+    wd = str(tmp_path / "wd")
+    cfg = dict(
+        model=dict(family='pose_lifter', num_joints=16, stem_channels=32,
+                   kernel_sizes=(1, 1), dropout=0.5, remove_root=True,
+                   loss='mse'),
+        joint_3d_normalize=dict(stats_file=str(p3d)),
+        joint_2d_normalize=dict(stats_file=str(p2d)),
+        data=dict(dataset='h36m', seq_len=1, causal=True, batch_size=2,
+                  flip_aug=False,
+                  train=dict(ann_file=h36m), val=dict(ann_file=h36m)),
+        optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    variables, metrics = train_model(cfg, max_steps=3)
+    assert np.isfinite(metrics['mpjpe_loss'])
+
+    model = build_model_from_cfg(cfg['model'])
+    stats = evaluate_pose_lifter(cfg, model, variables,
+                                 metric=['mpjpe', 'p-mpjpe'])
+    assert all(np.isfinite(v) for v in stats.values()), stats

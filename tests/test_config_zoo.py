@@ -78,5 +78,8 @@ def test_cnn_config_forwards(path):
     x = jnp.zeros((1, 64, 64, 3))
     v = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(v, x, train=False)
-    assert out.ndim == 4
+    if cfg['model'].get('head') == 'regression':
+        assert out.ndim == 3 and out.shape[2] == 2   # [N, K, 2] coords
+    else:
+        assert out.ndim == 4
     assert out.shape[1] == cfg['model']['out_channels']

@@ -77,6 +77,23 @@ def normalize_screen_coordinates(pts, w, h):
     return (pts - center) / np.float32(0.5 * w)
 
 
+def load_joint_normalize(cfg_entry):
+    """Mean/std for NormalizeJointCoordinate (pose3d_transform.py:61):
+    inline arrays or a stats .pkl ({'mean','std'}, the
+    joint3d_rel_stats.pkl / joint2d_stats.pkl files the reference
+    simplebaseline3d configs quote). Returns (mean, std) or None."""
+    if not cfg_entry:
+        return None
+    if 'stats_file' in cfg_entry:
+        import pickle
+        with open(cfg_entry['stats_file'], 'rb') as f:
+            d = pickle.load(f)
+        return (np.asarray(d['mean'], np.float32),
+                np.asarray(d['std'], np.float32))
+    return (np.asarray(cfg_entry['mean'], np.float32),
+            np.asarray(cfg_entry['std'], np.float32))
+
+
 def flip_relative_pose(pose, flip_pairs, center_x=0.0):
     """Reference RelativeJointRandomFlip (pose3d_transform.py:229):
     mirror x around `center_x` and swap left/right joints. pose [..., K, D]."""

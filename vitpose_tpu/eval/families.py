@@ -22,6 +22,8 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
     import jax.numpy as jnp
     from ..data.body3d import Body3DH36MDataset
 
+    from ..data.body3d import load_joint_normalize
+
     dcfg = cfg['data']
     vcfg = dcfg['val']
     ds = Body3DH36MDataset(vcfg['ann_file'],
@@ -30,16 +32,32 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
                            det_file=vcfg.get('det_file'),
                            camera_param_file=vcfg.get('camera_param_file'),
                            test_mode=True)
+    # SimpleBaseline3D protocol: stats-normalized inputs/targets with the
+    # root removed (reference simplebaseline3d_h36m.py + the
+    # TemporalRegressionHead decode un-normalization)
+    norm2d = load_joint_normalize(cfg.get('joint_2d_normalize'))
+    norm3d = load_joint_normalize(cfg.get('joint_3d_normalize'))
+    remove_root = bool(cfg['model'].get('remove_root'))
     bs = dcfg.get('batch_size', 128)
     results = []
     for start in range(0, len(ds), bs):
         idxs = list(range(start, min(start + bs, len(ds))))
-        x = jnp.stack([jnp.asarray(ds.normalize_2d(
-            ds[i]['input_2d'], ds[i]['target_idx'])) for i in idxs])
+        if norm2d is not None:
+            x = jnp.stack([(jnp.asarray(ds[i]['input_2d'])
+                            - norm2d[0]) / norm2d[1] for i in idxs])
+        else:
+            x = jnp.stack([jnp.asarray(ds.normalize_2d(
+                ds[i]['input_2d'], ds[i]['target_idx'])) for i in idxs])
         out = model.apply(variables, x, train=False)
         if isinstance(out, tuple):        # with_traj -> (pose, traj)
             out = out[0]
         out = np.asarray(out)
+        if norm3d is not None:
+            out = out * norm3d[1] + norm3d[0]
+        if remove_root:
+            # the restored root coincides with the GT root position
+            out = np.concatenate(
+                [np.zeros((out.shape[0], 1, 3), out.dtype), out], axis=1)
         roots = np.stack([np.asarray(ds[i]['target_3d'])[:1]
                           for i in idxs])
         results.append(dict(preds=out + roots,

@@ -98,6 +98,7 @@ class PoseLifter(nn.Module):
     stem_channels: int = 1024
     kernel_sizes: Sequence[int] = (3, 3, 3)
     with_traj: bool = False
+    dropout: float = 0.25
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -112,13 +113,15 @@ class PoseLifter(nn.Module):
         """kp2d_seq: [N, T, K, 2] -> [N, K, 3] (or (pose, traj))."""
         n, t, k, _ = kp2d_seq.shape
         x = kp2d_seq.reshape(n, t, k * 2).astype(self.dtype)
-        feat = TCN(self.stem_channels, self.kernel_sizes, dtype=self.dtype,
+        feat = TCN(self.stem_channels, self.kernel_sizes,
+                   dropout=self.dropout, dtype=self.dtype,
                    name='backbone')(x, train=train)
         pose = TemporalRegressionHead(self.num_joints, dtype=self.dtype,
                                       name='head')(feat, train=train)
         if not self.with_traj:
             return pose
-        tfeat = TCN(self.stem_channels, self.kernel_sizes, dtype=self.dtype,
+        tfeat = TCN(self.stem_channels, self.kernel_sizes,
+                    dropout=self.dropout, dtype=self.dtype,
                     name='traj_backbone')(x, train=train)
         traj = TemporalRegressionHead(1, dtype=self.dtype,
                                       name='traj_head')(tfeat, train=train)

@@ -45,19 +45,33 @@ def _build_dataset(dcfg, entry):
         camera_param_file=entry.get('camera_param_file'))
 
 
-def _labeled_batch(ds, idxs, flip_pairs, rng):
+def _labeled_batch(ds, idxs, flip_pairs, rng, norm2d=None, norm3d=None,
+                   remove_root=False):
     """[input_2d (normalized), target (root-centered), root] with the
-    reference 50% RelativeJointRandomFlip when `rng` is given."""
+    reference 50% RelativeJointRandomFlip when `rng` is given.
+
+    `norm2d`/`norm3d` are (mean, std) NormalizeJointCoordinate params
+    (the SimpleBaseline3D recipe): the 2D input is stats-normalized in
+    raw pixel coords INSTEAD of camera-normalized, the root-centered 3D
+    target is stats-normalized and (remove_root) drops the root row."""
     xs, ys, roots = [], [], []
     for i in idxs:
         s = ds[int(i)]
-        x = ds.normalize_2d(s['input_2d'], s['target_idx'])
+        if norm2d is not None:
+            x = ((np.asarray(s['input_2d'], np.float32) - norm2d[0])
+                 / norm2d[1])
+        else:
+            x = ds.normalize_2d(s['input_2d'], s['target_idx'])
         y = np.asarray(s['target_3d'], np.float32)
         root = y[:1].copy()
         y = y - root
         if rng is not None and rng.rand() < 0.5:
             x = flip_relative_pose(x, flip_pairs)       # static center x=0
             y = flip_relative_pose(y, flip_pairs)       # root x = 0
+        if remove_root:
+            y = y[1:]
+        if norm3d is not None:
+            y = (y - norm3d[0]) / norm3d[1]
         xs.append(x)
         ys.append(y)
         roots.append(root)
@@ -98,13 +112,20 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
     import jax.numpy as jnp
     import optax
     from .loop import build_model_from_cfg
-    from ..models.losses_regression import (mpjpe_loss,
+    from ..models.losses_regression import (mpjpe_loss, mse_loss,
                                             semi_supervision_loss)
 
     model = build_model_from_cfg(cfg['model'])
     dcfg = cfg['data']
     semi = bool(dcfg.get('semi_supervised')) and \
         bool(cfg['model'].get('with_traj'))
+    # SimpleBaseline3D protocol knobs (reference simplebaseline3d_h36m.py:
+    # remove_root target + mean/std NormalizeJointCoordinate + MSE loss)
+    from ..data.body3d import load_joint_normalize
+    norm2d = load_joint_normalize(cfg.get('joint_2d_normalize'))
+    norm3d = load_joint_normalize(cfg.get('joint_3d_normalize'))
+    remove_root = bool(cfg['model'].get('remove_root'))
+    loss_name = cfg['model'].get('loss', 'mpjpe')
     ds = _build_dataset(dcfg, dcfg['train'])
     ds_unlabeled = (_build_dataset(dcfg, dcfg.get('train_unlabeled',
                                                   dcfg['train']))
@@ -130,10 +151,10 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
                        [0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9, 8, 11, 12, 8,
                         14, 15])
 
-    sample = ds[0]
     rng = jax.random.PRNGKey(cfg.get('seed', 0))
-    x0 = jnp.asarray(ds.normalize_2d(sample['input_2d'],
-                                     sample['target_idx']))[None]
+    x0 = jnp.asarray(_labeled_batch(ds, [0], flip_pairs, None,
+                                    norm2d=norm2d, norm3d=norm3d,
+                                    remove_root=remove_root)[0])
     variables = model.init(rng, x0, train=False)
     opt_state = tx.init(variables)
 
@@ -144,11 +165,13 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
         return model.apply(v, x, train=True, mutable=['batch_stats'],
                            rngs={'dropout': drop_rng})
 
+    sup_loss = mse_loss if loss_name == 'mse' else mpjpe_loss
+
     @jax.jit
     def step(variables, opt_state, x, y_rel, drop_rng):
         def loss_fn(v):
             out, upd = _apply(v, x, drop_rng)
-            return mpjpe_loss(out, y_rel), upd
+            return sup_loss(out, y_rel), upd
         (loss, upd), grads = jax.value_and_grad(loss_fn,
                                                 has_aux=True)(variables)
         updates, opt_state = tx.update(grads, opt_state, variables)
@@ -192,7 +215,10 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
             if len(idxs) < batch_size:    # static shapes: repeat-pad
                 idxs = np.concatenate([idxs, order[:batch_size
                                                    - len(idxs)]])
-            x, y_rel, roots = _labeled_batch(ds, idxs, flip_pairs, ep_rng)
+            x, y_rel, roots = _labeled_batch(
+                ds, idxs, flip_pairs,
+                ep_rng if dcfg.get('flip_aug', True) else None,
+                norm2d=norm2d, norm3d=norm3d, remove_root=remove_root)
             drop = jax.random.fold_in(rng, n_steps)
             if semi:
                 u_idxs = ep_rng.randint(0, len(ds_unlabeled), batch_size)

@@ -186,6 +186,10 @@ def build_family_model(family: str, mcfg: dict):
                                  parser_cfg=mcfg.pop('parser', None))
     if family == 'pose_lifter':
         from ..models.pose3d import PoseLifter
+        # protocol knobs consumed by the training loop / eval, not the
+        # module (SimpleBaseline3D: root-removed MSE targets)
+        mcfg.pop('remove_root', None)
+        mcfg.pop('loss', None)
         return PoseLifter(**mcfg)
     if family == 'mesh':
         from ..models.mesh import build_parametric_mesh
