@@ -255,3 +255,39 @@ def test_interhand3d_eval_cli(tmp_path):
     stats = json.load(open(os.path.join(wd, 'stats.json')))
     assert set(stats) == {'MPJPE', 'AUC', 'Handedness_acc'}
     assert all(np.isfinite(v) for v in stats.values())
+
+
+def test_hand_random_flip_in_loader(ds):
+    """HandRandomFlip semantics in the training loader (reference
+    hand_transform.py:9): joint blocks swapped via flip_index, hand_type
+    reversed, rel_root_depth negated; translation/scale/rot jitter applied
+    (reference res50_interhand3d_all_256x256.py:77-83)."""
+    from vitpose_tpu.train.interhand_loop import InterHandLoader
+
+    loader = InterHandLoader(ds, batch_size=2, image_size=(64, 64),
+                             heatmap_size=(16, 16, 16), is_train=True)
+    rec = ds.db[0]
+
+    class ForceFlip:
+        """rand() low first (forces flip), then neutral jitter."""
+        def __init__(self):
+            self.calls = 0
+
+        def rand(self):
+            self.calls += 1
+            return 0.0 if self.calls == 1 else 1.0   # flip; no rotation
+
+        def uniform(self, a, b, n):
+            return np.zeros(n)
+
+        def randn(self):
+            return 0.0
+
+    crop, tg = loader._prepare(rec, ForceFlip())
+    crop0, tg0 = loader._prepare(rec, None)
+    np.testing.assert_allclose(tg['hand_type'],
+                               np.asarray(rec['hand_type'])[::-1])
+    assert tg['rel_root_depth_mm'][0] == -rec['rel_root_depth']
+    assert np.isfinite(tg['hm3d']).all() and np.isfinite(crop).all()
+    # eval-mode prepare is untouched by augmentation
+    np.testing.assert_allclose(tg0['hand_type'], rec['hand_type'])

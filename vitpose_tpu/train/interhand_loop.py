@@ -45,7 +45,7 @@ class InterHandLoader:
     def __len__(self):
         return max(1, len(self.ds.db) // self.batch_size)
 
-    def _prepare(self, rec):
+    def _prepare(self, rec, rng=None):
         import cv2
         w, h = self.image_size
         img = cv2.imread(rec['image_file'])
@@ -53,14 +53,42 @@ class InterHandLoader:
             img = np.zeros((256, 256, 3), np.uint8)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         center, scale = bbox_xywh2cs(rec['bbox'], aspect_ratio=w / h)
-        mat = np.asarray(affine_matrix(center, scale, 0.0, (w, h)))
-        crop = cv2.warpAffine(img, mat[:2], (w, h),
-                              flags=cv2.INTER_LINEAR)
+        center = np.asarray(center, np.float32).copy()
+        scale = np.asarray(scale, np.float32).copy()
         rec2 = dict(rec)
         joints = np.asarray(rec['joints_3d'], np.float32).copy()
+        vis = np.asarray(rec['joints_3d_visible'], np.float32).copy()
+        rot = 0.0
+        if rng is not None:
+            # reference interhand3d train pipeline
+            # (res50_interhand3d_all_256x256.py:75-84):
+            # HandRandomFlip(0.5): source mirror + joint pair swap +
+            # hand_type swap + rel_root_depth negation
+            if rng.rand() < 0.5:
+                img = img[:, ::-1].copy()
+                width = img.shape[1]
+                fi = self.ds.info.flip_index
+                joints = joints[fi]
+                vis = vis[fi]
+                joints[:, 0] = width - 1 - joints[:, 0]
+                center[0] = width - 1 - center[0]
+                ht = np.asarray(rec['hand_type'], np.float32)
+                rec2['hand_type'] = ht[::-1].copy()
+                rec2['rel_root_depth'] = -rec['rel_root_depth']
+            # TopDownRandomTranslation(trans_factor=0.15)
+            center += 0.15 * rng.uniform(-1, 1, 2).astype(np.float32) \
+                * scale * 200.0
+            # TopDownGetRandomScaleRotation(rot=45, scale=0.25, prob=0.6)
+            scale *= np.clip(rng.randn() * 0.25 + 1, 0.75, 1.25)
+            if rng.rand() <= 0.6:
+                rot = float(np.clip(rng.randn() * 45.0, -90.0, 90.0))
+        mat = np.asarray(affine_matrix(center, scale, rot, (w, h)))
+        crop = cv2.warpAffine(img, mat[:2], (w, h),
+                              flags=cv2.INTER_LINEAR)
         joints[:, :2] = np.asarray(apply_affine_to_points(
             joints[:, :2], mat))
         rec2['joints_3d'] = joints
+        rec2['joints_3d_visible'] = vis
         tg = training_targets(
             rec2, image_size=self.image_size,
             heatmap_size=self.heatmap_size,
@@ -71,14 +99,17 @@ class InterHandLoader:
 
     def __iter__(self):
         order = np.arange(len(self.ds.db))
+        rng = None
         if self.is_train:
-            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
         bs = self.batch_size
         for b in range(len(self)):
             idxs = order[b * bs:(b + 1) * bs]
             if len(idxs) < bs:               # static shapes: repeat-pad
                 idxs = np.concatenate([idxs, order[:bs - len(idxs)]])
-            crops, tgs = zip(*[self._prepare(self.ds.db[i]) for i in idxs])
+            crops, tgs = zip(*[self._prepare(self.ds.db[i], rng)
+                               for i in idxs])
             yield dict(
                 imgs=np.stack(crops),
                 hm3d=np.stack([t['hm3d'] for t in tgs]),
