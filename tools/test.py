@@ -25,27 +25,12 @@ if os.environ.get('JAX_PLATFORMS'):
 
 def load_variables(checkpoint, model_cfg, backbone_type='vit',
                    num_units=4, use_prm=False):
-    import jax
-    import jax.numpy as jnp
-    if checkpoint.endswith('.pth'):
-        if backbone_type == 'vit':
-            from vitpose_tpu.utils.torch_ckpt import (
-                convert_topdown_checkpoint)
-            v = convert_topdown_checkpoint(checkpoint, model_cfg)
-        else:
-            from vitpose_tpu.utils.cnn_ckpt import (
-                convert_generic_topdown_checkpoint)
-            v = convert_generic_topdown_checkpoint(checkpoint,
-                                                   backbone_type,
-                                                   num_units=num_units,
-                                                   use_prm=use_prm)
-    elif checkpoint.endswith('.npz'):
-        from vitpose_tpu.utils.checkpoint import load_params_npz
-        v = load_params_npz(checkpoint)
-    else:
-        raise ValueError(f'unsupported checkpoint {checkpoint}; for orbax '
-                         'dirs use tools/train.py --resume instead')
-    return jax.tree.map(jnp.asarray, v)
+    from vitpose_tpu.api.inference import load_checkpoint_variables
+    return load_checkpoint_variables(
+        checkpoint,
+        dict(backbone_type=backbone_type, num_units=num_units,
+             use_prm=use_prm),
+        topdown_cfg=model_cfg)
 
 
 def build_eval_objects(cfg, batch_size=None, shard_by_process=False):

@@ -75,10 +75,18 @@ class PoseModel:
                 crops = (crops - jnp.asarray(IMAGENET_MEAN)) \
                     / jnp.asarray(IMAGENET_STD)
                 hm = infer(model, variables, crops, flip_index=flip_index)
-                preds, maxvals = keypoints_from_heatmaps(
-                    hm, center, scale, post_process=cfg.post_process,
-                    kernel=cfg.modulate_kernel, use_udp=cfg.use_udp,
-                    target_type=cfg.target_type)
+                if cfg.head_type == 'regression':
+                    # DeepPose decode (reference keypoints_from_regression)
+                    from ..ops.geometry import transform_preds
+                    px = hm * jnp.asarray([iw, ih], jnp.float32)
+                    preds = transform_preds(px, center, scale, (iw, ih),
+                                            use_udp=cfg.use_udp)
+                    maxvals = jnp.ones(hm.shape[:2] + (1,), jnp.float32)
+                else:
+                    preds, maxvals = keypoints_from_heatmaps(
+                        hm, center, scale, post_process=cfg.post_process,
+                        kernel=cfg.modulate_kernel, use_udp=cfg.use_udp,
+                        target_type=cfg.target_type)
                 if return_heatmap:
                     return preds, maxvals, hm
                 return preds, maxvals
@@ -86,22 +94,74 @@ class PoseModel:
         return self._jitted[key]
 
 
+def load_checkpoint_variables(checkpoint, model_dict=None, topdown_cfg=None):
+    """Checkpoint path (.pth torch / .npz export) -> flax variables, routed
+    by model kind (the tools/test.py CONFIG CHECKPOINT contract: ViT ->
+    convert_topdown_checkpoint with pos-embed regrid, CNN ->
+    convert_generic_topdown_checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+    if checkpoint.endswith('.npz'):
+        from ..utils.checkpoint import load_params_npz
+        v = load_params_npz(checkpoint)
+    elif checkpoint.endswith('.pth'):
+        bt = (model_dict or {}).get('backbone_type', 'vit')
+        if bt == 'vit':
+            v = convert_topdown_checkpoint(checkpoint, topdown_cfg)
+        else:
+            from ..utils.cnn_ckpt import convert_generic_topdown_checkpoint
+            v = convert_generic_topdown_checkpoint(
+                checkpoint, bt,
+                num_units=(model_dict or {}).get('num_units', 4),
+                use_prm=(model_dict or {}).get('use_prm', False))
+    else:
+        raise ValueError(f'unsupported checkpoint {checkpoint!r}; orbax '
+                         'train dirs resume via tools/train.py')
+    return jax.tree.map(jnp.asarray, v)
+
+
 def init_pose_model(config, checkpoint: Optional[str] = None,
                     device: str = 'tpu') -> PoseModel:
-    """Build a PoseModel from a config and optional .pth/.msgpack checkpoint.
+    """Build a PoseModel from a config and optional .pth/.npz checkpoint.
 
-    `config` may be:
-      * a dict like {'variant': 'b', 'image_size': (192, 256), ...}
+    `config` may be (keeping the reference init_pose_model contract,
+    apis/inference.py:21, where config is a file path or Config object):
+      * a config FILE path ('configs/coco/res50_coco_256x192.py' style)
+      * a dict like {'variant': 'b', 'image_size': (192, 256), ...} or a
+        generic-backbone dict {'backbone_type': 'hrnet', ...}
       * a TopDownConfig
       * a variant string 'b' / 's' / 'l' / 'h'
     """
+    import os as _os
     import jax
     import jax.numpy as jnp
 
     dataset_name = 'coco'
     padding = 1.25
-    if isinstance(config, str) and config in VIT_VARIANTS:
+    model_dict = None
+    if isinstance(config, str) and config.endswith('.py') \
+            and _os.path.exists(config):
+        from ..utils.config import load_config
+        full = load_config(config)
+        if full['model'].get('family', 'topdown') != 'topdown':
+            raise ValueError(
+                'init_pose_model serves top-down configs; other families '
+                'evaluate through tools/test.py or their api/ entry points')
+        model_dict = dict(full['model'])
+        dataset_name = full.get('data', {}).get('dataset', 'coco')
+    elif isinstance(config, dict) and (
+            'backbone_type' in config or 'family' in config):
+        model_dict = dict(config)
+        dataset_name = model_dict.pop('dataset', 'coco')
+        padding = model_dict.pop('padding', 1.25)
+
+    if model_dict is not None:
+        from ..train.loop import build_model_from_cfg
+        model = build_model_from_cfg(model_dict)
+        cfg = model.cfg
+    elif isinstance(config, str) and config in VIT_VARIANTS:
         cfg = make_config(config, img_size=(256, 192), out_channels=17)
+        model = TopDownModel(cfg)
     elif isinstance(config, dict):
         c = dict(config)
         dataset_name = c.pop('dataset', 'coco')
@@ -109,17 +169,16 @@ def init_pose_model(config, checkpoint: Optional[str] = None,
         variant = c.pop('variant', 'b')
         wh = c.pop('image_size', (192, 256))
         cfg = make_config(variant, img_size=(wh[1], wh[0]), **c)
+        model = TopDownModel(cfg)
     else:
         cfg = config
+        model = TopDownModel(cfg)
 
     info = DatasetInfo.load(dataset_name)
-    model = TopDownModel(cfg)
     ih, iw = cfg.backbone.img_size
     rng = jax.random.PRNGKey(0)
     if checkpoint is not None:
-        variables = convert_topdown_checkpoint(checkpoint, cfg)
-        import jax.numpy as jnp
-        variables = jax.tree.map(jnp.asarray, variables)
+        variables = load_checkpoint_variables(checkpoint, model_dict, cfg)
     else:
         variables = model.init(rng, jnp.zeros((1, ih, iw, 3)))
     hm_h, hm_w = ih // 4, iw // 4
