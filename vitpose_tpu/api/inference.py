@@ -151,6 +151,10 @@ def init_pose_model(config, checkpoint: Optional[str] = None,
         dataset_name = full.get('data', {}).get('dataset', 'coco')
     elif isinstance(config, dict) and (
             'backbone_type' in config or 'family' in config):
+        if config.get('family', 'topdown') != 'topdown':
+            raise ValueError(
+                'init_pose_model serves top-down configs; other families '
+                'evaluate through tools/test.py or their api/ entry points')
         model_dict = dict(config)
         dataset_name = model_dict.pop('dataset', 'coco')
         padding = model_dict.pop('padding', 1.25)

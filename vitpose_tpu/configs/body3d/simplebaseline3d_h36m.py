@@ -28,7 +28,7 @@ data = dict(
     train=dict(ann_file=f'{_ROOT}/annotation_body3d/fps50/h36m_train.npz'),
     val=dict(ann_file=f'{_ROOT}/annotation_body3d/fps50/h36m_test.npz'),
 )
-evaluation = dict(metric=['mpjpe', 'p-mpjpe', 'n-mpjpe'])
+evaluation = dict(interval=10, metric=['mpjpe', 'p-mpjpe', 'n-mpjpe'])
 optimizer = dict(base_lr=1e-3, lr_decay=0.975, total_epochs=200)
 runtime = dict(work_dir='work_dirs/simplebaseline3d_h36m',
                save_best='MPJPE', save_best_mode='min')

@@ -38,6 +38,7 @@ data = dict(
     val=dict(ann_file=f'{_ROOT}/annotation_body3d/fps50/h36m_test.npz',
              camera_param_file=f'{_ROOT}/annotation_body3d/cameras.pkl'),
 )
+evaluation = dict(interval=10, metric=['mpjpe', 'p-mpjpe', 'n-mpjpe'])
 optimizer = dict(base_lr=1e-3, lr_decay=0.975, total_epochs=160)
 runtime = dict(work_dir='work_dirs/videopose3d_h36m_27frames_semi',
                save_best='MPJPE', save_best_mode='min')

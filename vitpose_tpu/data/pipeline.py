@@ -144,6 +144,9 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
     conventions and any rotation, with no pixel copies.
     """
     iw, ih = int(image_size[0]), int(image_size[1])
+    if pad_num_joints is not None and target_type.lower() == 'regression':
+        raise ValueError('pad_num_joints (ViTPose+ MoE padding) expects '
+                         'heatmap targets, not Regression coordinates')
 
     @jax.jit
     def preprocess(imgs, center, scale, rot, joints, vis, flip=None):

@@ -20,14 +20,14 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
     root before the root-inclusive comparison (the reference
     root-centers the GT instead — same metric)."""
     import jax.numpy as jnp
-    from ..data.body3d import Body3DH36MDataset
-
-    from ..data.body3d import load_joint_normalize
+    from ..data.body3d import Body3DH36MDataset, load_joint_normalize
 
     dcfg = cfg['data']
     vcfg = dcfg['val']
     ds = Body3DH36MDataset(vcfg['ann_file'],
                            seq_len=dcfg.get('seq_len', 27),
+                           seq_frame_interval=dcfg.get('seq_frame_interval',
+                                                       1),
                            causal=dcfg.get('causal', False),
                            det_file=vcfg.get('det_file'),
                            camera_param_file=vcfg.get('camera_param_file'),
@@ -41,13 +41,13 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
     bs = dcfg.get('batch_size', 128)
     results = []
     for start in range(0, len(ds), bs):
-        idxs = list(range(start, min(start + bs, len(ds))))
+        samples = [ds[i] for i in range(start, min(start + bs, len(ds)))]
         if norm2d is not None:
-            x = jnp.stack([(jnp.asarray(ds[i]['input_2d'])
-                            - norm2d[0]) / norm2d[1] for i in idxs])
+            x = jnp.stack([(jnp.asarray(s['input_2d'])
+                            - norm2d[0]) / norm2d[1] for s in samples])
         else:
             x = jnp.stack([jnp.asarray(ds.normalize_2d(
-                ds[i]['input_2d'], ds[i]['target_idx'])) for i in idxs])
+                s['input_2d'], s['target_idx'])) for s in samples])
         out = model.apply(variables, x, train=False)
         if isinstance(out, tuple):        # with_traj -> (pose, traj)
             out = out[0]
@@ -58,11 +58,10 @@ def evaluate_pose_lifter(cfg: dict, model, variables, metric=None):
             # the restored root coincides with the GT root position
             out = np.concatenate(
                 [np.zeros((out.shape[0], 1, 3), out.dtype), out], axis=1)
-        roots = np.stack([np.asarray(ds[i]['target_3d'])[:1]
-                          for i in idxs])
+        roots = np.stack([np.asarray(s['target_3d'])[:1] for s in samples])
         results.append(dict(preds=out + roots,
-                            target_idxs=[ds[i]['target_idx']
-                                         for i in idxs]))
+                            target_idxs=[s['target_idx']
+                                         for s in samples]))
     metric = metric or cfg.get('evaluation', {}).get('metric', ['mpjpe'])
     return ds.evaluate(results, metric=metric)
 

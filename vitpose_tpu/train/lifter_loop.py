@@ -53,7 +53,13 @@ def _labeled_batch(ds, idxs, flip_pairs, rng, norm2d=None, norm3d=None,
     `norm2d`/`norm3d` are (mean, std) NormalizeJointCoordinate params
     (the SimpleBaseline3D recipe): the 2D input is stats-normalized in
     raw pixel coords INSTEAD of camera-normalized, the root-centered 3D
-    target is stats-normalized and (remove_root) drops the root row."""
+    target is stats-normalized and (remove_root) drops the root row.
+    Flip augmentation is only valid in the camera-normalized space
+    (mirroring whitened per-joint coords around x=0 is meaningless — and
+    the reference stats-normalized recipe has no flip), so norm2d
+    disables it."""
+    if norm2d is not None:
+        rng = None
     xs, ys, roots = [], [], []
     for i in idxs:
         s = ds[int(i)]
@@ -215,15 +221,15 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
             if len(idxs) < batch_size:    # static shapes: repeat-pad
                 idxs = np.concatenate([idxs, order[:batch_size
                                                    - len(idxs)]])
+            flip_rng = ep_rng if dcfg.get('flip_aug', True) else None
             x, y_rel, roots = _labeled_batch(
-                ds, idxs, flip_pairs,
-                ep_rng if dcfg.get('flip_aug', True) else None,
+                ds, idxs, flip_pairs, flip_rng,
                 norm2d=norm2d, norm3d=norm3d, remove_root=remove_root)
             drop = jax.random.fold_in(rng, n_steps)
             if semi:
                 u_idxs = ep_rng.randint(0, len(ds_unlabeled), batch_size)
                 xu, t2d, intr = _unlabeled_batch(ds_unlabeled, u_idxs,
-                                                 flip_pairs, ep_rng)
+                                                 flip_pairs, flip_rng)
                 variables, opt_state, metrics = step_semi(
                     variables, opt_state, x, y_rel, roots, xu, t2d, intr,
                     float(n_steps >= warmup_iters), drop)
