@@ -109,9 +109,9 @@ def test_inference_pose_lifter_api():
     rng = np.random.RandomState(0)
 
     def frame(t):
-        return [dict(track_id=0,
+        return [dict(track_id=0, bbox=[10.0, 20.0, 210.0, 420.0],
                      keypoints=rng.rand(17, 3).astype(np.float32) * 100),
-                dict(track_id=1,
+                dict(track_id=1, bbox=[300.0, 40.0, 500.0, 440.0],
                      keypoints=rng.rand(17, 3).astype(np.float32) * 100)]
 
     frames = [frame(t) for t in range(40)]
@@ -130,6 +130,20 @@ def test_inference_pose_lifter_api():
     for r in results:
         assert r['keypoints_3d'].shape[-1] == 3
         assert np.isfinite(r['keypoints_3d']).all()
+    # norm_pose_2d actually changes the inputs (reference
+    # inference_3d.py:104-110 bbox renormalization), so outputs differ
+    # from the un-normalized call — and the bbox is required
+    plain = inference_pose_lifter_model(model, variables, seq,
+                                        image_size=(640, 480))
+    assert not np.allclose(results[0]['keypoints_3d'],
+                           plain[0]['keypoints_3d'])
+    import pytest
+    bare = [[{k: v for k, v in p.items() if k != 'bbox'} for p in f]
+            for f in seq]
+    with pytest.raises(KeyError):
+        inference_pose_lifter_model(model, variables, bare,
+                                    image_size=(640, 480),
+                                    norm_pose_2d=True)
 
 
 def test_train_pose_lifter_model_from_config():

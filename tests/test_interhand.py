@@ -291,3 +291,52 @@ def test_hand_random_flip_in_loader(ds):
     assert np.isfinite(tg['hm3d']).all() and np.isfinite(crop).all()
     # eval-mode prepare is untouched by augmentation
     np.testing.assert_allclose(tg0['hand_type'], rec['hand_type'])
+
+
+def test_interhand_mrrpe_tracks_predictions(ds):
+    """MRRPE follows the reference protocol (interhand3d_dataset.py:
+    404-431): perfect pixel predictions + true rel_root_depth -> ~0;
+    perturbing the predicted rel_root_depth strictly increases it (the
+    previous formulation was prediction-independent)."""
+    from vitpose_tpu.data.interhand import R_WRIST, L_WRIST
+
+    def project(cam, focal, princpt):
+        z = cam[:, 2]
+        return np.stack([cam[:, 0] / z * focal[0] + princpt[0],
+                         cam[:, 1] / z * focal[1] + princpt[1]], axis=1)
+
+    def build(results_depth_offset):
+        preds, px_list, rr, ids = [], [], [], []
+        for rec in ds.db:
+            cam = rec['joints_cam'].copy()
+            pix = project(cam, rec['focal'], rec['princpt'])
+            z_rel = cam[:, 2].copy()
+            z_rel[:21] -= cam[R_WRIST, 2]
+            z_rel[21:] -= cam[L_WRIST, 2]
+            px = np.concatenate([pix, z_rel[:, None]], axis=1)
+            rel = rec['rel_root_depth'] + results_depth_offset
+            cam_rel = cam.copy()
+            cam_rel[:21] -= cam[R_WRIST]
+            cam_rel[21:] -= cam[L_WRIST]
+            preds.append(cam_rel)
+            px_list.append(px)
+            rr.append(rel)
+            ids.append(rec['bbox_id'])
+        return [dict(preds=np.stack(preds), bbox_ids=ids,
+                     keypoints_px=np.stack(px_list),
+                     rel_root_depth=np.asarray(rr))]
+
+    s0 = ds.evaluate(build(0.0), metric=['MRRPE'])
+    s1 = ds.evaluate(build(25.0), metric=['MRRPE'])
+    if s0['MRRPE'] < 0:       # fixture has no interacting two-hand sample
+        import pytest
+        pytest.skip('no interacting sample in fixture')
+    assert s0['MRRPE'] < 1e-3, s0
+    assert s1['MRRPE'] > 20.0, s1
+    # MRRPE without the pixel predictions is a protocol error, not a
+    # silently-constant number
+    import pytest
+    with pytest.raises(KeyError):
+        ds.evaluate([dict(preds=np.zeros((len(ds.db), 42, 3)),
+                          bbox_ids=[r['bbox_id'] for r in ds.db])],
+                    metric=['MRRPE'])

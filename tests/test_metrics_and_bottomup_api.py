@@ -52,3 +52,46 @@ def test_bottomup_inference_api():
     for r in results:
         assert r['keypoints'].shape[1] == 3
         assert np.isfinite(r['keypoints']).all()
+
+
+def test_bottom_up_api_decode_center_nonsquare():
+    """inference_bottom_up_pose_model must decode around the CANVAS
+    center (the square [0, max(h,w)]² the top-left paste covers), not the
+    image center — a known heatmap peak must map back to its original
+    image location for a non-square image."""
+    from types import SimpleNamespace
+    import vitpose_tpu.api.inference as api
+    from vitpose_tpu.models.bottomup import BottomUpEstimator, HeatmapParser
+    from vitpose_tpu.data import DatasetInfo
+
+    info = DatasetInfo.load('coco')
+    h, w, base = 480, 640, 128
+    hm_size = base // 4                          # 32
+    k = 17
+    # a person at original coords (x0, y0): peak cell in heatmap grid
+    x0, y0 = 320.0, 120.0
+    sf = base / max(h, w)                        # canvas scale
+    px, py = int(round(x0 * sf / 4)), int(round(y0 * sf / 4))
+    heatmaps = np.zeros((1, k, hm_size, hm_size), np.float32)
+    tags = np.zeros((1, k, hm_size, hm_size), np.float32)
+    heatmaps[0, :, py, px] = 1.0
+    tags[0, :, py, px] = 0.5
+
+    real = BottomUpEstimator.__new__(BottomUpEstimator)
+    parser = HeatmapParser(num_joints=k, max_num_people=5, tag_per_joint=True,
+                           detection_threshold=0.1)
+    est = SimpleNamespace(
+        num_joints=k, dataset_info=info,
+        infer=lambda v, x, fi: (heatmaps, tags),
+        parse=lambda hm, tg, c, s: BottomUpEstimator.parse(
+            SimpleNamespace(parser=parser), hm, tg, c, s))
+    img = np.zeros((h, w, 3), np.uint8)
+    results, _ = api.inference_bottom_up_pose_model(est, {}, img,
+                                                    dataset_info=info,
+                                                    base_size=base)
+    assert results, 'peak not grouped'
+    kp = results[0]['keypoints']
+    # grid quantization + the ±0.25 adjust step allow a few px of slack
+    cell = max(h, w) / hm_size                   # px per heatmap cell
+    assert abs(kp[0, 0] - x0) <= cell, (kp[0], x0, y0)
+    assert abs(kp[0, 1] - y0) <= cell, (kp[0], x0, y0)

@@ -20,7 +20,7 @@ from ..data.dataset_info import DatasetInfo
 from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 from ..models import TopDownModel, make_config, infer
 from ..models.vit import VIT_VARIANTS
-from ..ops.geometry import bbox_xywh2cs, bbox_xyxy2xywh, udp_warp_matrix, \
+from ..ops.geometry import bbox_xywh2cs, udp_warp_matrix, \
     affine_matrix
 from ..ops.warp import warp_affine_batch
 from ..ops.decode import keypoints_from_heatmaps
@@ -311,19 +311,8 @@ def inference_top_down_pose_model(model: PoseModel, img,
         h, w = img.shape[:2]
         person_results = [{'bbox': np.array([0, 0, w, h], np.float32)}]
 
-    bboxes = np.array([np.asarray(p['bbox'][:5] if len(p['bbox']) > 4
-                                  else p['bbox'][:4], np.float32)
-                       for p in person_results], dtype=object)
-    bboxes = np.stack([np.pad(np.asarray(b, np.float32),
-                              (0, 5 - len(np.asarray(b))),
-                              constant_values=1.0)
-                       for b in bboxes])
-    if format == 'xyxy':
-        bboxes = np.asarray(bbox_xyxy2xywh(bboxes))
-    keep = np.ones(len(bboxes), bool)
-    if bbox_thr is not None:
-        keep = bboxes[:, 4] > bbox_thr
-    sel = np.where(keep)[0]
+    from .inference_3d import _select_boxes
+    bboxes, _, sel = _select_boxes(person_results, bbox_thr, format)
     if len(sel) == 0:
         return [], []
 
@@ -454,9 +443,13 @@ def inference_bottom_up_pose_model(estimator, variables, img,
     flip_index = info.flip_index if info is not None else \
         np.arange(estimator.num_joints)
     heatmaps, tags = estimator.infer(variables, x, flip_index)
-    # center/scale of the full resized canvas in ORIGINAL image coords
-    center = np.array([w / 2.0, h / 2.0], np.float32)
-    scale = np.array([max(h, w) / 200.0, max(h, w) / 200.0], np.float32)
+    # the square canvas covers [0, max(h,w)] on BOTH axes of the original
+    # image (top-left paste), so decode around the canvas center, not the
+    # image center — (w/2, h/2) would shift every keypoint along the
+    # shorter axis by (max - min)/2
+    m = float(max(h, w))
+    center = np.array([m / 2.0, m / 2.0], np.float32)
+    scale = np.array([m / 200.0, m / 200.0], np.float32)
     preds, scores = estimator.parse(
         np.asarray(heatmaps, np.float32), np.asarray(tags, np.float32),
         center, scale)

@@ -44,17 +44,23 @@ def _normalize_sequence(kp_seq, image_size=None):
 
 def inference_pose_lifter_model(model, variables, pose_results_2d,
                                 image_size=None, with_track_id=True,
-                                norm_pose_2d=False, causal=False):
+                                norm_pose_2d=False, causal=False,
+                                bbox_center=(528.0, 427.0),
+                                bbox_scale=400.0):
     """Lift a temporal sequence of 2D poses to 3D.
 
     Args:
       model: vitpose_tpu.models.pose3d.PoseLifter
       pose_results_2d: list over T frames of lists of person dicts with
-        'keypoints' [K, 3] (+ optional 'track_id').
+        'keypoints' [K, 3] (+ optional 'track_id', 'bbox').
       image_size: (w, h) — when given, 2D coords are normalized to the
-        VideoPose3D [-1, 1] frame the lifters train on (applied whenever
-        provided; ``norm_pose_2d`` is the older alias for the same
-        normalization and is kept for compatibility).
+        VideoPose3D [-1, 1] frame the lifters train on.
+      norm_pose_2d: rescale each person's keypoints from its own bbox to
+        the dataset's average bbox (reference inference_3d.py:104-110:
+        (kp - box_center)/box_scale * bbox_scale + bbox_center) before
+        the image normalization; needs 'bbox' ([x1, y1, x2, y2(, s)]) in
+        the person dicts. ``bbox_center``/``bbox_scale`` default to the
+        reference's H36M stats fallback (inference_3d.py:274-275).
       causal: the window came from extract_pose_sequence(causal=True), so
         the TARGET frame is the last one, not the middle (reference
         inference_3d.py target_idx = -1 when causal).
@@ -70,6 +76,20 @@ def inference_pose_lifter_model(model, variables, pose_results_2d,
     target_idx = -1 if causal else len(pose_results_2d) // 2
     center = pose_results_2d[target_idx]
 
+    def renorm(person, kp):
+        if not norm_pose_2d:
+            return kp
+        if 'bbox' not in person:
+            raise KeyError('norm_pose_2d=True needs a bbox per person '
+                           '(reference _gather_pose_lifter_inputs)')
+        b = np.asarray(person['bbox'], np.float32)
+        c = np.array([(b[0] + b[2]) / 2, (b[1] + b[3]) / 2], np.float32)
+        s = max(b[2] - b[0], b[3] - b[1])
+        out = kp.copy()
+        out[:, :2] = (kp[:, :2] - c) / s * bbox_scale \
+            + np.asarray(bbox_center, np.float32)
+        return out
+
     results = []
     for person in center:
         tid = person.get('track_id', None)
@@ -83,8 +103,9 @@ def inference_pose_lifter_model(model, variables, pose_results_2d,
                         break
             if match is None and frame:
                 match = frame[0]
-            seq.append(match['keypoints'] if match is not None
-                       else person['keypoints'])
+            src = match if match is not None else person
+            seq.append(renorm(src, np.asarray(src['keypoints'],
+                                              np.float32)))
         kp = _normalize_sequence(np.stack(seq), image_size)
         out = model.apply(variables, jnp.asarray(kp)[None], train=False)
         res = dict(person)
@@ -132,18 +153,20 @@ def _crop_normalized(img, bboxes_xywh, out_size, padding=1.25):
     import jax.numpy as jnp
     from ..ops.geometry import bbox_xywh2cs, affine_matrix
     from ..ops.warp import warp_affine_batch
-    from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
     w, h = out_size
     center, scale = bbox_xywh2cs(bboxes_xywh[:, :4], w / h, padding=padding)
     center = np.asarray(center, np.float32)
     scale = np.asarray(scale, np.float32)
     n = len(bboxes_xywh)
+    # img/255 only — the interhand/mesh training loops and eval
+    # (train/interhand_loop.py, data/mesh.py MeshAdvLoader,
+    # eval/families.py) all feed plain /255 inputs, so the serving API
+    # must match that distribution (no ImageNet mean/std here)
     imgs = jnp.broadcast_to(
         jnp.asarray(img, jnp.float32)[None] / 255.0, (n,) + img.shape)
     mat = affine_matrix(center, scale, jnp.zeros(n), (w, h))
     crops = warp_affine_batch(imgs, mat, (w, h))
-    crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
     return crops, center, scale
 
 

@@ -168,9 +168,8 @@ def generate_ae_targets(joints, mask, input_size, output_size, sigma=2.0,
 
     # heatmap: max over people of per-person gaussians
     t, _ = generate_msra_heatmaps(
-        scaled.reshape(-1, k, 2)[:, :, :2].reshape(joints.shape[0], k, 2),
-        vis, (output_size, output_size), (output_size, output_size),
-        sigma=sigma)
+        scaled, vis, (output_size, output_size),
+        (output_size, output_size), sigma=sigma)
     heatmaps = jnp.max(t, axis=0)
 
     mask_s = cv2.resize(mask, (output_size, output_size),

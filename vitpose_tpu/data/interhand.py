@@ -64,11 +64,15 @@ class InterHandDataset:
     def _load_db(self):
         k = self.num_joints
         db = []
-        for bbox_id, img_id in enumerate(self.coco.getImgIds()):
+        for img_id in self.coco.getImgIds():
             img = self.coco.imgs[img_id]
             anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=img_id))
             if not anns:
                 continue
+            # contiguous over KEPT records (enumerating getImgIds would
+            # leave holes at ann-less images and misalign evaluate's
+            # bbox_id -> record lookup)
+            bbox_id = len(db)
             ann = anns[0]
             cap = str(img['capture'])
             cam = str(img['camera'])
@@ -119,22 +123,28 @@ class InterHandDataset:
     # ------------------------------------------------------------------
     def evaluate(self, results, metric='MPJPE'):
         """results: list of dicts with preds [N, K, 3] (camera-space mm,
-        root-relative per hand), hand_type [N, 2] probs, bbox_ids.
+        root-relative per hand), hand_type [N, 2] probs, bbox_ids;
+        MRRPE additionally needs keypoints_px [N, K, 3] (pixel-space
+        decode output) and rel_root_depth [N] (predicted mm).
         Metrics: MPJPE | MRRPE | Handedness_acc | AUC (PCK 0..50mm).
         """
         metrics = metric if isinstance(metric, list) else [metric]
         preds, hand_types, ids = [], [], []
+        preds_px, rel_roots = [], []
         for r in results:
             preds.extend(np.asarray(r['preds']))
             if 'hand_type' in r:
                 hand_types.extend(np.asarray(r['hand_type']))
+            if 'keypoints_px' in r:
+                preds_px.extend(np.asarray(r['keypoints_px']))
+                rel_roots.extend(np.asarray(r['rel_root_depth']))
             ids.extend(r['bbox_ids'])
         stats = OrderedDict()
-        gts = [self.db[i] for i in ids]
+        by_id = {g['bbox_id']: g for g in self.db}
+        gts = [by_id[i] for i in ids]
 
         errs = []
         for p, g in zip(preds, gts):
-            gt_rel = g['joints_3d'].copy()
             gt_rel_cam = g['joints_cam'].copy()
             gt_rel_cam[:21] -= gt_rel_cam[R_WRIST]
             gt_rel_cam[21:] -= gt_rel_cam[L_WRIST]
@@ -158,9 +168,38 @@ class InterHandDataset:
                                     == (g['hand_type'] > 0.5)).all())
             stats['Handedness_acc'] = correct / max(total, 1)
         if 'MRRPE' in metrics:
-            rr = [abs(float(np.asarray(p)[L_WRIST, 2])
-                      - g['rel_root_depth'])
-                  for p, g in zip(preds, gts) if g['rel_root_valid'] > 0]
+            if not preds_px:
+                raise KeyError(
+                    'metric MRRPE needs keypoints_px + rel_root_depth in '
+                    'results (the pixel-space decode output; reference '
+                    'interhand3d_dataset.py:313 requires rel_root_depth '
+                    'the same way)')
+
+            def pixel2cam(pix, focal, princpt):
+                z = pix[..., 2]
+                x = (pix[..., 0] - princpt[0]) / focal[0] * z
+                y = (pix[..., 1] - princpt[1]) / focal[1] * z
+                return np.stack([x, y, z], axis=-1)
+
+            # reference MRRPE (interhand3d_dataset.py:404-431): 3D error
+            # of the predicted left-root position relative to the right
+            # root, using the predicted rel_root_depth, over interacting
+            # samples with both wrists visible
+            rr = []
+            for px, rel, g in zip(preds_px, rel_roots, gts):
+                ht = np.asarray(g['hand_type'])
+                vis = g['joints_3d_visible'][:, 0]
+                if not (ht.all() and vis[R_WRIST] > 0 and vis[L_WRIST] > 0):
+                    continue
+                left_img = np.asarray(px[L_WRIST], np.float64).copy()
+                left_img[2] += g['abs_depth'][0] + float(rel)
+                right_img = np.asarray(px[R_WRIST], np.float64).copy()
+                right_img[2] += g['abs_depth'][0]
+                left_cam = pixel2cam(left_img, g['focal'], g['princpt'])
+                right_cam = pixel2cam(right_img, g['focal'], g['princpt'])
+                gt_vec = g['joints_cam'][L_WRIST] - g['joints_cam'][R_WRIST]
+                rr.append(np.linalg.norm(
+                    (left_cam - right_cam) - gt_vec))
             stats['MRRPE'] = float(np.mean(rr)) if rr else -1.0
         return stats
 

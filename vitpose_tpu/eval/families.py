@@ -212,6 +212,8 @@ def evaluate_interhand3d(cfg: dict, model, variables, metric=None):
         cam = backproject_to_camera(dec['keypoints_3d'], focal, princpt,
                                     abs_depth)
         results.append(dict(preds=cam, hand_type=dec['hand_type'],
+                            keypoints_px=dec['keypoints_3d'],
+                            rel_root_depth=dec['rel_root_depth'],
                             bbox_ids=[ds.db[i]['bbox_id'] for i in idxs]))
     metric = metric or cfg.get('evaluation', {}).get('metric', ['MPJPE'])
     return ds.evaluate(results, metric=metric)
