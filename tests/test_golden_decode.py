@@ -123,3 +123,28 @@ def test_combined_target_decode_matches_reference():
     np.testing.assert_allclose(np.asarray(maxvals), maxvals_ref, atol=1e-4)
     np.testing.assert_allclose(np.asarray(preds), preds_ref,
                                rtol=1e-3, atol=5e-2)
+
+
+def test_border_keypoints_match_reference():
+    """Border argmax positions: the reference gates both the ±0.25 shift
+    AND megvii's +0.5 behind `1 < p < size-1` (top_down_eval.py:605-612)
+    — border keypoints receive neither."""
+    ref_mod = ref_top_down_eval()
+    n, k, h, w = 1, 8, 64, 48
+    hm = np.random.RandomState(3).uniform(
+        0, 0.01, size=(n, k, h, w)).astype(np.float32)
+    spots = [(0, 0), (1, 1), (w - 1, h - 1), (w - 2, h - 2),
+             (0, 30), (w - 1, 2), (25, 0), (20, h - 1)]
+    for j, (px, py) in enumerate(spots):
+        hm[0, j, py, px] = 1.0
+    center, scale = rand_cs(n)
+    for pp in ("default", "megvii"):
+        preds_ref, maxvals_ref = ref_mod.keypoints_from_heatmaps(
+            hm.copy(), center.copy(), scale.copy(), post_process=pp,
+            kernel=11)
+        preds, maxvals = D.keypoints_from_heatmaps(
+            hm, center, scale, post_process=pp, kernel=11)
+        np.testing.assert_allclose(np.asarray(preds), preds_ref,
+                                   rtol=1e-3, atol=5e-2, err_msg=pp)
+        np.testing.assert_allclose(np.asarray(maxvals), maxvals_ref,
+                                   atol=1e-4)

@@ -104,3 +104,59 @@ def test_hourglass_ae_config_builds():
         repo, 'vitpose_tpu/configs/coco/hourglass_ae_coco_512x512.py'))
     est = build_model_from_cfg(dict(cfg['model']))
     assert est._multi_stage and est.num_joints == 17
+
+
+def test_infer_cache_keys_on_flip_index():
+    """BottomUpEstimator.infer must not reuse a jitted closure traced for
+    a DIFFERENT flip_index / with_flip (both are baked into the trace)."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.bottomup import BottomUpEstimator
+    from vitpose_tpu.models.hrnet import HRNet, HRNetConfig
+    from vitpose_tpu.models.heads_extra import AEHead
+    from vitpose_tpu.data import DatasetInfo
+
+    bb = HRNet(HRNetConfig(width=8, stage_modules=(1, 1, 1),
+                           stage_blocks=1))
+    est = BottomUpEstimator(bb, num_joints=17,
+                            head=AEHead(17, deconv_filters=(),
+                                        deconv_kernels=()),
+                            dataset_info=DatasetInfo.load('coco'))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    variables = est.init(jax.random.PRNGKey(0), x)
+    fi_a = np.arange(17)
+    fi_b = np.arange(17)[::-1].copy()
+    hm_a, _ = est.infer(variables, x, fi_a)
+    hm_b, _ = est.infer(variables, x, fi_b)
+    assert not np.allclose(np.asarray(hm_a), np.asarray(hm_b))
+    hm_nf, tag_nf = est.infer(variables, x, fi_a, with_flip=False)
+    assert tag_nf.shape[-1] == 1                 # L=1: flip really off
+
+
+def test_tag_per_joint_false_flip_infer():
+    """tag_per_joint=False (single shared tag map): flip-test inference
+    must not apply the K-length channel permutation to the 1-channel tag
+    block (reference flip_feature_maps gets flip_index=None there)."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.bottomup import BottomUpEstimator
+    from vitpose_tpu.models.hrnet import HRNet, HRNetConfig
+    from vitpose_tpu.models.heads_extra import AEHead
+    from vitpose_tpu.data import DatasetInfo
+
+    info = DatasetInfo.load('coco')
+    bb = HRNet(HRNetConfig(width=8, stage_modules=(1, 1, 1),
+                           stage_blocks=1))
+    est = BottomUpEstimator(bb, num_joints=17, tag_per_joint=False,
+                            head=AEHead(17, tag_per_joint=False,
+                                        deconv_filters=(),
+                                        deconv_kernels=()),
+                            dataset_info=info)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3),
+                    jnp.float32)
+    variables = est.init(jax.random.PRNGKey(0), x)
+    hm, tags = est.infer(variables, x, info.flip_index)
+    assert hm.shape[1] == 17
+    assert tags.shape[1] == 1 and tags.shape[-1] == 2
+    assert np.isfinite(np.asarray(tags)).all()

@@ -340,3 +340,31 @@ def test_interhand_mrrpe_tracks_predictions(ds):
         ds.evaluate([dict(preds=np.zeros((len(ds.db), 42, 3)),
                           bbox_ids=[r['bbox_id'] for r in ds.db])],
                     metric=['MRRPE'])
+
+
+def test_rel_root_depth_soft_argmax_decode():
+    """decode() uses the reference soft-argmax over depth bins
+    (Heatmap1DHead.soft_argmax_1d, interhand_3d_head.py:209) — mass split
+    across adjacent bins interpolates instead of snapping to a bin."""
+    import jax.numpy as jnp
+    from vitpose_tpu.models.interhand3d import Interhand3DEstimator
+
+    est = Interhand3DEstimator.__new__(Interhand3DEstimator)
+    est.depth_size = 16
+    est.depth_range = 400.0
+    est.root_depth_range = 400.0
+    bins = 64
+    logits = np.full((2, bins), -30.0, np.float32)
+    logits[0, 40] = 5.0                         # one-hot at bin 40
+    logits[1, 40] = 5.0
+    logits[1, 41] = 5.0                         # split 40/41 -> 40.5
+    hm3d = np.zeros((2, 1, 4, 4, 4), np.float32)
+    hm3d[:, 0, 2, 2, 2] = 1.0
+    type_logits = np.zeros((2, 2), np.float32)
+    dec = est.decode(hm3d, jnp.asarray(logits), type_logits,
+                     np.zeros((2, 2), np.float32),
+                     np.ones((2, 2), np.float32))
+    r0, r1 = dec['rel_root_depth']
+    step = 400.0 / bins
+    assert abs(r0 - ((40 / bins) - 0.5) * 400.0) < 1e-3
+    assert abs(r1 - r0 - step / 2) < 1e-3       # half-bin interpolation

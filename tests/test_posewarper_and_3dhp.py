@@ -163,3 +163,25 @@ def test_save_best_mode_inference(tmp_path):
     assert best2 == 10.0
     best2 = _save_best_ckpt(cfg2, wd, {'Total AP': 12.0}, varset, best2)
     assert best2 == 12.0
+
+
+def test_posewarper_neck_per_dilation_kernels():
+    """One deformable kernel PER dilation (reference posewarper_neck.py
+    builds a DeformConv2d per dilation), identity-initialized (center-tap
+    eye, reference init_weights filler)."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.necks import PoseWarperNeck
+
+    neck = PoseWarperNeck(out_channels=8)
+    key = jnp.zeros((1, 16, 16, 8))
+    sups = jnp.zeros((1, 2, 16, 16, 8))
+    v = neck.init(jax.random.PRNGKey(0), key, sups)
+    names = [f'dcn_weight_d{i}' for i in range(5)]
+    for n in names:
+        assert n in v['params'], sorted(v['params'])
+        w = np.asarray(v['params'][n])
+        k = w.shape[0]
+        np.testing.assert_allclose(w[k // 2, k // 2], np.eye(8), atol=0)
+        center_mass = np.abs(w).sum() - np.abs(w[k // 2, k // 2]).sum()
+        assert center_mass == 0.0                 # all other taps zero

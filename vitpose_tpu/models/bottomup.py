@@ -74,7 +74,12 @@ def ae_forward_with_flip(apply_fn, variables, imgs, num_joints, flip_index,
     tag_f = out_f[..., k:].transpose(0, 3, 1, 2)
     fi = jnp.asarray(flip_index)
     hm_f = hm_f[:, fi][..., ::-1]
-    tag_f = tag_f[:, fi][..., ::-1]
+    if tag_f.shape[1] == k:
+        tag_f = tag_f[:, fi][..., ::-1]
+    else:
+        # tag_per_joint=False: a single shared tag map — no channel
+        # permutation (reference flip_feature_maps with flip_index=None)
+        tag_f = tag_f[..., ::-1]
     heatmaps = (hm + hm_f) * 0.5
     tags = jnp.stack([tag, tag_f], axis=-1)          # L=2
     return heatmaps, tags
@@ -190,7 +195,15 @@ class BottomUpEstimator:
         return out
 
     def infer(self, variables, imgs, flip_index, with_flip=True):
+        # cache the jitted closure PER (flip_index, with_flip) — both are
+        # baked into the trace, so reusing the first call's closure for a
+        # different dataset's flip permutation would silently un-flip
+        # with the wrong channel order
+        key = (tuple(int(i) for i in np.asarray(flip_index).tolist()),
+               bool(with_flip))
         if self._jit is None:
+            self._jit = {}
+        if key not in self._jit:
             def apply_reduced(vv, xx):
                 out = self.apply(vv, xx)
                 if isinstance(out, (list, tuple)):
@@ -202,11 +215,11 @@ class BottomUpEstimator:
                             out, self.num_joints,
                             getattr(self.head, 'with_ae_loss', None))
                 return out
-            self._jit = jax.jit(
+            self._jit[key] = jax.jit(
                 lambda v, x: ae_forward_with_flip(
                     apply_reduced, v, x,
                     self.num_joints, flip_index, with_flip=with_flip))
-        return self._jit(variables, imgs)
+        return self._jit[key](variables, imgs)
 
     def parse(self, heatmaps, tags, center, scale, adjust=True, refine=True,
               use_udp=False):

@@ -111,9 +111,15 @@ class Interhand3DEstimator:
         z = (coords[..., 2] / self.depth_size - 0.5) * self.depth_range
         kp = jnp.concatenate([xy, z[..., None]], axis=-1)
 
+        # continuous soft-argmax over the 1D depth bins (reference
+        # Heatmap1DHead.soft_argmax_1d, interhand_3d_head.py:209 — also
+        # what the training loss supervises); hard argmax would quantize
+        # rel_root_depth to range/bins (6.25 mm) steps
         root_bins = root_depth_logits.shape[-1]
-        root_idx = jnp.argmax(root_depth_logits, axis=-1).astype(jnp.float32)
-        rel_root = (root_idx / root_bins - 0.5) * self.root_depth_range
+        probs = jax.nn.softmax(root_depth_logits, axis=-1)
+        root_coord = jnp.sum(
+            probs * jnp.arange(root_bins, dtype=probs.dtype), axis=-1)
+        rel_root = (root_coord / root_bins - 0.5) * self.root_depth_range
         hand_type = jax.nn.sigmoid(hand_type_logits)
         return dict(keypoints_3d=np.asarray(kp),
                     scores=np.asarray(maxvals),

@@ -109,12 +109,13 @@ def bce_loss(pred, target, target_weight=None, loss_weight=1.0):
     return jnp.mean(loss) * loss_weight
 
 
-def rle_loss(pred, sigma, target, target_weight=None, residual=True,
+def rle_loss(pred, sigma, target, target_weight=None,
              q_distribution='laplace', loss_weight=1.0):
-    """Residual Log-likelihood Estimation loss (Li et al. ICCV'21,
-    reference regression_loss.py RLELoss) in its residual form with a
-    Laplace/Gaussian base density. `sigma` [N, K, D] are predicted scales.
-    """
+    """Residual Log-likelihood Estimation loss (Li et al. ICCV'21) in the
+    FLOW-FREE variant: -log Q(error) with a Laplace/Gaussian base density
+    plus the log-sigma normalizer. The full RLE residual term requires a
+    learned normalizing flow, which this (beyond-reference) utility does
+    not model. `sigma` [N, K, D] are predicted scales."""
     sigma = jnp.maximum(sigma, 1e-9)
     error = (pred - target) / sigma
     log_sigma = jnp.log(sigma)
@@ -122,12 +123,7 @@ def rle_loss(pred, sigma, target, target_weight=None, residual=True,
         log_q = jnp.abs(error) + math.log(2.0)
     else:
         log_q = 0.5 * error ** 2 + 0.5 * math.log(2.0 * math.pi)
-    if residual:
-        # residual term: -log N(error)/Q(error) modeled by the flow is
-        # approximated by the base density here (flow-free variant)
-        loss = log_sigma + log_q
-    else:
-        loss = log_sigma + log_q
+    loss = log_sigma + log_q
     if target_weight is not None:
         w = jnp.asarray(target_weight)
         if w.ndim == loss.ndim - 1:
@@ -218,12 +214,21 @@ def gan_loss(pred, target_is_real, gan_type='vanilla', loss_weight=1.0):
 
 
 def mesh_joint_loss(pred_joints_3d, gt_joints_3d, joints_3d_visible,
-                    loss_weight=1.0):
-    """Root-centered L1 joint loss for mesh training (reference
-    mesh_loss.py `MeshLoss.joint_3d_loss` style: center on pelvis=mean of
-    hips, ignore invisible)."""
+                    loss_weight=1.0, pelvis_ids=None):
+    """L1 joint loss for mesh training (reference mesh_loss.py
+    `MeshLoss.joints_3d_loss` / `joints_2d_loss`). With ``pelvis_ids``
+    (the hip pair, reference (2, 3)) both poses are centered on the hip
+    midpoint first — the 3D term must not be dominated by the global
+    translation between the SMPL frame and the GT frame
+    (mesh_loss.py:112-116); the 2D term passes None."""
+    pred = jnp.asarray(pred_joints_3d)
+    gt = jnp.asarray(gt_joints_3d)
+    if pelvis_ids is not None:
+        i, j = pelvis_ids
+        pred = pred - (pred[:, i:i + 1] + pred[:, j:j + 1]) / 2
+        gt = gt - (gt[:, i:i + 1] + gt[:, j:j + 1]) / 2
     conf = jnp.asarray(joints_3d_visible)[..., None]
-    diff = jnp.abs(pred_joints_3d - gt_joints_3d) * conf
+    diff = jnp.abs(pred - gt) * conf
     return jnp.mean(diff) * loss_weight
 
 

@@ -152,8 +152,10 @@ def make_adversarial_train_step(mesh: ParametricMesh,
             out, new_gv = mesh.train_apply(gv, batch['imgs'])
             l2d = mesh_joint_loss(out['joints_2d'], batch['joints_2d'],
                                   batch['joints_2d_visible']) * w_joint2d
+            # pelvis-centered (hips 2,3) like reference joints_3d_loss
             l3d = mesh_joint_loss(out['joints_3d'], batch['joints_3d'],
-                                  batch['joints_3d_visible']) * w_joint3d
+                                  batch['joints_3d_visible'],
+                                  pelvis_ids=(2, 3)) * w_joint3d
             logits = disc.apply(disc_vars, out['pose'], out['shape'])
             ladv = gan_loss(logits, True, 'lsgan') * w_adv
             return l2d + l3d + ladv, dict(loss_2d=l2d, loss_3d=l3d,

@@ -47,10 +47,23 @@ class PoseWarperNeck(nn.Module):
                         dtype=self.dtype, name='reduce_key')(key)
         key_p = _bn(train, self.dtype, 'reduce_key_bn')(key_p)
 
-        # one shared deformable kernel; modules instantiated once and
-        # re-applied per frame (weight sharing across T)
-        weight = self.param('dcn_weight', nn.initializers.lecun_normal(),
-                            (k, k, self.out_channels, self.out_channels))
+        # one deformable kernel PER DILATION (reference
+        # posewarper_neck.py:185-196 builds a separate DeformConv2d per
+        # dilation; sharing one kernel would collapse the multi-dilation
+        # aggregation), identity-initialized like the reference
+        # init_weights (center-tap eye, posewarper_neck.py:221-230);
+        # modules are instantiated once and re-applied per frame (weight
+        # sharing across T only)
+        def _identity_dcn(rng, shape, dtype=self.dtype):
+            kk = shape[0]
+            eye = jnp.eye(shape[2], shape[3], dtype=dtype)
+            w0 = jnp.zeros(shape, dtype)
+            return w0.at[kk // 2, kk // 2].set(eye)
+
+        weights = [
+            self.param(f'dcn_weight_d{di}', _identity_dcn,
+                       (k, k, self.out_channels, self.out_channels))
+            for di in range(len(self.dilations))]
         reduce_sup = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                              dtype=self.dtype, name='reduce_sup')
         sup_bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -71,9 +84,9 @@ class PoseWarperNeck(nn.Module):
             sup_p = sup_bn(reduce_sup(supports[:, ti]))
             diff = key_p - sup_p
             warped = None
-            for oc, dil in zip(offset_convs, self.dilations):
+            for oc, wt, dil in zip(offset_convs, weights, self.dilations):
                 off = oc(diff)
-                out = deform_conv2d(sup_p, off, weight, padding=dil,
+                out = deform_conv2d(sup_p, off, wt, padding=dil,
                                     dilation=dil)
                 warped = out if warped is None else warped + out
             warped = warped / len(self.dilations)

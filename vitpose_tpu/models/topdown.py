@@ -260,15 +260,9 @@ def infer(model: TopDownModel, variables, imgs, flip_index=None,
         hm_f = hm_f[:, jnp.asarray(flip_index)]
         hm_f = hm_f.at[..., 0].set(1.0 - hm_f[..., 0])
         return (hm + hm_f) * 0.5
-    # flip back: channel permutation + horizontal reverse
-    if cfg.target_type.lower() == 'combinedtarget':
-        n, c3, h, w = hm_f.shape
-        t = hm_f.reshape(n, c3 // 3, 3, h, w)
-        t = t.at[:, :, 1].multiply(-1.0)
-        t = t[:, jnp.asarray(flip_index)]
-        hm_f = t.reshape(n, c3, h, w)[..., ::-1]
-    else:
-        hm_f = hm_f[:, jnp.asarray(flip_index)][..., ::-1]
+    from ..ops.geometry import flip_back
+    hm_f = flip_back(hm_f, jnp.asarray(flip_index),
+                     target_type=cfg.target_type)
     if cfg.shift_heatmap:
         hm_f = hm_f.at[..., 1:].set(hm_f[..., :-1])
     return (hm + hm_f) * 0.5

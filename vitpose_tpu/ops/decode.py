@@ -128,15 +128,19 @@ def _gather_hm(heatmaps, px, py):
                                axis=-1)[..., 0]
 
 
-def _default_shift(heatmaps, coords):
-    """±0.25 shift toward the larger neighbor (top_down_eval.py:598-610)."""
+def _default_shift(heatmaps, coords, extra=0.0):
+    """±0.25 shift toward the larger neighbor (top_down_eval.py:598-610).
+
+    `extra` is megvii's additional +0.5, which the reference applies
+    INSIDE the same border guard (top_down_eval.py:610-612) — border
+    keypoints receive neither shift."""
     _, _, h, w = heatmaps.shape
     px = coords[..., 0].astype(jnp.int32)
     py = coords[..., 1].astype(jnp.int32)
     dx = _gather_hm(heatmaps, px + 1, py) - _gather_hm(heatmaps, px - 1, py)
     dy = _gather_hm(heatmaps, px, py + 1) - _gather_hm(heatmaps, px, py - 1)
     ok = (px > 1) & (px < w - 1) & (py > 1) & (py < h - 1)
-    shift = jnp.stack([jnp.sign(dx), jnp.sign(dy)], axis=-1) * 0.25
+    shift = jnp.stack([jnp.sign(dx), jnp.sign(dy)], axis=-1) * 0.25 + extra
     return coords + jnp.where(ok[..., None], shift, 0.0)
 
 
@@ -261,9 +265,9 @@ def keypoints_from_heatmaps(heatmaps, center, scale, post_process='default',
                 gaussian_modulate(heatmaps, kernel), 1e-10))
             coords = _taylor_refine(log_hm, coords)
         elif post_process is not None:
-            coords = _default_shift(heatmaps, coords)
-            if post_process == 'megvii':
-                coords = coords + 0.5
+            coords = _default_shift(
+                heatmaps, coords,
+                extra=0.5 if post_process == 'megvii' else 0.0)
 
     hm_w = heatmaps.shape[3]
     hm_h = heatmaps.shape[2]
@@ -395,12 +399,12 @@ def keypoints_from_regression(regression_preds, center, scale, img_size):
     maxvals [N, K, 1] of ones — regression has no confidence map)."""
     import numpy as np
     from .geometry import transform_preds
-    preds = np.asarray(regression_preds, np.float32) * np.asarray(
+    px = np.asarray(regression_preds, np.float32) * np.asarray(
         img_size, np.float32)
-    n, k = preds.shape[:2]
-    out = np.stack([np.asarray(transform_preds(
-        preds[i], np.asarray(center)[i], np.asarray(scale)[i], img_size))
-        for i in range(n)])
+    n, k = px.shape[:2]
+    # transform_preds is batched over the leading dim — one dispatch
+    out = np.asarray(transform_preds(px, np.asarray(center),
+                                     np.asarray(scale), img_size))
     return out, np.ones((n, k, 1), np.float32)
 
 
