@@ -53,8 +53,12 @@ def plot_curve(path, keys, out=None):
         fig.savefig(out, dpi=120)
         print(f'wrote {out}')
     else:
-        print('\n'.join(f'{k}: {len(v)} points' for k, v in [(k, 1)
-                                                             for k in keys]))
+        for key in keys:
+            pts = sum(1 for r in recs
+                      if key in r and r.get('mode') in ('train', 'epoch'))
+            print(f'{key}: {pts} points')
+        fig.savefig('plot_curve.png', dpi=120)
+        print('wrote plot_curve.png')
 
 
 def main():

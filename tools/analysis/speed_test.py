@@ -39,12 +39,10 @@ def main():
     # forward speed only: no pretrained load, no flip test, no decode
     cfg['model'].pop('pretrained', None)
     model = build_model_from_cfg(cfg['model'])
-    ih, iw = (cfg['model'].get('data_cfg') or cfg.get('data_cfg', {})).get(
-        'image_size', [192, 256])[::-1] if 'data_cfg' in cfg else (256, 192)
     try:
         ih, iw = model.cfg.backbone.img_size
     except AttributeError:
-        pass
+        ih, iw = (256, 192)
 
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, ih, iw, 3)))

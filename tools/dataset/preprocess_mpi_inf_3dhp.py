@@ -159,10 +159,21 @@ def load_trainset(data_root, out_dir, frame_nums=None, write_images=True):
                 j2d.append(k2)
                 j3d.append(k3)
                 if write_images:
-                    imgnames.extend(_extract_video_frames(
+                    names = _extract_video_frames(
                         join(seq_path, 'imageSequence', f'video_{cam}.avi'),
                         n, img_dir,
-                        lambda i: f'S{subj}_Seq{seq}_Cam{cam}_{i+1:06d}.jpg'))
+                        lambda i: f'S{subj}_Seq{seq}_Cam{cam}_{i+1:06d}.jpg')
+                    if len(names) < n:
+                        # truncated/short video: keep annotations aligned
+                        # to the frames actually extracted, or every
+                        # later sequence would pair images with the
+                        # wrong pose rows
+                        m = len(names)
+                        centers[-1] = centers[-1][:m]
+                        scales[-1] = scales[-1][:m]
+                        j2d[-1] = j2d[-1][:m]
+                        j3d[-1] = j3d[-1][:m]
+                    imgnames.extend(names)
                 else:
                     imgnames.extend(
                         f'S{subj}_Seq{seq}_Cam{cam}_{i+1:06d}.jpg'

@@ -36,16 +36,18 @@ def pseudo_label(model, coco, img_root, kpt_thr=0.3):
             low = kpts[:, 2] < kpt_thr
             kpts[low] = 0
             kpts[~low, 2] = 2
+            # res['bbox'] is the xywh input box, returned unchanged by
+            # inference_top_down_pose_model
             x, y = int(res['bbox'][0]), int(res['bbox'][1])
-            w = int(res['bbox'][2] - res['bbox'][0])
-            h = int(res['bbox'][3] - res['bbox'][1])
+            w = int(res['bbox'][2])
+            h = int(res['bbox'][3])
             annotations.append({
                 'id': ann_id,
                 'image_id': int(image_id),
                 'category_id': 1,
                 'iscrowd': 0,
                 'keypoints': [int(v) for v in kpts.reshape(-1)],
-                'num_keypoints': len(kpts),
+                'num_keypoints': int((~low).sum()),
                 'bbox': [x, y, w, h],
                 'area': round(w * h, 0),
             })

@@ -102,10 +102,7 @@ def run_bottomup_eval(cfg, args):
         stats = ds.evaluate(results, metric=metric)
     else:
         stats = ds.evaluate(results)
-    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
-    if args.out:
-        with open(args.out, 'w') as f:
-            json.dump({k: float(v) for k, v in stats.items()}, f)
+    _emit_stats(stats, args)
 
 
 def run_interhand_eval(cfg, args):
@@ -279,10 +276,7 @@ def main():
         stats = ds.evaluate(results, metric=metric)
     else:
         stats = ds.evaluate(results)
-    print(json.dumps({k: float(v) for k, v in stats.items()}, indent=2))
-    if args.out:
-        with open(args.out, 'w') as f:
-            json.dump({k: float(v) for k, v in stats.items()}, f)
+    _emit_stats(stats, args)
 
 
 if __name__ == '__main__':

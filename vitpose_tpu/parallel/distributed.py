@@ -28,8 +28,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
     coordinator_address = coordinator_address or os.environ.get(
         'COORDINATOR_ADDRESS')
     num_processes = num_processes or int(os.environ.get('NUM_PROCESSES', 0))
-    process_id = (process_id if process_id is not None
-                  else int(os.environ.get('PROCESS_ID', -1)))
+    if process_id is None and 'PROCESS_ID' in os.environ:
+        process_id = int(os.environ['PROCESS_ID'])
+    # process_id stays None when unset so jax.distributed.initialize can
+    # auto-detect the rank from the cluster environment (-1 would be
+    # forwarded as an invalid explicit rank)
     # idempotence check WITHOUT touching the backend: jax.process_count()
     # would initialize XLA, after which initialize() refuses to run
     if jax.distributed.is_initialized():

@@ -16,6 +16,18 @@ import jax
 import numpy as np
 
 
+def _fetch_to_host(tree):
+    """Tree of (possibly globally-sharded) jax.Arrays -> host numpy.
+    Multi-host: collective allgather (every process must call this — a
+    lone np.asarray on sharded params raises on non-addressable shards)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(
+        lambda x: np.asarray(multihost_utils.process_allgather(
+            x, tiled=True)), tree)
+
+
 def _ocp():
     import orbax.checkpoint as ocp
     return ocp
@@ -65,6 +77,23 @@ class CheckpointManager:
         }
         self.mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
+        # the better-or-not decision and the (collective) host fetch of
+        # the best weights run on EVERY process — metrics are identical
+        # across processes, and globally-sharded params cannot be
+        # np.asarray'd by one process alone (non-addressable shards)
+        best_weights = None
+        best_v = None
+        if metrics and self.save_best_metric in metrics:
+            v = float(metrics[self.save_best_metric])
+            better = v < self.best_value if self.mode == 'min' \
+                else v > self.best_value
+            if better:
+                self.best_value = v
+                best_v = v
+                best_weights = {
+                    'params': _fetch_to_host(state.params),
+                    'batch_stats': _fetch_to_host(state.batch_stats),
+                }
         # host-side json/best writes happen on ONE process only — in a
         # multi-host run every process calls save() (the orbax save is
         # collective) and concurrent writes to a shared work_dir would
@@ -76,25 +105,16 @@ class CheckpointManager:
         with open(os.path.join(self.directory, f'info_{epoch}.json'),
                   'w') as f:
             json.dump(info, f)
-        if metrics and self.save_best_metric in metrics:
-            v = float(metrics[self.save_best_metric])
-            better = v < self.best_value if self.mode == 'min' \
-                else v > self.best_value
-            if better:
-                self.best_value = v
-                # persist the best WEIGHTS separately: orbax max_to_keep
-                # retains only the newest steps, so the best epoch's
-                # checkpoint would otherwise be garbage-collected
-                save_params_npz(self._best_path, {
-                    'params': jax.tree.map(np.asarray, state.params),
-                    'batch_stats': jax.tree.map(np.asarray,
-                                                state.batch_stats),
-                })
-                with open(self._meta_path, 'w') as f:
-                    json.dump({'best_value': v, 'best_epoch': epoch,
-                               'metric': self.save_best_metric,
-                               'mode': self.mode,
-                               'best_weights': self._best_path}, f)
+        if best_weights is not None:
+            # persist the best WEIGHTS separately: orbax max_to_keep
+            # retains only the newest steps, so the best epoch's
+            # checkpoint would otherwise be garbage-collected
+            save_params_npz(self._best_path, best_weights)
+            with open(self._meta_path, 'w') as f:
+                json.dump({'best_value': best_v, 'best_epoch': epoch,
+                           'metric': self.save_best_metric,
+                           'mode': self.mode,
+                           'best_weights': self._best_path}, f)
 
     def latest_epoch(self):
         return self.mgr.latest_step()

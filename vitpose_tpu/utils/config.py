@@ -17,9 +17,17 @@ from typing import Any, Dict, List
 def _deep_merge(base: dict, override: dict) -> dict:
     out = copy.deepcopy(base)
     for k, v in override.items():
-        if (k in out and isinstance(out[k], dict) and isinstance(v, dict)
-                and not v.pop('_delete_', False)):
-            out[k] = _deep_merge(out[k], v)
+        if isinstance(v, dict):
+            # strip the mmcv-style _delete_ marker unconditionally (it
+            # must never leak into the merged config, even when the base
+            # lacks the key) and without mutating the caller's dict
+            delete = bool(v.get('_delete_', False))
+            if '_delete_' in v:
+                v = {kk: vv for kk, vv in v.items() if kk != '_delete_'}
+            if k in out and isinstance(out[k], dict) and not delete:
+                out[k] = _deep_merge(out[k], v)
+            else:
+                out[k] = copy.deepcopy(v)
         else:
             out[k] = copy.deepcopy(v)
     return out
