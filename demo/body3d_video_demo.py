@@ -20,7 +20,10 @@ if os.environ.get('JAX_PLATFORMS'):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('video')
-    ap.add_argument('--checkpoint', default=None)
+    ap.add_argument('--checkpoint', default=None,
+                    help='2D pose model weights')
+    ap.add_argument('--lifter-checkpoint', default=None,
+                    help='PoseLifter weights (.npz from the lifter loop)')
     ap.add_argument('--variant', default='s')
 
     ap.add_argument('--out-img-root', default='vis_results')
@@ -41,8 +44,14 @@ def main():
     model = init_pose_model(args.variant, checkpoint=args.checkpoint)
     lifter = PoseLifter(num_joints=17)
     rf = lifter.receptive_field
-    lift_vars = lifter.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, rf, 17, 2)))
+    if args.lifter_checkpoint:
+        from vitpose_tpu.utils.checkpoint import load_params_npz
+        lift_vars = load_params_npz(args.lifter_checkpoint)
+    else:
+        print('WARNING: no --lifter-checkpoint given — the 3D stage runs '
+              'with RANDOM weights (output is structural only)')
+        lift_vars = lifter.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, rf, 17, 2)))
 
     cap = cv2.VideoCapture(args.video)
     assert cap.isOpened(), args.video

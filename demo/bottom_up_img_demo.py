@@ -19,27 +19,24 @@ if os.environ.get('JAX_PLATFORMS'):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('img')
+    ap.add_argument('--checkpoint', default=None,
+                    help='estimator weights (.npz)')
     ap.add_argument('--base-size', type=int, default=256)
     ap.add_argument('--out-img-root', default='vis_results')
     ap.add_argument('--kpt-thr', type=float, default=0.3)
     args = ap.parse_args()
 
     import cv2
-    import jax
-    import jax.numpy as jnp
-    from vitpose_tpu.models.bottomup import BottomUpEstimator
-    from vitpose_tpu.models.vit import ViTConfig
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bottom_up_video_demo import build_estimator
     from vitpose_tpu.api.inference import (inference_bottom_up_pose_model,
                                            vis_pose_result)
     from vitpose_tpu.data import DatasetInfo
 
     info = DatasetInfo.load('coco')
     s = args.base_size
-    est = BottomUpEstimator(
-        ViTConfig(img_size=(s, s), embed_dim=384, depth=12, num_heads=12),
-        num_joints=17, dataset_info=info)
-    sample = jnp.zeros((1, s, s, 3))
-    variables = est.init(jax.random.PRNGKey(0), sample)
+    est, variables = build_estimator(s, args.checkpoint)
 
     img = cv2.cvtColor(cv2.imread(args.img), cv2.COLOR_BGR2RGB)
     results, scores = inference_bottom_up_pose_model(

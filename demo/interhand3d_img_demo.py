@@ -53,14 +53,18 @@ def main():
     if args.checkpoint:
         variables = load_params_npz(args.checkpoint)
 
-    # crop -> 256x256 (pixel_std=200 convention like the top-down path)
-    x, y, bw, bh = box
-    center = np.array([x + bw / 2, y + bh / 2], np.float32)
-    scale = np.array([bw / 200.0, bh / 200.0], np.float32) * 1.25
-    crop = cv2.resize(img[int(y):int(y + bh), int(x):int(x + bw)],
-                      (256, 256)).astype(np.float32)
-    crop = (crop / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array(
-        [0.229, 0.224, 0.225])
+    # crop with the SAME convention the training loop and decode share:
+    # bbox -> padded pixel_std=200 center/scale -> affine warp -> /255
+    # (the interhand family feeds plain /255 inputs; a raw resize of the
+    # unpadded box would make decode un-crop 1.25x too wide)
+    from vitpose_tpu.ops.geometry import bbox_xywh2cs, affine_matrix
+    center, scale = bbox_xywh2cs(np.asarray(box, np.float32),
+                                 aspect_ratio=1.0)
+    center = np.asarray(center, np.float32)
+    scale = np.asarray(scale, np.float32)
+    mat = np.asarray(affine_matrix(center, scale, 0.0, (256, 256)))
+    crop = cv2.warpAffine(img, mat[:2], (256, 256),
+                          flags=cv2.INTER_LINEAR).astype(np.float32) / 255.0
     hm3d, root_logits, type_logits = est.infer(
         variables, jnp.asarray(crop[None]))
     res = est.decode(hm3d, root_logits, type_logits, center[None],

@@ -49,7 +49,14 @@ def main():
                                         EffectNode)
 
     model = init_pose_model(args.variant, checkpoint=args.checkpoint)
-    sink = VideoSink(args.out)
+    # record at the source's real rate (video files report theirs; live
+    # cameras often report 0 -> keep the 30fps default)
+    import cv2
+    is_cam = str(args.input).isdigit()
+    probe = cv2.VideoCapture(int(args.input) if is_cam else args.input)
+    src_fps = probe.get(cv2.CAP_PROP_FPS) or 0
+    probe.release()
+    sink = VideoSink(args.out, fps=src_fps if src_fps > 0 else 30)
     render = (EffectNode(model, kind=args.effect) if args.effect
               else VisualizerNode(model))
     # live cameras default to the async graph (keep the camera rate, drop

@@ -106,3 +106,25 @@ def test_panoptic_ap_golden_vs_reference():
     assert abs(got_m - np.mean(errs)) < 1e-9
     ids = {e['gt_id'] for e in eval_list if e['mpjpe'] < 500}
     assert got_r == len(ids) / total_gt
+
+
+def test_heatmap_frame_painter_in_bounds():
+    """gt_projected_heatmaps must paint ON the heatmap grid: with
+    intrinsics rescaled from the sensor resolution to heatmap pixels
+    (heatmap_frame_cameras) the fixture's GT joints produce non-empty
+    per-view maps (raw-pixel intrinsics would land ~everything outside a
+    64x48 grid and train on blank inputs)."""
+    from vitpose_tpu.data.panoptic_mview import PanopticMviewDataset
+    from vitpose_tpu.train.voxelpose_loop import (gt_projected_heatmaps,
+                                                  heatmap_frame_cameras)
+
+    ds = PanopticMviewDataset(SEQS)
+    frame = ds[0]
+    hm_size = (64, 64)
+    cams = heatmap_frame_cameras(frame['cameras'][:4], hm_size)
+    for c, raw in zip(cams, frame['cameras'][:4]):
+        assert hasattr(raw, 'resolution')
+        assert float(c.f[0]) < float(raw.f[0])     # actually rescaled
+    maps = gt_projected_heatmaps(frame, cams, 15, hm_size)
+    # at least one view sees the person: peak near 1.0 somewhere
+    assert maps.max() > 0.5, maps.max()

@@ -130,6 +130,9 @@ def _as_est_variables(model):
 
 def _select_boxes(det_results, bbox_thr, fmt):
     from ..ops.geometry import bbox_xyxy2xywh
+    if len(det_results) == 0:      # person-free frame: nothing to stack
+        empty = np.zeros((0, 5), np.float32)
+        return empty, empty.copy(), np.zeros(0, np.int64)
     bboxes = np.stack([
         np.pad(np.asarray(p['bbox'], np.float32)[:5],
                (0, max(0, 5 - len(np.asarray(p['bbox'])[:5]))),

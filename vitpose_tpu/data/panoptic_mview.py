@@ -69,7 +69,11 @@ class PanopticMviewDataset:
             k=np.asarray(cam.get('distCoef', [0] * 5))[[0, 1, 4]],
             p=np.asarray(cam.get('distCoef', [0] * 5))[[2, 3]],
         )
-        return SimpleCamera(param)
+        out = SimpleCamera(param)
+        # sensor resolution (w, h) from the calibration — the voxelpose
+        # pipeline rescales intrinsics to heatmap pixels with it
+        out.resolution = tuple(cam.get('resolution', (1920, 1080)))
+        return out
 
     def __len__(self):
         return len(self.frames)

@@ -236,13 +236,15 @@ def evaluate_voxelpose(cfg: dict, model, variables, metric=None):
         cam_names=vcfg.get('cam_names'),
         num_joints=cfg['model'].get('num_joints', 15))
     hm_size = tuple(dcfg.get('heatmap_size', (64, 64)))[::-1]
+    from ..train.voxelpose_loop import heatmap_frame_cameras
     results = []
     for idx in range(len(ds)):
         frame = ds[idx]
-        heatmaps = gt_projected_heatmaps(frame, frame['cameras'],
+        # same heatmap-pixel camera frame as training
+        cameras = heatmap_frame_cameras(frame['cameras'], hm_size)
+        heatmaps = gt_projected_heatmaps(frame, cameras,
                                          model.num_joints, hm_size)
-        people = model.forward(variables, jnp.asarray(heatmaps),
-                               frame['cameras'])
+        people = model.forward(variables, jnp.asarray(heatmaps), cameras)
         results.append([(np.asarray(j), float(s)) for j, s in people])
     metric = metric or cfg.get('evaluation', {}).get('metric', ['mpjpe'])
     metric = [m if m in ('mpjpe', 'mAP') else

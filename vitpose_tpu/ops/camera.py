@@ -79,3 +79,19 @@ class SimpleCamera:
         z = x[..., 2:]
         uv = (x[..., :2] - self.c) / self.f * z
         return jnp.concatenate([uv, z], axis=-1)
+
+    def scaled(self, sx, sy):
+        """A copy whose pixel frame is rescaled by (sx, sy) — e.g. raw
+        sensor pixels -> heatmap pixels for voxel projection. Only the
+        intrinsics change (f, c scale; distortion acts in normalized
+        coords before K, so k/p are unchanged)."""
+        import copy as _copy
+        out = _copy.copy(self)
+        s = jnp.asarray([sx, sy], jnp.float32)
+        out.f = self.f * s
+        out.c = self.c * s
+        f = np.asarray(out.f)
+        c = np.asarray(out.c)
+        out.K = jnp.asarray(
+            np.concatenate([np.diagflat(f), c[:, None]], axis=-1).T)
+        return out

@@ -247,8 +247,12 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
     opt_path = os.path.join(work_dir, 'opt.npz')
     if resume and os.path.exists(latest):
         variables = load_params_npz(latest)
-        meta = json.load(open(os.path.join(work_dir, 'latest.json')))
-        start_epoch = meta['epoch'] + 1
+        meta_path = os.path.join(work_dir, 'latest.json')
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            start_epoch = meta['epoch'] + 1
+        # missing meta (killed between the npz and json writes): resume
+        # the weights but restart the epoch counter rather than crash
     params, batch_stats = split_bottomup_variables(variables)
     opt_state = tx.init(params)
     if resume and os.path.exists(opt_path):
@@ -285,8 +289,12 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
         opt_leaves = jax.tree_util.tree_leaves(opt_state)
         np.savez(opt_path, **{f'leaf_{i}': np.asarray(l)
                               for i, l in enumerate(opt_leaves)})
-        json.dump({'epoch': epoch},
-                  open(os.path.join(work_dir, 'latest.json'), 'w'))
+        # atomic meta write: a kill between the npz and json writes must
+        # not leave an unresumable work_dir
+        meta_path = os.path.join(work_dir, 'latest.json')
+        with open(meta_path + '.tmp', 'w') as f:
+            json.dump({'epoch': epoch}, f)
+        os.replace(meta_path + '.tmp', meta_path)
         print(json.dumps({'mode': 'epoch_done', 'epoch': epoch,
                           'secs': round(time.time() - t0, 1)}), flush=True)
         if max_steps and done >= max_steps:

@@ -200,6 +200,7 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
     sample = next(iter(loader))
     rng = jax.random.PRNGKey(cfg.get('seed', 0))
     variables = model.init(rng, sample['imgs'])
+    variables, _ = _resume_loop_weights(cfg, work_dir, variables, resume)
     params = {k: variables[k]['params'] for k in variables}
     stats = {k: {c: v for c, v in variables[k].items() if c != 'params'}
              for k in variables}
@@ -238,6 +239,23 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
     metrics = {m: float(v) for m, v in metrics.items()}
     _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps)
     return variables, metrics
+
+
+def _resume_loop_weights(cfg, work_dir, variables, resume):
+    """Weight-level resume for the family loops: load work_dir/final.npz
+    over the fresh init when --resume is given (the tools/train.py
+    contract; optimizer state restarts — these loops checkpoint weights
+    only). Returns (variables, resumed_bool)."""
+    import os
+    work_dir = work_dir or cfg.get('runtime', {}).get('work_dir')
+    if not resume or not work_dir:
+        return variables, False
+    path = os.path.join(work_dir, 'final.npz')
+    if not os.path.exists(path):
+        return variables, False
+    from ..utils.checkpoint import load_params_npz
+    print(f'resuming weights from {path} (optimizer state restarts)')
+    return load_params_npz(path), True
 
 
 def _save_loop_outputs(cfg, work_dir, variables, metrics, n_steps):

@@ -28,8 +28,9 @@ from typing import Optional
 import numpy as np
 
 from ..data.body3d import (Body3DH36MDataset, flip_relative_pose)
-from .interhand_loop import (_log_val_stats, _save_best_ckpt,
-                             _save_loop_outputs, _should_eval)
+from .interhand_loop import (_log_val_stats, _resume_loop_weights,
+                             _save_best_ckpt, _save_loop_outputs,
+                             _should_eval)
 
 
 def _flip_pairs(dcfg):
@@ -162,6 +163,7 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
                                     norm2d=norm2d, norm3d=norm3d,
                                     remove_root=remove_root)[0])
     variables = model.init(rng, x0, train=False)
+    variables, _ = _resume_loop_weights(cfg, work_dir, variables, resume)
     opt_state = tx.init(variables)
 
     def _apply(v, x, drop_rng):

@@ -59,6 +59,11 @@ def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
     gen_vars = mesh.init(rng, imgs)
     disc_vars = disc.init(rng, jnp.zeros((imgs.shape[0], 72)),
                           jnp.zeros((imgs.shape[0], 10)))
+    from .interhand_loop import _resume_loop_weights
+    both, resumed = _resume_loop_weights(
+        cfg, work_dir, {'gen': gen_vars, 'disc': disc_vars}, resume)
+    if resumed:
+        gen_vars, disc_vars = both['gen'], both['disc']
     gen_opt = gen_tx.init(gen_vars)
     disc_opt = disc_tx.init(disc_vars)
     step = jax.jit(make_adversarial_train_step(mesh, disc, gen_tx,

@@ -147,6 +147,8 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
     iw, ih = image_size
     dummy = jnp.zeros((1, t, ih, iw, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
+    from .interhand_loop import _resume_loop_weights
+    variables, _ = _resume_loop_weights(cfg, work_dir, variables, resume)
     params = variables['params']
     stats = {k: v for k, v in variables.items() if k != 'params'}
     opt_state = tx.init(params)

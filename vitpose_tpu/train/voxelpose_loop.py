@@ -31,10 +31,24 @@ from .interhand_loop import (_log_val_stats, _save_best_ckpt,
                              _save_loop_outputs, _should_eval)
 
 
+def heatmap_frame_cameras(cameras, heatmap_size):
+    """Rescale each camera's intrinsics from its sensor resolution to
+    heatmap pixels (the frame project_heatmaps_to_voxels requires; the
+    reference's project_layer divides projected coords by image size and
+    multiplies by heatmap size, multiview_pose.py project_layer)."""
+    h, w = heatmap_size
+    out = []
+    for cam in cameras:
+        rw, rh = getattr(cam, 'resolution', (1920, 1080))
+        out.append(cam.scaled(w / float(rw), h / float(rh)))
+    return out
+
+
 def gt_projected_heatmaps(frame, cameras, num_joints, heatmap_size,
                           sigma_px=2.0):
     """[V, K, H, W] gaussians at each camera's GT-joint projections
-    (all people max-combined)."""
+    (all people max-combined). `cameras` must already be in the heatmap
+    pixel frame (heatmap_frame_cameras)."""
     h, w = heatmap_size
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     maps = np.zeros((len(cameras), num_joints, h, w), np.float32)
@@ -80,6 +94,8 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
     ocfg = cfg.get('optimizer', {})
     tx = optax.adam(ocfg.get('base_lr', 1e-4))
     variables = model.init(jax.random.PRNGKey(cfg.get('seed', 0)))
+    from .interhand_loop import _resume_loop_weights
+    variables, _ = _resume_loop_weights(cfg, work_dir, variables, resume)
     # only the 'params' collections are trainable; BatchNorm statistics
     # advance through training_losses(train=True), not through gradients
     trainable = {k: variables[k]['params'] for k in variables}
@@ -92,13 +108,18 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
 
     def frame_losses(trainable_tree, stats, heatmaps, cameras, candidates,
                      cand_mask, gt_joints, gt_vis, targets_3d):
-        losses, _ = model.training_losses(
+        # ONE train-mode forward: BN normalizes by batch statistics (the
+        # running stats leave the gradient graph) and the advanced stats
+        # come back as aux — no second stats-only pass needed
+        losses, new_vars = model.training_losses(
             _rebuild(trainable_tree, stats), heatmaps, cameras,
             candidates, cand_mask, gt_joints, gt_vis, targets_3d,
-            train=False)
-        return losses['loss_center'] + losses['loss_pose'], losses
+            train=True)
+        return (losses['loss_center'] + losses['loss_pose'],
+                (losses, new_vars))
 
     grad_fn = jax.value_and_grad(frame_losses, has_aux=True)
+    root_id = cfg['model'].get('root_id', 2)   # reference panoptic config
 
     metrics = {}
     n_steps = 0
@@ -107,7 +128,9 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
     for _epoch in range(epochs):
         for idx in range(len(ds)):
             frame = ds[idx]
-            cameras = frame['cameras']
+            # intrinsics rescaled to the heatmap pixel frame (projection
+            # and painting both operate there)
+            cameras = heatmap_frame_cameras(frame['cameras'], hm_size)
             people = [p for p in frame['people']
                       if (p['joints_vis'] > 0).any()]
             if not cameras or not people:
@@ -115,7 +138,10 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
             gt_joints = np.stack([p['joints_3d'] for p in people])
             gt_vis = np.stack([(p['joints_vis'] > 0).astype(np.float32)
                                for p in people])
-            roots = gt_joints[:, 0]               # person-center = root 0
+            # person center = root_id (panoptic coco19: 2 = mid-hip/body
+            # center, reference voxelpose config root_id=2 — index 0 is
+            # the neck, which would push leg joints outside the pose cube)
+            roots = gt_joints[:, root_id]
             if callable(heatmap_source):
                 heatmaps = heatmap_source(frame, cameras)
             else:
@@ -125,17 +151,12 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
                 roots[:, None], np.ones(roots.shape[:1] + (1, 1)),
                 model.space_size, model.space_center,
                 model.space_resolution, sigma=sigma_mm, joint_indices=[0])
-            (total, losses), grads = grad_fn(
+            (total, (losses, new_vars)), grads = grad_fn(
                 trainable, stats, jnp.asarray(heatmaps), cameras,
                 jnp.asarray(roots), jnp.ones(len(people)),
                 gt_joints, gt_vis, targets_3d)
             updates, opt_state = tx.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
-            # advance BN statistics with the updated params
-            _, new_vars = model.training_losses(
-                _rebuild(trainable, stats), jnp.asarray(heatmaps),
-                cameras, jnp.asarray(roots), jnp.ones(len(people)),
-                gt_joints, gt_vis, targets_3d, train=True)
             stats = {k: {c: v for c, v in new_vars[k].items()
                          if c != 'params'} for k in new_vars}
             metrics = {k: float(v) for k, v in losses.items()}
