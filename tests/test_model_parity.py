@@ -173,3 +173,86 @@ def test_moe_split_matches_dense_fc2():
                       expert_idx=jnp.zeros(2, jnp.int32))
     out = np.asarray(out).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_training_gradient_parity():
+    """Training-step gradient parity: identical weights + inputs + MSE
+    targets -> the torch backward and jax.grad agree on EVERY converted
+    parameter leaf. Output parity alone cannot catch a gradient-path bug
+    (e.g. a stop_gradient or a wrong custom VJP in the fused attention
+    kernel); this gates the whole backward stack."""
+    refmod = ref_vit()
+    hd = ref_simple_head()
+    tv = refmod.ViT(img_size=(64, 48), patch_size=16, embed_dim=32,
+                    depth=2, num_heads=4, qkv_bias=True,
+                    drop_path_rate=0.0)
+    head = hd.TopdownHeatmapSimpleHead(
+        in_channels=32, out_channels=5, num_deconv_layers=2,
+        num_deconv_filters=(16, 16), num_deconv_kernels=(4, 4),
+        extra=dict(final_conv_kernel=1))
+    # eval-mode BN (fixed running stats) on both sides so the BN grads
+    # are the plain affine ones
+    tv.eval()
+    head.eval()
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 64, 48).astype(np.float32)
+    target = rng.rand(2, 5, 16, 12).astype(np.float32)
+    weight = (rng.rand(2, 5) > 0.3).astype(np.float32)
+
+    xt = torch.from_numpy(x)
+    tt = torch.from_numpy(target)
+    wt = torch.from_numpy(weight)
+    out_t = head(tv(xt))
+    diff = (out_t - tt) * wt[:, :, None, None]
+    loss_t = (diff ** 2).mean(dim=(0, 2, 3)).sum() / 5
+    loss_t.backward()
+    grad_sd = {}
+    for prefix, mod in (('backbone.', tv), ('keypoint_head.', head)):
+        for name, p in mod.named_parameters():
+            grad_sd[prefix + name] = p.grad.detach().numpy()
+
+    # the torch->flax conversion is pure layout (transpose/split), so
+    # running the GRADIENT state dict through the same converter yields
+    # the flax-layout reference gradients
+    cfg = make_config('s', img_size=(64, 48), out_channels=5)
+    cfg = cfg.__class__(**{**cfg.__dict__,
+                           'backbone': ViTConfig(img_size=(64, 48),
+                                                 embed_dim=32, depth=2,
+                                                 num_heads=4),
+                           'deconv_filters': (16, 16)})
+    sd = {}
+    sd.update(_torch_sd(tv, prefix='backbone.'))
+    sd.update(_torch_sd(head, prefix='keypoint_head.'))
+    variables = CK.convert_topdown_checkpoint(sd, cfg)
+    ref_grads = CK.convert_topdown_checkpoint(grad_sd, cfg)['params']
+
+    import jax
+    from vitpose_tpu.models.losses import joints_mse_loss
+    model = TopDownModel(cfg)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    def loss_fn(params):
+        v = dict(variables)
+        v = {**v, 'params': params}
+        out = model.apply(v, xj, train=False)
+        return joints_mse_loss(out, jnp.asarray(target),
+                               jnp.asarray(weight))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(variables['params'])
+    assert abs(float(loss_j) - float(loss_t.detach())) < 1e-5
+
+    import jax.tree_util as jtu
+    ref_leaves = dict(jtu.tree_flatten_with_path(ref_grads)[0])
+    got_leaves = dict(jtu.tree_flatten_with_path(grads)[0])
+    # the converter emits only leaves present in the torch model; every
+    # one of them must match (pos_embed, patch conv, qkv, mlp, deconv,
+    # BN affine, final conv)
+    assert set(ref_leaves) <= set(got_leaves)
+    checked = 0
+    for path, ref_g in ref_leaves.items():
+        got_g = np.asarray(got_leaves[path])
+        np.testing.assert_allclose(
+            got_g, np.asarray(ref_g), rtol=2e-3, atol=1e-5,
+            err_msg=str(path))
+        checked += 1
+    assert checked > 20, checked
