@@ -256,3 +256,50 @@ def test_training_gradient_parity():
             err_msg=str(path))
         checked += 1
     assert checked > 20, checked
+
+
+def test_moe_gradient_parity():
+    """MoE backward parity: the dense-masked reference expert loop
+    (vit_moe.py:108-111) and our stacked-expert einsum must produce the
+    same gradients — for the shared trunk AND for each expert (only the
+    experts selected by `expert_idx` receive nonzero gradient)."""
+    refmod = ref_vit_moe()
+    tv = refmod.ViTMoE(img_size=(64, 48), patch_size=16, embed_dim=32,
+                       depth=2, num_heads=4, qkv_bias=True,
+                       num_expert=3, part_features=8, drop_path_rate=0.0)
+    tv.eval()
+    rng = np.random.RandomState(9)
+    x = rng.randn(4, 3, 64, 48).astype(np.float32)
+    idx = np.array([0, 2, 1, 2])
+    out_t = tv(torch.from_numpy(x), torch.from_numpy(idx))
+    loss_t = (out_t ** 2).mean()
+    loss_t.backward()
+    grad_sd = {name: p.grad.detach().numpy()
+               for name, p in tv.named_parameters()}
+
+    params = CK.convert_backbone(_torch_sd(tv), None, prefix='')
+    ref_grads = CK.convert_backbone(grad_sd, None, prefix='')
+    cfg = ViTConfig(img_size=(64, 48), embed_dim=32, depth=2, num_heads=4,
+                    num_experts=3, part_dim=8)
+    model = ViT(cfg)
+
+    import jax
+
+    def loss_fn(p):
+        out = model.apply({'params': p},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          deterministic=True, expert_idx=jnp.asarray(idx))
+        # NHWC here vs torch NCHW: same set of values -> same mean
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss_j) - float(loss_t.detach())) < 1e-6
+
+    import jax.tree_util as jtu
+    ref_leaves = dict(jtu.tree_flatten_with_path(ref_grads)[0])
+    got_leaves = dict(jtu.tree_flatten_with_path(grads)[0])
+    assert set(ref_leaves) <= set(got_leaves)
+    for path, ref_g in ref_leaves.items():
+        np.testing.assert_allclose(
+            np.asarray(got_leaves[path]), np.asarray(ref_g),
+            rtol=2e-3, atol=1e-6, err_msg=str(path))
