@@ -317,3 +317,46 @@ def test_bottomup_eval_cli(tmp_path):
         sys.argv = old_argv
     stats = json.loads((tmp_path / 'stats.json').read_text())
     assert 'AP' in stats and np.isfinite(stats['AP'])
+
+
+def test_config_delete_marker(tmp_path):
+    """mmcv _delete_ semantics: replaces the base dict wholesale and never
+    leaks into the merged config — including when the base lacks the key."""
+    from vitpose_tpu.utils.config import load_config
+    base = tmp_path / 'base.py'
+    base.write_text("model = dict(a=1, b=2)\n")
+    child = tmp_path / 'child.py'
+    child.write_text(
+        f"_base_ = ['{base}']\n"
+        "model = dict(_delete_=True, c=3)\n"
+        "extra = dict(_delete_=True, d=4)\n")   # key absent from base
+    cfg = load_config(str(child))
+    assert cfg['model'] == {'c': 3}
+    assert cfg['extra'] == {'d': 4}
+    assert '_delete_' not in cfg['model'] and '_delete_' not in cfg['extra']
+
+
+def test_family_loop_resume_loads_weights(tmp_path):
+    """--resume in the family loops reloads work_dir/final.npz (it was
+    previously accepted and ignored)."""
+    import jax
+    from vitpose_tpu.train.loop import train_model
+
+    h36m = "/root/reference/tests/data/h36m/test_h36m_body3d.npz"
+    wd = str(tmp_path / 'wd')
+    cfg = dict(
+        model=dict(family='pose_lifter', num_joints=17, stem_channels=32,
+                   kernel_sizes=(3, 3)),
+        data=dict(dataset='h36m', seq_len=9, batch_size=2,
+                  train=dict(ann_file=h36m)),
+        optimizer=dict(base_lr=1e-3, lr_decay=0.975, total_epochs=1),
+        runtime=dict(work_dir=wd))
+    v1, _ = train_model(cfg, work_dir=wd, max_steps=2)
+    v2, _ = train_model(cfg, work_dir=wd, max_steps=1, resume=True)
+    v3, _ = train_model(cfg, work_dir=wd, max_steps=1, resume=False)
+    leaf = lambda v: np.asarray(jax.tree.leaves(v)[0])
+    # resumed run starts FROM v1 (one extra step moves it a little);
+    # fresh run starts from init -> far from v1
+    d_resume = np.abs(leaf(v2) - leaf(v1)).max()
+    d_fresh = np.abs(leaf(v3) - leaf(v1)).max()
+    assert d_resume < d_fresh, (d_resume, d_fresh)
