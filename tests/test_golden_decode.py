@@ -148,3 +148,36 @@ def test_border_keypoints_match_reference():
                                    rtol=1e-3, atol=5e-2, err_msg=pp)
         np.testing.assert_allclose(np.asarray(maxvals), maxvals_ref,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("hw", [(16, 12), (64, 48), (96, 72), (64, 64)])
+def test_decode_size_sweep_matches_reference(hw):
+    """Decode parity across heatmap geometries (the zoo spans 48x64,
+    64x64, 72x96, 16x12 tiny smoke shapes) for the three main
+    post-process modes + UDP — size-dependent gather/border bugs would
+    hide in a single-geometry golden."""
+    ref_mod = ref_top_down_eval()
+    h, w = hw
+    rng = np.random.RandomState(h * 7 + w)
+    n, k = 2, 6
+    hm = np.zeros((n, k, h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        for j in range(k):
+            cx, cy = rng.uniform(0, w - 1), rng.uniform(0, h - 1)
+            hm[i, j] = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / 8.0)
+    hm += rng.uniform(0, 0.01, hm.shape).astype(np.float32)
+    center = rng.uniform(50, 400, (n, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, (n, 2)).astype(np.float32)
+    for pp, udp in (("default", False), ("unbiased", False),
+                    ("megvii", False), ("default", True)):
+        preds_ref, maxvals_ref = ref_mod.keypoints_from_heatmaps(
+            hm.copy(), center.copy(), scale.copy(), post_process=pp,
+            kernel=11, use_udp=udp)
+        preds, maxvals = D.keypoints_from_heatmaps(
+            hm, center, scale, post_process=pp, kernel=11, use_udp=udp)
+        np.testing.assert_allclose(np.asarray(preds), preds_ref,
+                                   rtol=1e-3, atol=0.1,
+                                   err_msg=f"{pp} udp={udp} {hw}")
+        np.testing.assert_allclose(np.asarray(maxvals), maxvals_ref,
+                                   atol=1e-4)
