@@ -23,6 +23,9 @@ def main():
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--no-flip', action='store_true')
+    ap.add_argument('--group', type=int, default=1,
+                    help='batches scanned per dispatch (amortizes launch '
+                         'latency; the serving-loop regime)')
     ap.add_argument('--fast', action='store_true',
                     help='bf16 + Pallas attention + tanh GELU')
     ap.add_argument('--int8', action='store_true',
@@ -64,8 +67,21 @@ def main():
     fi = None if args.no_flip else DatasetInfo.load(
         cfg['data'].get('dataset', 'coco')).flip_index
 
-    f = jax.jit(lambda v, x: infer(model, v, x, flip_index=fi))
-    inputs = [jax.random.normal(jax.random.PRNGKey(i), (b, ih, iw, 3))
+    g = max(1, args.group)
+    if g == 1:
+        f = jax.jit(lambda v, x: infer(model, v, x, flip_index=fi))
+    else:
+        # scan G batches inside one dispatch (the bench.py serving-loop
+        # shape): amortizes the per-dispatch launch/tunnel latency, the
+        # steady-state serving regime
+        def f_inner(v, xs):
+            def body(c, x):
+                return c, infer(model, v, x, flip_index=fi)
+            _, outs = jax.lax.scan(body, 0, xs)
+            return outs
+        f = jax.jit(f_inner)
+    shape = (b, ih, iw, 3) if g == 1 else (g, b, ih, iw, 3)
+    inputs = [jax.random.normal(jax.random.PRNGKey(i), shape)
               for i in range(4)]
 
     def sync(o):
@@ -81,7 +97,9 @@ def main():
         sync(f(variables, x))
         ts.append(time.perf_counter() - t0)
     t = min(ts)
-    print(f'batch {b}: {t * 1e3:.1f} ms -> {b / t:.1f} imgs/s '
+    n_img = b * g
+    print(f'batch {b} x group {g}: {t * 1e3:.1f} ms -> '
+          f'{n_img / t:.1f} imgs/s '
           f'({"flip test" if fi is not None else "single forward"})')
 
 
