@@ -5,6 +5,11 @@ device pipeline -> training -> flip-test eval -> decode -> COCOeval).
 
 Round-1 result on one TPU v5e chip (1200 epochs, ~25 min):
 AP 0 -> 0.47 @ep500 -> 0.71 @ep1000+, with AP@0.5 = AP@0.75 = 1.0.
+Round-2 result (same recipe, after the pipeline-fidelity fixes — train
+center jitter, half-body transform, aug corrections): AP 0.72 @ep500 ->
+0.81 @ep600 -> **1.00 @ep1000 and held through ep1200** — a perfect
+overfit through loader -> device pipeline -> train step -> flip-test
+eval -> decode -> COCOeval on hardware.
 """
 import sys, json
 import os
