@@ -360,3 +360,30 @@ def test_family_loop_resume_loads_weights(tmp_path):
     d_resume = np.abs(leaf(v2) - leaf(v1)).max()
     d_fresh = np.abs(leaf(v3) - leaf(v1)).max()
     assert d_resume < d_fresh, (d_resume, d_fresh)
+
+
+@pytest.mark.slow
+def test_train_cli_subprocess(tmp_path):
+    """tools/train.py as a real CLI process: config + --cfg-options +
+    --max-steps + --work-dir plumbing end-to-end (the in-process tests
+    bypass argparse/bootstrap)."""
+    work_dir = str(tmp_path / 'wd')
+    cfg_file = tmp_path / 'cli_smoke.py'
+    cfg_file.write_text(f"""
+_base_ = ['{tmp_path}/smoke.py']
+model = dict(variant='s', img_size=(64, 48), out_channels=17,
+             head='heatmap', flip_test=True, use_udp=True,
+             backbone_overrides=dict(embed_dim=32, depth=2, num_heads=4))
+""")
+    write_smoke_config(tmp_path, work_dir)
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    out = subprocess.run(
+        [sys.executable, 'tools/train.py', str(cfg_file),
+         '--work-dir', work_dir, '--max-steps', '2', '--seed', '1',
+         '--cfg-options', 'runtime.eval_interval=0'],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    records = [json.loads(l) for l in open(
+        os.path.join(work_dir, 'train.log.json'))]
+    train_recs = [r for r in records if r.get('mode') == 'train']
+    assert train_recs and np.isfinite(train_recs[-1]['heatmap_loss'])
