@@ -221,3 +221,25 @@ def test_train_flip_matches_reference_source_flip(use_udp):
     plain = pre(canvas, center_f, scale, rot, joints_f, vis[:, fi])
     assert not np.allclose(np.asarray(ours['imgs']),
                            np.asarray(plain['imgs']), atol=1e-3)
+
+
+def test_loader_shard_padding_more_processes_than_records():
+    """Wrap-around shard padding must tile (np.resize), not single-slice:
+    3 records over 8 processes leaves no shard empty."""
+    from vitpose_tpu.data import TopDownDataset
+    from vitpose_tpu.data.loader import TopDownLoader
+
+    ds = TopDownDataset(f"{REF}/test_coco.json", f"{REF}/",
+                        dataset_info='coco', image_size=(48, 64),
+                        heatmap_size=(12, 16), test_mode=True,
+                        use_gt_bbox=True)
+    n = min(3, len(ds.db))
+    ds.db = ds.db[:n]
+    for pi in range(8):
+        loader = TopDownLoader(ds, batch_size=2, is_train=False,
+                               process_index=pi, process_count=8,
+                               num_workers=1)
+        idx = loader._indices()
+        assert len(idx) >= 1, (pi, idx)
+        batches = list(loader)
+        assert batches and batches[0]['imgs'].shape[0] == 2

@@ -126,3 +126,44 @@ def test_dataset_evaluate_roundtrip():
         ))
     stats = ds.evaluate(results)
     assert stats['AP'] > 0.99, stats
+
+
+def test_gather_ignore_semantics_match_reference():
+    """gt-ignore counts visible keypoints from the keypoint vector (not
+    num_keypoints — jsons may omit it) and all-zero-confidence dts are
+    dropped, like the reference _prepare (_cocoeval.py:170-173, 221-223);
+    evaluation must also not mutate the caller's annotations."""
+    import copy
+    from vitpose_tpu.data import CocoIndex
+    from vitpose_tpu.eval.cocoeval import CocoKeypointEval
+
+    kp_vis = [10.0, 10.0, 2.0] * 17
+    kp_zero = [0.0] * 51
+    gt = {
+        'images': [{'id': 1, 'width': 100, 'height': 100}],
+        'annotations': [
+            # labeled gt WITHOUT num_keypoints
+            dict(id=1, image_id=1, category_id=1, keypoints=kp_vis,
+                 bbox=[0, 0, 50, 50], area=2500.0, iscrowd=0),
+            # unlabeled gt (all v=0) WITHOUT num_keypoints -> ignored
+            dict(id=2, image_id=1, category_id=1, keypoints=kp_zero,
+                 bbox=[50, 50, 40, 40], area=1600.0, iscrowd=0),
+        ],
+        'categories': [{'id': 1, 'name': 'person'}],
+    }
+    coco = CocoIndex(dataset=gt)
+    orig_anns = copy.deepcopy(coco.dataset['annotations'])
+    dts = [
+        dict(image_id=1, category_id=1, keypoints=kp_vis, score=0.9),
+        # all-zero-confidence detection -> dropped, not an FP
+        dict(image_id=1, category_id=1, keypoints=kp_zero, score=0.8),
+    ]
+    coco_dt = coco.loadRes(copy.deepcopy(dts))
+    stats = CocoKeypointEval(coco).evaluate(coco_dt)
+    # one matchable gt, one perfect dt, bogus dt dropped -> AP/AR = 1.0
+    assert stats['AP'] == 1.0 and stats['AR'] == 1.0, stats
+    # use_area=False evaluation must not rewrite the caller's areas
+    CocoKeypointEval(coco, use_area=False).evaluate(coco_dt)
+    for a, b in zip(coco.dataset['annotations'], orig_anns):
+        assert a.get('area') == b.get('area')
+        assert '_ignore' not in a

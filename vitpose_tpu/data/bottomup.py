@@ -142,7 +142,11 @@ class BottomUpCocoDataset:
             from ..eval.cocoeval import evaluate_crowdpose
             return OrderedDict(evaluate_crowdpose(
                 self.coco, coco_dt, sigmas=self.info.sigmas))
-        evaluator = CocoKeypointEval(self.coco, sigmas=self.info.sigmas)
+        # bottom-up AIC/MHP also evaluate with use_area=False
+        # (reference bottom_up_aic.py / bottom_up_mhp.py)
+        evaluator = CocoKeypointEval(
+            self.coco, sigmas=self.info.sigmas,
+            use_area=self.info.dataset_name not in ('aic', 'mhp'))
         return OrderedDict(evaluator.evaluate(coco_dt))
 
 

@@ -109,8 +109,11 @@ class TopDownLoader:
             rng.shuffle(idx)
         if self.process_count > 1:
             total = self._shard_len() * self.process_count
-            if total > n:       # wrap-around padding to divisibility
-                idx = np.concatenate([idx, idx[:total - n]])
+            if total > n:
+                # wrap-around padding to divisibility; np.resize tiles the
+                # index array, so even total > 2n (more processes than
+                # records) leaves no shard empty
+                idx = np.resize(idx, total)
             idx = idx[self.process_index::self.process_count]
         return idx
 

@@ -302,10 +302,14 @@ class TopDownDataset:
         return stats
 
     def _path_to_id(self, path):
+        # full relative path FIRST (the reference keys on
+        # path[len(img_prefix):]); the basename fallback only serves
+        # flat-file jsons — trying it first would let a colliding flat
+        # file_name shadow a nested one
         rel = path[len(self.img_prefix):].lstrip('/')
-        base = os.path.basename(rel)
-        return (self.name2id[base] if base in self.name2id
-                else self.name2id[rel])
+        if rel in self.name2id:
+            return self.name2id[rel]
+        return self.name2id[os.path.basename(rel)]
 
     def _report_metric(self, results, metrics, pck_thr=0.2, pckh_thr=0.7,
                        auc_nor=30):
@@ -455,7 +459,13 @@ class TopDownDataset:
             from ..eval.cocoeval import evaluate_crowdpose
             return OrderedDict(evaluate_crowdpose(self.coco, coco_dt,
                                                   sigmas=self.sigmas))
-        evaluator = CocoKeypointEval(self.coco, sigmas=self.sigmas)
+        # AIC/MHP evaluate with use_area=False (OKS normalized by
+        # bbox w*h*0.53 even when an 'area' field is present — reference
+        # topdown_aic_dataset.py / topdown_mhp_dataset.py
+        # _do_python_keypoint_eval pass use_area=False)
+        use_area = self.info.dataset_name not in ('aic', 'mhp')
+        evaluator = CocoKeypointEval(self.coco, sigmas=self.sigmas,
+                                     use_area=use_area)
         stats = evaluator.evaluate(coco_dt)
         return OrderedDict(stats)
 

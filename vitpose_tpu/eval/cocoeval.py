@@ -18,10 +18,10 @@ import numpy as np
 COCO_KPT_STAT_NAMES = ['AP', 'AP .5', 'AP .75', 'AP (M)', 'AP (L)',
                        'AR', 'AR .5', 'AR .75', 'AR (M)', 'AR (L)']
 
-_DEFAULT_SIGMAS = np.array([
-    0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
-    0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
-], dtype=np.float64)
+# one canonical COCO sigma table, shared with the OKS-NMS (drift between
+# the two would score NMS and COCOeval with different uncertainty tables)
+from ..ops.nms import COCO_SIGMAS as _COCO_SIGMAS
+_DEFAULT_SIGMAS = np.asarray(_COCO_SIGMAS, np.float64)
 
 
 def compute_oks_matrix(gts, dts, sigmas):
@@ -107,19 +107,24 @@ class CocoKeypointEval:
             if self.kpt_slice is not None:
                 gts = [self._slice_ann(g) for g in gts]
                 dts = [self._slice_ann(d) for d in dts]
-                # a dt whose part prediction is all-zero is dropped
-                # (reference _cocoeval.py:222-224)
-                dts = [d for d in dts if np.count_nonzero(
-                    np.asarray(d['keypoints'])[2::3] > 0)]
+            else:
+                # copies: _ignore/area are evaluation-local annotations
+                # and must not leak into the caller's CocoIndex (a second
+                # evaluation with different use_area would otherwise see
+                # the mutated areas)
+                gts = [dict(g) for g in gts]
+            # a dt whose prediction is all-zero-confidence is dropped
+            # (reference _cocoeval.py:221-223 — full-body and part alike)
+            dts = [d for d in dts if np.count_nonzero(
+                np.asarray(d['keypoints'])[2::3] > 0)]
             for g in gts:
-                if self.kpt_slice is not None:
-                    # part protocol: ignore gts with no visible PART kpts
-                    vis = np.count_nonzero(
-                        np.asarray(g['keypoints'])[2::3] > 0)
-                    g['_ignore'] = (g.get('iscrowd', 0) == 1 or vis == 0)
-                else:
-                    g['_ignore'] = (g.get('iscrowd', 0) == 1
-                                    or g.get('num_keypoints', 1) == 0)
+                # ignore gts with no visible keypoints, counted from the
+                # keypoint vector like the reference _prepare
+                # (_cocoeval.py:170-173; num_keypoints alone misses
+                # jsons that omit the field)
+                vis = np.count_nonzero(
+                    np.asarray(g['keypoints'])[2::3] > 0)
+                g['_ignore'] = (g.get('iscrowd', 0) == 1 or vis == 0)
                 if not self.use_area or 'area' not in g:
                     g['area'] = g['bbox'][2] * g['bbox'][3] * 0.53
             per_img[img_id] = (gts, dts)
@@ -312,7 +317,9 @@ def evaluate_crowdpose(coco_gt, coco_dt, sigmas):
     """CrowdPose protocol (COCOeval iouType='keypoints_crowd'):
     the standard AP/AR over all images plus AP on easy/medium/hard image
     subsets partitioned by each image's `crowdIndex`
-    ([0, 0.1) / [0.1, 0.8) / [0.8, 1]).
+    ([0, 0.2) / [0.2, 0.8) / [0.8, 1] — the reference
+    _summarizeKps_crowd calls get_type_result(first=0.2, second=0.8),
+    _cocoeval.py:879).
     """
     ev = CocoKeypointEval(coco_gt, sigmas=sigmas, use_area=False,
                           area_rngs=[('all', [0.0, 1e10])])
@@ -320,7 +327,7 @@ def evaluate_crowdpose(coco_gt, coco_dt, sigmas):
     easy, medium, hard = [], [], []
     for img_id, img in coco_gt.imgs.items():
         ci = img.get('crowdIndex', 0.0)
-        (easy if ci < 0.1 else medium if ci < 0.8 else hard).append(img_id)
+        (easy if ci < 0.2 else medium if ci < 0.8 else hard).append(img_id)
     stats = {
         'AP': base['AP'], 'AP .5': base['AP .5'], 'AP .75': base['AP .75'],
         'AR': base['AR'], 'AR .5': base['AR .5'], 'AR .75': base['AR .75'],

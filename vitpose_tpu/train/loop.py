@@ -294,7 +294,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     n_proc = jax.process_count()
     loader = TopDownLoader(
         train_ds, dcfg.get('batch_size', 64), is_train=True,
-        canvas_size=dcfg.get('canvas_size', 640),
+        canvas_size=dcfg.get('canvas_size'),
         aug=AugmentConfig(**dcfg.get('aug', {})),
         seed=seed, num_workers=dcfg.get('num_workers', 8),
         process_index=jax.process_index(), process_count=n_proc)
@@ -386,7 +386,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
             bbox_file=dcfg['val'].get('bbox_file'))
         val_loader = TopDownLoader(
             val_ds, dcfg.get('val_batch_size', dcfg.get('batch_size', 64)),
-            is_train=False, canvas_size=dcfg.get('canvas_size', 640),
+            is_train=False, canvas_size=dcfg.get('canvas_size'),
             num_workers=dcfg.get('num_workers', 8))
 
     log_interval = rt.get('log_interval', 50)
@@ -516,7 +516,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
             max_num_joints=max_k)
         loader = TopDownLoader(
             ds, dcfg.get('batch_size', 64), is_train=True,
-            canvas_size=dcfg.get('canvas_size', 640),
+            canvas_size=dcfg.get('canvas_size'),
             aug=AugmentConfig(**dcfg.get('aug', {})),
             seed=seed + i, num_workers=dcfg.get('num_workers', 8),
             process_index=jax.process_index(),
@@ -597,7 +597,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
             bbox_file=vcfg.get('bbox_file'))
         val_loader = TopDownLoader(
             val_ds, dcfg.get('val_batch_size', batch_size),
-            is_train=False, canvas_size=dcfg.get('canvas_size', 640),
+            is_train=False, canvas_size=dcfg.get('canvas_size'),
             num_workers=dcfg.get('num_workers', 8))
 
     log_interval = rt.get('log_interval', 50)
