@@ -95,3 +95,42 @@ def test_paf_multiscale_shapes():
     assert out[0].shape == (38, 24, 32)
     assert out[1].shape == (38, 48, 64)
     assert all(np.isfinite(o).all() for o in out)
+
+
+def test_heatmap_targets_golden_vs_reference():
+    """generate_heatmap_targets == reference HeatmapGenerator (biased and
+    UDP), including truncated-int centers, window clipping at borders,
+    off-map skipping, and max-over-people accumulation."""
+    from vitpose_tpu.data.bottomup import generate_heatmap_targets
+    mt = _load_ref_bottom_up_transform()
+    rng = np.random.RandomState(2)
+    for w, h, n_people, sigma in [(32, 24, 1, 2.0), (48, 64, 3, 2.0),
+                                  (40, 40, 4, 3.0), (64, 64, 2, -1)]:
+        joints = _random_people(rng, n_people, 17, w, h)
+        for use_udp in (False, True):
+            ref_gen = mt.HeatmapGenerator(np.array([w, h]), 17,
+                                          sigma=sigma, use_udp=use_udp)
+            ref = ref_gen(joints)
+            got = generate_heatmap_targets(joints, (w, h), sigma=sigma,
+                                           use_udp=use_udp)
+            np.testing.assert_allclose(got, ref, atol=5e-6,
+                                       err_msg=str((w, h, sigma, use_udp)))
+
+
+def test_heatmap_targets_multiscale():
+    """BottomUpGenerateHeatmapTarget counterpart: per-scale maps from
+    per-scale joints (reference bottom_up_transform.py:595-608)."""
+    from vitpose_tpu.data.bottomup import generate_heatmap_targets_multiscale
+    mt = _load_ref_bottom_up_transform()
+    rng = np.random.RandomState(3)
+    joints_s0 = _random_people(rng, 2, 17, 128, 128)
+    joints_s1 = joints_s0.copy()
+    joints_s1[:, :, :2] *= 2
+    out = generate_heatmap_targets_multiscale(
+        [joints_s0, joints_s1], [128, 256], sigma=2.0)
+    assert out[0].shape == (17, 128, 128) and out[1].shape == (17, 256, 256)
+    for joints, size, got in [(joints_s0, 128, out[0]),
+                              (joints_s1, 256, out[1])]:
+        ref = mt.HeatmapGenerator(np.array([size, size]), 17,
+                                  sigma=2.0)(joints)
+        np.testing.assert_allclose(got, ref, atol=1e-6)

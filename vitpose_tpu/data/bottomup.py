@@ -256,6 +256,80 @@ def generate_paf_targets_multiscale(joints_list, output_sizes, limb_width,
             for j, s in zip(joints_list, output_sizes)]
 
 
+def generate_heatmap_targets(joints, output_size, sigma=-1.0, use_udp=False):
+    """One scale of bottom-up gaussian heatmap targets (reference
+    bottom_up_transform.py:134 `HeatmapGenerator`): per visible joint a
+    gaussian patch, max-accumulated over people.
+
+    Args:
+      joints: [P, K, 3] per-person joints in OUTPUT-map pixels (x, y, vis).
+      output_size: (w, h) of the heatmap (int means square).
+      sigma: gaussian std-dev; < 0 derives the reference default
+        sqrt(w*h)/64.
+      use_udp: paint at the continuous sub-pixel center instead of the
+        truncated-integer one (unbiased data processing).
+
+    Returns [K, h, w] float32.
+
+    Matches the reference conventions exactly: joints whose truncated
+    integer coordinates fall outside the map are skipped entirely, the
+    gaussian is only painted inside the rounded [x-3s-1, x+3s+2) window,
+    and in the biased mode the gaussian is centered on the truncated
+    integer pixel.
+    """
+    if np.isscalar(output_size):
+        output_size = (int(output_size), int(output_size))
+    w, h = int(output_size[0]), int(output_size[1])
+    if sigma is None or sigma < 0:
+        sigma = np.sqrt(w * h) / 64.0
+    joints = np.asarray(joints, np.float32)
+    p, k = joints.shape[:2]
+    if p == 0:
+        return np.zeros((k, h, w), np.float32)
+
+    xt = np.trunc(joints[..., 0]).astype(np.int64)    # [P, K] int centers
+    yt = np.trunc(joints[..., 1]).astype(np.int64)
+    valid = ((joints[..., 2] > 0) & (xt >= 0) & (yt >= 0)
+             & (xt < w) & (yt < h))
+
+    # window bounds (reference ul/br); the gaussian lookup index i maps to
+    # pixel ul + i, and g[i] = exp(-((i - (3s+1) [- frac]))^2 / 2s^2), so
+    # the effective continuous center is ul + 3s + 1 (+ fractional part in
+    # UDP mode)
+    u = 3.0 * sigma + 1.0
+    ulx = np.round(xt - u).astype(np.int64)
+    uly = np.round(yt - u).astype(np.int64)
+    brx = np.round(xt + u + 1.0).astype(np.int64)
+    bry = np.round(yt + u + 1.0).astype(np.int64)
+    glen = len(np.arange(0.0, 6.0 * sigma + 3.0))
+    cx = ulx + u + (joints[..., 0] - xt if use_udp else 0.0)
+    cy = uly + u + (joints[..., 1] - yt if use_udp else 0.0)
+
+    xs = np.arange(w, dtype=np.float32)
+    ys = np.arange(h, dtype=np.float32)
+    gx = np.exp(-(xs - cx[..., None]) ** 2 / (2.0 * sigma ** 2))  # [P,K,W]
+    gy = np.exp(-(ys - cy[..., None]) ** 2 / (2.0 * sigma ** 2))  # [P,K,H]
+    ix = xs[None, None] - ulx[..., None]              # gaussian index per px
+    iy = ys[None, None] - uly[..., None]
+    gx = np.where((ix >= 0) & (ix < glen)
+                  & (xs[None, None] < brx[..., None]), gx, 0.0)
+    gy = np.where((iy >= 0) & (iy < glen)
+                  & (ys[None, None] < bry[..., None]), gy, 0.0)
+    val = (gy[..., :, None] * gx[..., None, :]
+           * valid[..., None, None])                  # [P, K, H, W]
+    return val.max(axis=0).astype(np.float32)
+
+
+def generate_heatmap_targets_multiscale(joints_list, output_sizes,
+                                        sigma=-1.0, use_udp=False):
+    """Multi-scale heatmap-only targets (reference bottom_up_transform.py:572
+    `BottomUpGenerateHeatmapTarget`): the AE pipeline's gaussian targets
+    without tag supervision — one [K, h_s, w_s] map per scale,
+    `joints_list[s]` already in that scale's output coordinates."""
+    return [generate_heatmap_targets(j, s, sigma=sigma, use_udp=use_udp)
+            for j, s in zip(joints_list, output_sizes)]
+
+
 # ---------------------------------------------------------------------------
 # test-time multi-scale input sizing (reference bottom_up_transform.py:16-131)
 # ---------------------------------------------------------------------------
