@@ -16,6 +16,9 @@ model = dict(
     use_udp=False,
     shift_heatmap=True,
 )
+# biased-MSRA targets (the reference recipe; the inherited coco_data
+# default is UDP, which must not leak into non-UDP models)
+target = dict(encoding='MSRA', sigma=2.0)
 optimizer = dict(base_lr=5e-4, warmup_iters=500, decay_epochs=(170, 200),
                  total_epochs=210)
 runtime = dict(work_dir='work_dirs/hrnet_w32_coco_256x192')
