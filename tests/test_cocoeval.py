@@ -167,3 +167,33 @@ def test_gather_ignore_semantics_match_reference():
     for a, b in zip(coco.dataset['annotations'], orig_anns):
         assert a.get('area') == b.get('area')
         assert '_ignore' not in a
+
+
+def test_crowdpose_gt_ignore_uses_num_keypoints():
+    """The keypoints_crowd protocol ignores gts by num_keypoints (vis==2
+    count, _cocoeval.py:163-167), not the v>0 vector count: a person with
+    only labeled-invisible (v==1) joints is ignored — a detection matching
+    it must neither score nor count as an FP against recall."""
+    import copy
+    from vitpose_tpu.eval.cocoeval import evaluate_crowdpose
+
+    kp_vis = [10.0, 10.0, 2.0] * 14
+    kp_v1 = [60.0, 60.0, 1.0] * 14      # labeled but invisible everywhere
+    gt = {
+        'images': [{'id': 1, 'width': 100, 'height': 100,
+                    'crowdIndex': 0.0}],
+        'annotations': [
+            dict(id=1, image_id=1, category_id=1, keypoints=kp_vis,
+                 num_keypoints=14, bbox=[0, 0, 50, 50], iscrowd=0),
+            dict(id=2, image_id=1, category_id=1, keypoints=kp_v1,
+                 num_keypoints=0, bbox=[40, 40, 40, 40], iscrowd=0),
+        ],
+        'categories': [{'id': 1, 'name': 'person'}],
+    }
+    coco = CocoIndex(dataset=gt)
+    dts = [dict(image_id=1, category_id=1, keypoints=kp_vis, score=0.9)]
+    coco_dt = coco.loadRes(copy.deepcopy(dts))
+    sigmas = np.full(14, 0.05)
+    stats = evaluate_crowdpose(coco, coco_dt, sigmas=sigmas)
+    # were the v==1 gt counted as matchable, AR would be 0.5, not 1.0
+    assert stats['AP'] == 1.0 and stats['AR'] == 1.0, stats

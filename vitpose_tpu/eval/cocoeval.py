@@ -64,7 +64,7 @@ class CocoKeypointEval:
 
     def __init__(self, coco_gt, sigmas=None,
                  area_rngs=None, max_dets=20, use_area=True,
-                 kpt_slice=None):
+                 kpt_slice=None, gt_ignore_from_num_keypoints=False):
         # use_area=False: datasets without an 'area' field (CrowdPose, AIC)
         # normalize OKS by bbox w*h*0.53 (xtcocotools convention)
         #
@@ -77,6 +77,12 @@ class CocoKeypointEval:
         # which are concatenated onto 'keypoints' before slicing.
         self.use_area = use_area
         self.kpt_slice = kpt_slice
+        # CrowdPose: num_keypoints counts only vis==2 joints, and the
+        # reference keypoints_crowd protocol ignores gts by that count
+        # (_cocoeval.py:163-167), NOT by the v>0 vector count — a gt with
+        # only labeled-invisible (v==1) joints is ignored there but would
+        # be kept by the vector count
+        self.gt_ignore_from_num_keypoints = gt_ignore_from_num_keypoints
         self.coco_gt = coco_gt
         self.sigmas = (np.asarray(sigmas, np.float64)
                        if sigmas is not None else _DEFAULT_SIGMAS)
@@ -121,9 +127,13 @@ class CocoKeypointEval:
                 # ignore gts with no visible keypoints, counted from the
                 # keypoint vector like the reference _prepare
                 # (_cocoeval.py:170-173; num_keypoints alone misses
-                # jsons that omit the field)
-                vis = np.count_nonzero(
-                    np.asarray(g['keypoints'])[2::3] > 0)
+                # jsons that omit the field), except the CrowdPose
+                # protocol which keys on num_keypoints (vis==2 only)
+                if self.gt_ignore_from_num_keypoints:
+                    vis = g.get('num_keypoints', 1)
+                else:
+                    vis = np.count_nonzero(
+                        np.asarray(g['keypoints'])[2::3] > 0)
                 g['_ignore'] = (g.get('iscrowd', 0) == 1 or vis == 0)
                 if not self.use_area or 'area' not in g:
                     g['area'] = g['bbox'][2] * g['bbox'][3] * 0.53
@@ -322,7 +332,8 @@ def evaluate_crowdpose(coco_gt, coco_dt, sigmas):
     _cocoeval.py:879).
     """
     ev = CocoKeypointEval(coco_gt, sigmas=sigmas, use_area=False,
-                          area_rngs=[('all', [0.0, 1e10])])
+                          area_rngs=[('all', [0.0, 1e10])],
+                          gt_ignore_from_num_keypoints=True)
     base = ev.evaluate(coco_dt)
     easy, medium, hard = [], [], []
     for img_id, img in coco_gt.imgs.items():
