@@ -11,10 +11,11 @@ import time
 
 sys.path.insert(0, '/root/repo')
 
-BATCH = 64
-GROUP = 4
+VARIANT = os.environ.get('BENCH_VARIANT', 'b')
+BATCH = int(os.environ.get('BENCH_BATCH', '64'))
+GROUP = int(os.environ.get('BENCH_TRAIN_GROUP', '4'))
 WARMUP = 1
-ITERS = 3
+ITERS = int(os.environ.get('BENCH_TRAIN_ITERS', '3'))
 
 
 def main():
@@ -27,7 +28,7 @@ def main():
                                    create_train_state, make_train_step)
 
     remat = os.environ.get('BENCH_REMAT', '1') == '1'
-    cfg = make_config('b', img_size=(256, 192), out_channels=17,
+    cfg = make_config(VARIANT, img_size=(256, 192), out_channels=17,
                       dtype='bfloat16', remat=remat)
     cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
                                               fused_attention=True))
@@ -71,7 +72,7 @@ def main():
         sync(losses)
     dt = time.perf_counter() - t0
     ips = GROUP * BATCH * ITERS / dt
-    print(json.dumps({'metric': 'vitpose_b_256x192_train',
+    print(json.dumps({'metric': f'vitpose_{VARIANT}_256x192_train',
                       'imgs_per_sec': round(ips, 1),
                       'ms_per_step': round(dt / (GROUP * ITERS) * 1e3, 1)}))
 
