@@ -32,6 +32,9 @@ def main():
                     help='W8A8 MLP with calibrated static scales')
     ap.add_argument('--int8-qkv', action='store_true',
                     help='also quantize attention qkv/proj (implies --int8)')
+    ap.add_argument('--latency', action='store_true',
+                    help='per-dispatch latency percentiles at small batches '
+                         '(serving-latency regime; group is ignored)')
     args = ap.parse_args()
     args.int8 = args.int8 or args.int8_qkv
 
@@ -67,6 +70,34 @@ def main():
     fi = None if args.no_flip else DatasetInfo.load(
         cfg['data'].get('dataset', 'coco')).flip_index
 
+    def sync(o):
+        return np.asarray(o[(0,) * (o.ndim - 1)])
+
+    if args.latency:
+        # one dispatch per request, small batches: what an online server
+        # pays per call. On this sandbox each dispatch carries ~27ms of
+        # remote-tunnel overhead (PERF.md platform characterization);
+        # locally-attached TPUs pay microseconds, so read the deltas
+        # between batch sizes, not the absolute floor.
+        f1 = jax.jit(lambda v, x: infer(model, v, x, flip_index=fi))
+        for lb in (1, 8, 32):
+            xs = [jax.random.normal(jax.random.PRNGKey(i), (lb, ih, iw, 3))
+                  for i in range(8)]
+            sync(f1(variables, xs[0]))          # compile
+            ts = []
+            for i in range(max(16, args.iters)):
+                x = xs[i % len(xs)]
+                t0 = time.perf_counter()
+                sync(f1(variables, x))
+                ts.append((time.perf_counter() - t0) * 1e3)
+            ts.sort()
+            p50 = ts[len(ts) // 2]
+            p99 = ts[min(len(ts) - 1, int(len(ts) * 0.99))]
+            print(f'batch {lb:3d}: p50 {p50:7.1f} ms  p99 {p99:7.1f} ms '
+                  f'per dispatch '
+                  f'({"flip test" if fi is not None else "single forward"})')
+        return
+
     g = max(1, args.group)
     if g == 1:
         f = jax.jit(lambda v, x: infer(model, v, x, flip_index=fi))
@@ -83,9 +114,6 @@ def main():
     shape = (b, ih, iw, 3) if g == 1 else (g, b, ih, iw, 3)
     inputs = [jax.random.normal(jax.random.PRNGKey(i), shape)
               for i in range(4)]
-
-    def sync(o):
-        return np.asarray(o[(0,) * (o.ndim - 1)])
 
     t0 = time.perf_counter()
     sync(f(variables, inputs[0]))
