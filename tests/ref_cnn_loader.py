@@ -598,3 +598,78 @@ def ref_vipnas_head():
             'mmpose.models.heads.vipnas_heatmap_simple_head',
             'mmpose/models/heads/vipnas_heatmap_simple_head.py')
     return _cache['vipnas_head']
+
+
+def ref_bottom_up_transform():
+    """Reference bottom_up_transform module (resize-align etc., torch-free
+    numpy/cv2 code; registry + Compose stubbed)."""
+    if 'bu_transform' not in _cache:
+        sys.path.insert(0, '/root/repo/tests')
+        from ref_loader import ref_post_transforms, _load
+        pt = ref_post_transforms()
+        fake_pp = types.ModuleType('mmpose.core.post_processing')
+        for n in ('get_affine_transform', 'get_warp_matrix',
+                  'warp_affine_joints'):
+            setattr(fake_pp, n, getattr(pt, n))
+
+        class _Reg:
+            def register_module(self, *a, **k):
+                return lambda cls: cls
+
+        fb = types.ModuleType('mmpose.datasets.builder')
+        fb.PIPELINES = _Reg()
+        pipelines_pkg = types.ModuleType('mmpose.datasets.pipelines')
+        pipelines_pkg.__path__ = []
+        shared = types.ModuleType(
+            'mmpose.datasets.pipelines.shared_transform')
+        shared.Compose = lambda *a, **k: None
+        _cache['bu_transform'] = _load(
+            f'{REF}/mmpose/datasets/pipelines/bottom_up_transform.py',
+            'mmpose.datasets.pipelines.bottom_up_transform',
+            pre_modules=[
+                ('mmcv', types.ModuleType('mmcv')),
+                ('mmpose', types.ModuleType('mmpose')),
+                ('mmpose.core', types.ModuleType('mmpose.core')),
+                ('mmpose.core.post_processing', fake_pp),
+                ('mmpose.datasets', types.ModuleType('mmpose.datasets')),
+                ('mmpose.datasets.builder', fb),
+                ('mmpose.datasets.pipelines', pipelines_pkg),
+                ('mmpose.datasets.pipelines.shared_transform', shared)])
+    return _cache['bu_transform']
+
+
+def ref_group():
+    """Reference bottom-up HeatmapParser (group.py; munkres stubbed with
+    scipy's Hungarian solver, post_dark_udp with the golden-tested
+    vitpose_tpu implementation)."""
+    if 'group' not in _cache:
+        from scipy.optimize import linear_sum_assignment
+        import numpy as _np
+
+        munkres = types.ModuleType('munkres')
+
+        class Munkres:
+            def compute(self, cost):
+                cost = _np.asarray(cost)
+                rows, cols = linear_sum_assignment(cost)
+                return list(zip(rows.tolist(), cols.tolist()))
+
+        munkres.Munkres = Munkres
+
+        from vitpose_tpu.ops.decode import post_dark_udp as _pdu
+        evaluation = types.ModuleType('mmpose.core.evaluation')
+
+        def post_dark_udp(coords, hm, kernel=3):
+            import jax.numpy as jnp
+            return _np.asarray(_pdu(jnp.asarray(coords), jnp.asarray(hm),
+                                    kernel=kernel))
+
+        evaluation.post_dark_udp = post_dark_udp
+        sys.modules['munkres'] = munkres
+        sys.modules.setdefault('mmpose', types.ModuleType('mmpose'))
+        sys.modules.setdefault('mmpose.core',
+                               types.ModuleType('mmpose.core'))
+        sys.modules['mmpose.core.evaluation'] = evaluation
+        _cache['group'] = _load_as('mmpose.core.post_processing.group',
+                                   'mmpose/core/post_processing/group.py')
+    return _cache['group']

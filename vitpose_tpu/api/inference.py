@@ -461,9 +461,13 @@ def inference_bottom_up_pose_model(estimator, variables, img,
             kp = p['keypoints']
             p['area'] = float((kp[:, 0].max() - kp[:, 0].min())
                               * (kp[:, 1].max() - kp[:, 1].min()))
-        keep = oks_nms(pose_results, pose_nms_thr,
-                       sigmas=info.sigmas if len(info.sigmas) else None)
-        pose_results = [pose_results[i] for i in keep]
+        # pose_nms_thr=None: no pose NMS, the reference EVAL protocol
+        # (datasets apply NMS only when data_cfg use_nms=True; the 0.9
+        # default mirrors the reference inference API)
+        if pose_nms_thr is not None:
+            keep = oks_nms(pose_results, pose_nms_thr,
+                           sigmas=info.sigmas if len(info.sigmas) else None)
+            pose_results = [pose_results[i] for i in keep]
     return pose_results, []
 
 
@@ -483,7 +487,8 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
     """
     import cv2
     import jax.numpy as jnp
-    from ..data.bottomup import resize_align_multi_scale
+    from ..data.bottomup import (resize_align_multi_scale,
+                                 get_multi_scale_size)
     from ..models.bottomup import (aggregate_stage_flip, aggregate_scale,
                                    flip_feature_maps, split_ae_outputs)
     from ..models.bottomup import get_group_preds
@@ -504,13 +509,15 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
     min_scale = min(test_scale_factor)
 
     heatmaps_list, tags_list = [], []
-    center = scale = None
-    base_hw = None
+    # every scale projects to the CURRENT_SCALE=1 base size, and decode
+    # center/scale are evaluated at current_scale=1 too (reference
+    # BottomUpGetImgSize, bottom_up_transform.py:706 — NOT the largest
+    # scale's canvas, and NOT the per-scale resize's center/scale)
+    base_wh, center, scale = get_multi_scale_size(
+        img, (base_size, base_size), 1.0, min_scale, use_udp=use_udp)
     for s in sorted(test_scale_factor, reverse=True):
-        resized, center, scale = resize_align_multi_scale(
+        resized, _, _ = resize_align_multi_scale(
             img, (base_size, base_size), s, min_scale, use_udp=use_udp)
-        if base_hw is None:
-            base_hw = resized.shape[:2]
         x = jnp.asarray(resized[None], jnp.float32) / 255.0
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
@@ -546,7 +553,7 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
             hms_f = tags_f = None
         agg_hm = aggregate_stage_flip(
             hms, hms_f, project2image=True,
-            size_projected=(base_hw[1], base_hw[0]),
+            size_projected=tuple(base_wh),
             align_corners=align_corners,
             aggregate_stage='average', aggregate_flip='average')[0]
         heatmaps_list.append(agg_hm)
@@ -556,7 +563,7 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
             # concat along L
             tags_list.extend(aggregate_stage_flip(
                 tags_o, tags_f, project2image=True,
-                size_projected=(base_hw[1], base_hw[0]),
+                size_projected=tuple(base_wh),
                 align_corners=align_corners,
                 aggregate_stage='concat', aggregate_flip='concat'))
     heatmaps = aggregate_scale(heatmaps_list,
@@ -574,7 +581,7 @@ def inference_bottom_up_multi_scale(estimator, variables, img,
         kp = p['keypoints']
         p['area'] = float((kp[:, 0].max() - kp[:, 0].min())
                           * (kp[:, 1].max() - kp[:, 1].min()))
-    if pose_results:
+    if pose_results and pose_nms_thr is not None:
         keep = oks_nms(pose_results, pose_nms_thr,
                        sigmas=info.sigmas if info is not None
                        and len(info.sigmas) else None)

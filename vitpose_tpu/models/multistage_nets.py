@@ -53,11 +53,14 @@ def _bilinear_ac_matrix(n_in, n_out):
 
 def resize_bilinear_ac(x, out_hw):
     """NHWC align-corners bilinear resize as two small matmuls (MXU-
-    friendly, exact vs torch align_corners=True)."""
+    friendly, exact vs torch align_corners=True). HIGHEST precision: the
+    TPU default multiplies f32 in bf16, visibly denting subpixel decode."""
+    import jax
     h, w = out_hw
     mh = jnp.asarray(_bilinear_ac_matrix(x.shape[1], h))
     mw = jnp.asarray(_bilinear_ac_matrix(x.shape[2], w))
-    return jnp.einsum('hH,nHWc,wW->nhwc', mh, x, mw)
+    return jnp.einsum('hH,nHWc,wW->nhwc', mh, x, mw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class RSB(nn.Module):

@@ -165,8 +165,10 @@ def _taylor_refine(log_heatmaps, coords):
     return coords + jnp.where(inside[..., None], offset, 0.0)
 
 
-def post_dark_udp(coords, heatmaps, kernel=11):
-    """UDP/DARK refinement, batched (top_down_eval.py:335 `post_dark_udp`).
+def post_dark_udp(coords, heatmaps, kernel=3):
+    """UDP/DARK refinement, batched (top_down_eval.py:335 `post_dark_udp`,
+    default kernel=3 like the reference — top-down callers pass the config
+    modulate_kernel explicitly; the bottom-up parser relies on the default).
 
     coords: [N, K, 2] integer argmax positions; heatmaps: [N, K, H, W].
     Blur (reflect-101) -> clip -> log -> one Newton step from the gradient and

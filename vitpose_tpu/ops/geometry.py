@@ -18,6 +18,7 @@ Behavioral parity targets (golden-tested in tests/test_golden_geometry.py):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -184,7 +185,10 @@ def apply_affine_to_points(points, mat):
     points = jnp.asarray(points, jnp.float32)
     a = mat[..., :, :2]                              # [..., 2, 2]
     t = mat[..., :, 2]                               # [..., 2]
-    return jnp.einsum('...ij,...kj->...ki', a, points) + t[..., None, :]
+    # HIGHEST: on TPU the default f32 einsum multiplies in bf16, which
+    # would cost whole pixels on image-scale coordinates
+    return jnp.einsum('...ij,...kj->...ki', a, points,
+                      precision=jax.lax.Precision.HIGHEST) + t[..., None, :]
 
 
 # ---------------------------------------------------------------------------
