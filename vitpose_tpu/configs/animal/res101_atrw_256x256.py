@@ -1,0 +1,5 @@
+# res101_atrw_256x256 (reference: configs/animal/2d_kpt_sview_rgb_img/topdown_heatmap/atrw/res101_atrw_256x256.py)
+_base_ = ['../animal/res50_atrw_256x256.py']
+
+model = dict(backbone_overrides=dict(depth=101))
+runtime = dict(work_dir='work_dirs/res101_atrw_256x256')

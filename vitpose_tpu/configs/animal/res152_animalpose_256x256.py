@@ -1,0 +1,19 @@
+# res152_animalpose_256x256: SimpleBaseline ResNet-152 recipe (reference: configs/animal/2d_kpt_sview_rgb_img/topdown_heatmap/animalpose/res152_animalpose_256x256.py)
+_base_ = ['../animal/hrnet_w32_animalpose_256x256.py']
+
+model = dict(
+    _delete_=True,
+    backbone_type='resnet',
+    backbone_overrides=dict(depth=152),
+    img_size=(256, 256),
+    out_channels=20,
+    head='heatmap',
+    deconv_filters=(256, 256, 256),
+    deconv_kernels=(4, 4, 4),
+    flip_test=True,
+    post_process='default',
+    use_udp=False,
+    shift_heatmap=True,
+    modulate_kernel=11,
+)
+runtime = dict(work_dir='work_dirs/res152_animalpose_256x256')

@@ -1,0 +1,5 @@
+# res50_fly_192x192 (reference: configs/animal/2d_kpt_sview_rgb_img/topdown_heatmap/fly/res50_fly_192x192.py)
+_base_ = ['../animal/res152_fly_192x192.py']
+
+model = dict(backbone_overrides=dict(depth=50))
+runtime = dict(work_dir='work_dirs/res50_fly_192x192')

@@ -1,0 +1,5 @@
+# res50_locust_160x160 (reference: configs/animal/2d_kpt_sview_rgb_img/topdown_heatmap/locust/res50_locust_160x160.py)
+_base_ = ['../animal/res152_locust_160x160.py']
+
+model = dict(backbone_overrides=dict(depth=50))
+runtime = dict(work_dir='work_dirs/res50_locust_160x160')

@@ -1,0 +1,10 @@
+# 2xRSN-50 top-down COCO (reference:
+# configs/body/2d_kpt_sview_rgb_img/topdown_heatmap/coco/2xrsn50_coco_256x192.py)
+_base_ = ['../coco/rsn50_3x_coco_256x192.py']
+
+model = dict(num_stages=2,
+             backbone_overrides=dict(dtype='bfloat16', num_stages=2,
+                                     num_units=4, num_blocks=(3, 4, 6, 3),
+                                     unit_channels=256, num_steps=4,
+                                     expand_times=26))
+runtime = dict(work_dir='work_dirs/2xrsn50_coco_256x192')

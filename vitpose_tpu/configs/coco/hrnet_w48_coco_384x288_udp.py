@@ -1,0 +1,24 @@
+# HRNet-W48 top-down COCO at 384x288 + UDP (reference:
+# configs/body/2d_kpt_sview_rgb_img/topdown_heatmap/coco/hrnet_w48_coco_384x288_udp.py)
+_base_ = ['../base/default_runtime.py', '../base/coco_data.py']
+
+model = dict(
+    backbone_type='hrnet',
+    backbone_overrides=dict(width=48, stage_modules=(1, 4, 3),
+                            dtype='bfloat16'),
+    img_size=(384, 288),
+    out_channels=17,
+    head='heatmap',
+    deconv_filters=(),
+    dtype='bfloat16',
+    flip_test=True,
+    post_process='default',
+    use_udp=True,
+    target_type='GaussianHeatmap',
+    shift_heatmap=False,
+)
+data = dict(image_size=(288, 384), heatmap_size=(72, 96))
+target = dict(encoding='UDP', sigma=3.0)
+optimizer = dict(base_lr=5e-4, warmup_iters=500, decay_epochs=(170, 200),
+                 total_epochs=210)
+runtime = dict(work_dir='work_dirs/hrnet_w48_coco_384x288_udp')

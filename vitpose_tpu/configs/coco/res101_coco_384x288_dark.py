@@ -1,0 +1,26 @@
+# res101 top-down COCO at 384x288 + DARK decode (reference:
+# configs/body/2d_kpt_sview_rgb_img/topdown_heatmap/coco/res101_coco_384x288_dark.py)
+_base_ = ['../base/default_runtime.py', '../base/coco_data.py']
+
+model = dict(
+    backbone_type='resnet',
+    backbone_overrides=dict(depth=101),
+    img_size=(384, 288),
+    out_channels=17,
+    head='heatmap',
+    deconv_filters=(256, 256, 256),
+    deconv_kernels=(4, 4, 4),
+    dtype='bfloat16',
+    flip_test=True,
+    post_process='unbiased',
+    modulate_kernel=11,
+    use_udp=False,
+    shift_heatmap=True,
+)
+data = dict(image_size=(288, 384), heatmap_size=(72, 96))
+# biased-MSRA targets (the reference recipe; the inherited coco_data
+# default is UDP, which must not leak into non-UDP models)
+target = dict(encoding='MSRA', sigma=3.0, unbiased=True)
+optimizer = dict(base_lr=5e-4, warmup_iters=500, decay_epochs=(170, 200),
+                 total_epochs=210)
+runtime = dict(work_dir='work_dirs/res101_coco_384x288_dark')

@@ -1,0 +1,21 @@
+# hourglass52_coco_wholebody_face_256x256 (reference: configs/face/2d_kpt_sview_rgb_img/topdown_heatmap/coco_wholebody_face/hourglass52_coco_wholebody_face_256x256.py)
+_base_ = ['../face/hrnetv2_w18_coco_wholebody_face_256x256.py']
+
+model = dict(
+    _delete_=True,
+    backbone_type='hourglass',
+    backbone_overrides=dict(dtype='bfloat16', num_stacks=1),
+    img_size=(256, 256),
+    out_channels=68,
+    head='multistage',
+    num_stages=1,
+    deconv_filters=(),
+    final_kernel=1,
+    dtype='bfloat16',
+    flip_test=True,
+    post_process='default',
+    use_udp=False,
+    shift_heatmap=True,
+    modulate_kernel=11,
+)
+runtime = dict(work_dir='work_dirs/hourglass52_coco_wholebody_face_256x256')

@@ -1,0 +1,12 @@
+# hrnet_w48_ochuman_256x192: the COCO recipe evaluated on OCHuman GT boxes (reference:
+# configs/body/2d_kpt_sview_rgb_img/topdown_heatmap/ochuman/hrnet_w48_ochuman_256x192.py)
+import os as _os
+_ROOT = _os.environ.get('OCHUMAN_ROOT', '/data/ochuman')
+_base_ = ['../coco/hrnet_w48_coco_256x192.py']
+
+data = dict(dataset='ochuman',
+            val=dict(ann_file=f'{_ROOT}/annotations/'
+                              'ochuman_coco_format_val_range_0.00_1.00.json',
+                     img_prefix=f'{_ROOT}/images/', use_gt_bbox=True,
+                     bbox_file=None, _delete_=True))
+runtime = dict(work_dir='work_dirs/hrnet_w48_ochuman_256x192')

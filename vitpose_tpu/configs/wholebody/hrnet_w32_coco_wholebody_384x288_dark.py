@@ -1,0 +1,21 @@
+# hrnet_w32_coco_wholebody_384x288_dark (reference: configs/wholebody/2d_kpt_sview_rgb_img/topdown_heatmap/coco-wholebody/hrnet_w32_coco_wholebody_384x288_dark.py)
+_base_ = ['../wholebody/vitpose_b_wholebody_256x192.py']
+
+model = dict(
+    _delete_=True,
+    backbone_type='hrnet',
+    backbone_overrides=dict(width=32, stage_modules=(1, 4, 3), dtype='bfloat16'),
+    img_size=(384, 288),
+    out_channels=133,
+    head='heatmap',
+    deconv_filters=(),
+    dtype='bfloat16',
+    flip_test=True,
+    post_process='unbiased',
+    modulate_kernel=17,
+    use_udp=False,
+    shift_heatmap=True,
+)
+data = dict(image_size=(288, 384), heatmap_size=(72, 96))
+target = dict(encoding='MSRA', sigma=3.0, unbiased=True)
+runtime = dict(work_dir='work_dirs/hrnet_w32_coco_wholebody_384x288_dark')

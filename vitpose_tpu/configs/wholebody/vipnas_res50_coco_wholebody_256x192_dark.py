@@ -1,0 +1,20 @@
+# vipnas_res50_coco_wholebody_256x192_dark (reference: configs/wholebody/2d_kpt_sview_rgb_img/topdown_heatmap/coco-wholebody/vipnas_res50_coco_wholebody_256x192_dark.py)
+_base_ = ['../wholebody/vitpose_b_wholebody_256x192.py']
+
+model = dict(
+    _delete_=True,
+    backbone_type='vipnas_resnet',
+    backbone_overrides=dict(dtype='bfloat16'),
+    img_size=(256, 192),
+    out_channels=133,
+    head='vipnas',
+    dtype='bfloat16',
+    flip_test=True,
+    post_process='unbiased',
+    modulate_kernel=17,
+    use_udp=False,
+    shift_heatmap=True,
+)
+data = dict(image_size=(192, 256), heatmap_size=(48, 64))
+target = dict(encoding='MSRA', sigma=2.0, unbiased=True)
+runtime = dict(work_dir='work_dirs/vipnas_res50_coco_wholebody_256x192_dark')

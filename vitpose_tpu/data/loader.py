@@ -165,6 +165,14 @@ class TopDownLoader:
         vis = rec['joints_3d_visible'][:, 0]
 
         flipped = False
+        if self.is_train and self.aug.has_image_augs():
+            # image-level augs (photometric / dropout / albumentations)
+            # mutate this record's canvas row in place; the on-device crop
+            # then samples the augmented pixels (reference applies these
+            # after TopDownAffine — pixel-wise ops commute with the warp)
+            from .pipeline import apply_image_augmentations
+            canvas[...] = apply_image_augmentations(rec_rng, canvas,
+                                                    self.aug)
         if self.is_train:
             r = dict(rec, center=center, scale=scale,
                      joints_3d=np.concatenate(

@@ -50,6 +50,20 @@ class AugmentConfig:
     shift_factor: float = 0.16
     trans_prob: float = 0.0          # TopDownRandomTranslation
     trans_factor: float = 0.15
+    # image-level augs, applied by the loader on the host canvas before
+    # the on-device crop warp. The reference runs these after TopDownAffine
+    # (PhotometricDistortion / Albumentation, shared_transform.py:182,303);
+    # pixel-wise ops commute with the bilinear warp, and dropout-hole
+    # sizes stay within ~1.5x of the reference's crop-pixel sizes at the
+    # usual canvas/person ratio. dict/True enables with (those) kwargs.
+    photometric: object = None       # True | dict(**photometric_distortion)
+    coarse_dropout: object = None    # True | dict(**coarse_dropout)
+    grid_dropout: object = None      # True | dict(**grid_dropout)
+    albumentations: object = None    # list of Albumentations transform dicts
+
+    def has_image_augs(self):
+        return bool(self.photometric or self.coarse_dropout
+                    or self.grid_dropout or self.albumentations)
 
 
 def sample_augmentations(rng: np.random.RandomState, record, info, image_w,
@@ -274,6 +288,66 @@ def albumentation_transform(transforms):
         return composed(image=img)['image']
 
     return apply
+
+
+def coarse_dropout(rng: np.random.RandomState, img, max_holes=8,
+                   max_height=40, max_width=40, min_holes=1, min_height=10,
+                   min_width=10, p=0.5, fill_value=0):
+    """Native CoarseDropout (the Albumentations transform the reference's
+    hrnet_w32_coco_256x192_coarsedropout.py config uses): up to
+    `max_holes` random rectangles filled with `fill_value`."""
+    if rng.rand() >= p:
+        return img
+    img = img.copy()
+    h, w = img.shape[:2]
+    for _ in range(rng.randint(min_holes, max_holes + 1)):
+        hh = rng.randint(min_height, max_height + 1)
+        ww = rng.randint(min_width, max_width + 1)
+        y = rng.randint(0, max(1, h - hh + 1))
+        x = rng.randint(0, max(1, w - ww + 1))
+        img[y:y + hh, x:x + ww] = fill_value
+    return img
+
+
+def grid_dropout(rng: np.random.RandomState, img, unit_size_min=10,
+                 unit_size_max=40, ratio=0.5, random_offset=True, p=0.5,
+                 fill_value=0):
+    """Native GridDropout (the Albumentations transform the reference's
+    hrnet_w32_coco_256x192_gridmask.py config uses): a square grid of
+    `unit`-sized cells, each with a `ratio*unit` hole."""
+    if rng.rand() >= p:
+        return img
+    img = img.copy()
+    h, w = img.shape[:2]
+    unit = int(rng.randint(unit_size_min, unit_size_max + 1))
+    hole = max(1, int(unit * ratio))
+    oy = int(rng.randint(0, unit)) if random_offset else 0
+    ox = int(rng.randint(0, unit)) if random_offset else 0
+    for y in range(-oy, h, unit):
+        for x in range(-ox, w, unit):
+            img[max(0, y):max(0, y + hole),
+                max(0, x):max(0, x + hole)] = fill_value
+    return img
+
+
+def apply_image_augmentations(rng: np.random.RandomState, img,
+                              aug: 'AugmentConfig', _cache={}):
+    """Config-driven image-level augmentation dispatch (loader hook)."""
+    def kw(v):
+        return v if isinstance(v, dict) else {}
+    if aug.photometric:
+        img = photometric_distortion(rng, img, **kw(aug.photometric))
+    if aug.coarse_dropout:
+        img = coarse_dropout(rng, img, **kw(aug.coarse_dropout))
+    if aug.grid_dropout:
+        img = grid_dropout(rng, img, **kw(aug.grid_dropout))
+    if aug.albumentations:
+        key = id(aug)
+        if key not in _cache:
+            _cache[key] = albumentation_transform(
+                [dict(t) for t in aug.albumentations])
+        img = _cache[key](img)
+    return img
 
 
 # ---------------------------------------------------------------------------

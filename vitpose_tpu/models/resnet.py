@@ -18,6 +18,9 @@ RESNET_SPECS = {
     50: ('bottleneck', (3, 4, 6, 3)),
     101: ('bottleneck', (3, 4, 23, 3)),
     152: ('bottleneck', (3, 8, 36, 3)),
+    # ResNeSt-only depths (reference resnest.py:217 arch_settings)
+    200: ('bottleneck', (3, 24, 36, 3)),
+    269: ('bottleneck', (3, 30, 48, 3)),
 }
 
 

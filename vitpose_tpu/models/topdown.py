@@ -54,6 +54,8 @@ class TopDownConfig:
     target_type: str = 'GaussianHeatmap'
     # regression (DeepPose) criterion: 'smooth_l1' | 'wing' | 'soft_wing'
     reg_loss: str = 'smooth_l1'
+    # heatmap criterion: 'mse' | 'awing' (reference res50_..._awing.py)
+    heatmap_loss: str = 'mse'
     # ViTPose+ multi-head (associate heads for extra datasets)
     num_extra_heads: int = 0
     extra_head_channels: tuple = ()

@@ -350,7 +350,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
                      devices=jax.devices()[:n_data])
     step_fn = make_train_step(
         model, target_type=target_type,
-        reg_loss=cfg['model'].get('reg_loss', 'smooth_l1'))
+        reg_loss=cfg['model'].get('reg_loss', 'smooth_l1'),
+        heatmap_loss=cfg['model'].get('heatmap_loss', 'mse'))
     batch0 = {'imgs': pre0['imgs'], 'target': pre0['target'],
               'target_weight': pre0['target_weight']}
     jitted, state, place_batch = shard_train_step(step_fn, mesh, state,

@@ -47,19 +47,25 @@ def _match_target(target, out):
 
 
 def make_train_step(model, target_type='GaussianHeatmap',
-                    reg_loss='smooth_l1'):
+                    reg_loss='smooth_l1', heatmap_loss='mse'):
     """Single-dataset training step: (state, batch, rng) -> (state, metrics).
 
     batch: dict with imgs [N,H,W,3], target [N,K,Hh,Wh], target_weight [N,K].
     target_type='Regression' trains a coordinate-regression (DeepPose)
     head: target [N,K,2] normalized coords, `reg_loss` selects the
     criterion (reference deeppose configs: SmoothL1 for body, Wing /
-    SoftWing for face).
+    SoftWing for face). heatmap_loss='awing' swaps the heatmap criterion
+    for AdaptiveWingLoss (reference res50_coco_256x192_awing.py).
     """
     if target_type.lower() == 'regression':
         return _make_regression_train_step(model, reg_loss)
-    loss_f = (combined_target_mse_loss
-              if target_type.lower() == 'combinedtarget' else joints_mse_loss)
+    if target_type.lower() == 'combinedtarget':
+        loss_f = combined_target_mse_loss
+    elif heatmap_loss == 'awing':
+        from ..models.losses import adaptive_wing_loss
+        loss_f = adaptive_wing_loss
+    else:
+        loss_f = joints_mse_loss
 
     def train_step(state, batch, rng):
         def loss_fn(params):
