@@ -108,3 +108,48 @@ def test_bottomup_crowdpose_protocol():
     assert 'AP' in stats and 'AP (E)' in stats or 'AP(E)' in stats \
         or any('E' in k for k in stats), stats
     assert stats['AP'] > 0.9, stats
+
+
+@pytest.mark.parametrize('use_udp', [False, True])
+def test_generate_ae_targets_joints_encoder_golden(use_udp):
+    """generate_ae_targets == reference JointsEncoder flat indices +
+    HeatmapGenerator maps, in both joint-scaling conventions (the UDP
+    pipeline scales input->output joints by (S-1)/(in-1); the biased one
+    by S/in — bottom_up_transform.py:210,255)."""
+    import sys
+    sys.path.insert(0, '/root/repo/tests')
+    from ref_cnn_loader import ref_bottom_up_transform
+    from vitpose_tpu.data.bottomup import generate_ae_targets
+
+    but = ref_bottom_up_transform()
+    rng = np.random.RandomState(11)
+    joints = np.zeros((3, 17, 3), np.float32)
+    joints[..., 0] = rng.uniform(-10, 522, (3, 17))
+    joints[..., 1] = rng.uniform(-10, 522, (3, 17))
+    joints[..., 2] = (rng.rand(3, 17) > 0.2).astype(np.float32)
+    mask = np.ones((512, 512), np.float32)
+
+    out = generate_ae_targets(joints, mask, 512, 128, sigma=2.0,
+                              use_udp=use_udp)
+
+    ratio = (127.0 / 511.0) if use_udp else (128.0 / 512.0)
+    scaled = joints.copy()
+    scaled[..., :2] *= ratio
+    ref_hm = but.HeatmapGenerator(np.array([128, 128]), 17, sigma=2,
+                                  use_udp=use_udp)(scaled)
+    np.testing.assert_allclose(np.asarray(out['heatmaps']), ref_hm,
+                               atol=1e-5)
+
+    enc = but.JointsEncoder(30, 17, np.array([128, 128]), True)(scaled)
+    got = np.asarray(out['ae_joints'])
+    # the reference compacts visible joints to the front per person; ours
+    # keeps joint slots — compare the SET of (flat index mod K*S*S) pairs
+    for p in range(3):
+        ref_set = {(int(v[0]) % (128 * 128), 1)
+                   for v in enc[p] if v[1] > 0}
+        # reference flat index includes joint offset idx*S*S; recover set
+        ref_pairs = sorted(int(v[0]) for v in enc[p] if v[1] > 0)
+        got_pairs = sorted(
+            j * 128 * 128 + int(got[p, j, 0])
+            for j in range(17) if got[p, j, 1] > 0)
+        assert got_pairs == ref_pairs

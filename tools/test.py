@@ -67,12 +67,15 @@ def build_eval_objects(cfg, batch_size=None, shard_by_process=False):
 
 def run_bottomup_eval(cfg, args):
     """Bottom-up eval path (reference tools/test.py handles every family
-    through the same CLI): grouped-people inference per val image ->
-    BottomUpCocoDataset.evaluate mAP."""
+    through the same CLI): the reference TEST protocol per val image —
+    multi-scale resize-align + flip aggregation + grouping
+    (associative_embedding.py:201 forward_test, honoring the config's
+    test_scale_factor / use_udp / align_corners) -> dataset evaluate
+    (pose NMS only via the dataset's use_nms, never in the API)."""
     import numpy as np
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.data.bottomup import BottomUpCocoDataset
-    from vitpose_tpu.api.inference import inference_bottom_up_pose_model
+    from vitpose_tpu.api.inference import inference_bottom_up_multi_scale
 
     model = build_model_from_cfg(cfg['model'])
     if args.checkpoint.endswith('.npz'):
@@ -90,18 +93,24 @@ def run_bottomup_eval(cfg, args):
     results = []
     for idx in range(len(ds)):
         rec = ds.record(idx)
-        pose_results, _ = inference_bottom_up_pose_model(
+        pose_results, _ = inference_bottom_up_multi_scale(
             model, variables, rec['image_file'],
-            base_size=dcfg.get('base_size', 512))
+            test_scale_factor=tuple(dcfg.get('test_scale_factor', (1.0,))),
+            base_size=dcfg.get('input_size', 512),
+            use_udp=dcfg.get('use_udp', False),
+            pose_nms_thr=None)
         results.append(dict(
             preds=[p['keypoints'] for p in pose_results],
             scores=[p['score'] for p in pose_results],
             image_paths=[rec['image_file']]))
     metric = args.metric or cfg.get('evaluation', {}).get('metric')
+    nms_kw = dict(use_nms=vcfg.get('use_nms', False),
+                  soft_nms=vcfg.get('soft_nms', False),
+                  oks_thr=vcfg.get('oks_thr', 0.9))
     if metric:
-        stats = ds.evaluate(results, metric=metric)
+        stats = ds.evaluate(results, metric=metric, **nms_kw)
     else:
-        stats = ds.evaluate(results)
+        stats = ds.evaluate(results, **nms_kw)
     _emit_stats(stats, args)
 
 

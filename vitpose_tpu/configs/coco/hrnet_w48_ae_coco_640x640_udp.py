@@ -1,0 +1,34 @@
+# hrnet_w48_ae_coco_640x640_udp (reference: configs/body/2d_kpt_sview_rgb_img/associative_embedding/coco/hrnet_w48_coco_640x640_udp.py)
+import os as _os
+_ROOT = _os.environ.get('COCO_ROOT', '/data/coco')
+_base_ = ['../base/default_runtime.py']
+
+model = dict(
+    family='bottomup',
+    backbone_type='hrnet',
+    backbone_overrides=dict(width=48, stage_modules=(1, 4, 3)),
+    head='ae',
+    head_overrides=dict(tag_per_joint=True, deconv_filters=(),
+                        deconv_kernels=(), final_kernel=1),
+    num_joints=17,
+    dataset_info='coco',
+    parser=dict(use_udp=True),
+)
+data = dict(
+    dataset='coco', family='bottomup',
+    input_size=640, output_sizes=(160,), base_size=320,
+    max_people=30, batch_size=24, num_workers=8,
+    test_scale_factor=(1.0,),
+    use_udp=True,
+    train=dict(
+        ann_file=f'{_ROOT}/annotations/'
+                 'person_keypoints_train2017.json',
+        img_prefix=f'{_ROOT}/train2017/'),
+    val=dict(
+        ann_file=f'{_ROOT}/annotations/person_keypoints_val2017.json',
+        img_prefix=f'{_ROOT}/val2017/'),
+)
+target = dict(sigma=2.0)
+optimizer = dict(base_lr=1.5e-3, warmup_iters=500, decay_epochs=(200, 260),
+                 total_epochs=300)
+runtime = dict(work_dir='work_dirs/hrnet_w48_ae_coco_640x640_udp')

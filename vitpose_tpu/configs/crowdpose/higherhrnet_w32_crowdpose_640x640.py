@@ -1,0 +1,35 @@
+# higherhrnet_w32_crowdpose_640x640 (reference: configs/body/2d_kpt_sview_rgb_img/associative_embedding/crowdpose/higherhrnet_w32_crowdpose_640x640.py)
+import os as _os
+_ROOT = _os.environ.get('CROWDPOSE_ROOT', '/data/crowdpose')
+_base_ = ['../base/default_runtime.py']
+
+model = dict(
+    family='bottomup',
+    backbone_type='hrnet',
+    backbone_overrides=dict(width=32, stage_modules=(1, 4, 3)),
+    head='ae_higher',
+    head_overrides=dict(tag_per_joint=True, num_deconv_layers=1,
+                        deconv_filters=(32,), deconv_kernels=(4,),
+                        num_basic_blocks=4, cat_output=(True,),
+                        with_ae_loss=(True, False), final_kernel=1),
+    num_joints=14,
+    dataset_info='crowdpose',
+)
+data = dict(
+    dataset='crowdpose', family='bottomup',
+    input_size=640, output_sizes=(160, 320), base_size=320,
+    max_people=30, batch_size=24, num_workers=8,
+    test_scale_factor=(1.0,),
+    use_udp=False,
+    train=dict(
+        ann_file=f'{_ROOT}/annotations/'
+                 'mmpose_crowdpose_trainval.json',
+        img_prefix=f'{_ROOT}/images/'),
+    val=dict(
+        ann_file=f'{_ROOT}/annotations/mmpose_crowdpose_test.json',
+        img_prefix=f'{_ROOT}/images/'),
+)
+target = dict(sigma=2.0)
+optimizer = dict(base_lr=1.5e-3, warmup_iters=500, decay_epochs=(200, 260),
+                 total_epochs=300)
+runtime = dict(work_dir='work_dirs/higherhrnet_w32_crowdpose_640x640')

@@ -151,45 +151,48 @@ class BottomUpCocoDataset:
 
 
 def generate_ae_targets(joints, mask, input_size, output_size, sigma=2.0,
-                        max_people=30):
+                        max_people=30, use_udp=False):
     """Build one output scale's training targets.
 
     Args:
       joints: [M, K, 3] in input-image pixels; mask [h, w] input-res.
       input_size, output_size: ints (square, reference convention).
+      use_udp: UDP joint scaling ((S-1)/(in-1)) + continuous sub-pixel
+        gaussian centers (reference HeatmapGenerator(use_udp=True)).
 
     Returns dict(heatmaps [K, S, S] jnp, mask [S, S], ae_joints [M, K, 2]
     int32 — flat pixel index + visibility for ae_tag_loss).
     """
     import cv2
     import jax.numpy as jnp
-    from ..ops.target import generate_msra_heatmaps
 
-    stride = input_size / output_size
-    k = joints.shape[1]
-    scaled = joints[:, :, :2] / stride
+    if use_udp:
+        ratio = (output_size - 1.0) / (input_size - 1.0)
+    else:
+        ratio = output_size / input_size
+    scaled = np.concatenate([joints[:, :, :2] * ratio, joints[:, :, 2:3]],
+                            axis=-1)
     vis = joints[:, :, 2]
 
-    # heatmap: max over people of per-person gaussians
-    t, _ = generate_msra_heatmaps(
-        scaled, vis, (output_size, output_size),
-        (output_size, output_size), sigma=sigma)
-    heatmaps = jnp.max(t, axis=0)
+    # the reference bottom-up painter (HeatmapGenerator, truncated-int or
+    # UDP-continuous centers, max over people)
+    heatmaps = generate_heatmap_targets(scaled, output_size, sigma=sigma,
+                                        use_udp=use_udp)
 
     mask_s = cv2.resize(mask, (output_size, output_size),
                         interpolation=cv2.INTER_LINEAR)
     mask_s = (mask_s > 0.5).astype(np.float32)
 
-    xi = np.clip(np.round(scaled[..., 0]).astype(np.int64), 0,
-                 output_size - 1)
-    yi = np.clip(np.round(scaled[..., 1]).astype(np.int64), 0,
-                 output_size - 1)
-    inside = ((scaled[..., 0] >= 0) & (scaled[..., 0] < output_size)
-              & (scaled[..., 1] >= 0) & (scaled[..., 1] < output_size))
+    # JointsEncoder (bottom_up_transform.py:255): truncated-int indices
+    xi = np.trunc(scaled[..., 0]).astype(np.int64)
+    yi = np.trunc(scaled[..., 1]).astype(np.int64)
+    inside = ((xi >= 0) & (xi < output_size)
+              & (yi >= 0) & (yi < output_size))
     ae = np.zeros(joints.shape[:2] + (2,), np.int32)
-    ae[..., 0] = yi * output_size + xi
+    ae[..., 0] = (np.clip(yi, 0, output_size - 1) * output_size
+                  + np.clip(xi, 0, output_size - 1))
     ae[..., 1] = ((vis > 0) & inside).astype(np.int32)
-    return dict(heatmaps=heatmaps, mask=jnp.asarray(mask_s),
+    return dict(heatmaps=jnp.asarray(heatmaps), mask=jnp.asarray(mask_s),
                 ae_joints=jnp.asarray(ae))
 
 

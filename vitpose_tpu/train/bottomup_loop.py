@@ -22,7 +22,8 @@ class BottomUpLoader:
     targets, masks, ae joint indices) from a BottomUpCocoDataset."""
 
     def __init__(self, dataset: BottomUpCocoDataset, batch_size,
-                 output_size=None, sigma=2.0, seed=0, is_train=True):
+                 output_size=None, sigma=2.0, seed=0, is_train=True,
+                 use_udp=False):
         self.ds = dataset
         self.batch_size = batch_size
         self.input_size = dataset.input_size
@@ -30,6 +31,7 @@ class BottomUpLoader:
         self.sigma = sigma
         self.seed = seed
         self.is_train = is_train
+        self.use_udp = use_udp
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -77,7 +79,8 @@ class BottomUpLoader:
                 t = generate_ae_targets(joints, mask_c, s,
                                         self.output_size,
                                         sigma=self.sigma,
-                                        max_people=self.ds.max_people)
+                                        max_people=self.ds.max_people,
+                                        use_udp=self.use_udp)
                 imgs.append(canvas)
                 hms.append(np.asarray(t['heatmaps']))
                 masks.append(np.asarray(t['mask']))
@@ -228,7 +231,8 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
                             output_size=dcfg.get('output_sizes',
                                                  (128,))[0],
                             sigma=cfg.get('target', {}).get('sigma', 2.0),
-                            seed=cfg.get('runtime', {}).get('seed', 0))
+                            seed=cfg.get('runtime', {}).get('seed', 0),
+                            use_udp=dcfg.get('use_udp', False))
 
     ocfg = cfg.get('optimizer', {})
     total_epochs = ocfg.get('total_epochs', 300)
