@@ -242,7 +242,7 @@ def test_higher_hrnet_multires_inference_paths():
     from vitpose_tpu.api.inference import inference_bottom_up_multi_scale
 
     cfg = load_config('vitpose_tpu/configs/coco/'
-                      'higher_hrnet32_coco_512x512.py')
+                      'higherhrnet_w32_coco_512x512.py')
     cfg['model']['backbone_overrides'] = dict(width=8,
                                               stage_modules=(1, 1, 1),
                                               stage_blocks=1)

@@ -69,7 +69,7 @@ def test_train_model_dispatches_bottomup_config(tmp_path):
     from vitpose_tpu.train.loop import train_model
 
     cfg = load_config('vitpose_tpu/configs/coco/'
-                      'higher_hrnet32_coco_512x512.py')
+                      'higherhrnet_w32_coco_512x512.py')
     cfg['model']['backbone_overrides'] = dict(width=8,
                                               stage_modules=(1, 1, 1),
                                               stage_blocks=1)

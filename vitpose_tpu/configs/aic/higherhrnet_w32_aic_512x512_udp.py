@@ -1,4 +1,4 @@
-# higher_hrnet32_aic_512x512_udp (reference: configs/body/2d_kpt_sview_rgb_img/associative_embedding/aic/higherhrnet_w32_aic_512x512_udp.py)
+# higherhrnet_w32_aic_512x512_udp (reference: configs/body/2d_kpt_sview_rgb_img/associative_embedding/aic/higherhrnet_w32_aic_512x512_udp.py)
 import os as _os
 _ROOT = _os.environ.get('AIC_ROOT', '/data/aic')
 _base_ = ['../base/default_runtime.py']
@@ -34,4 +34,4 @@ data = dict(
 target = dict(sigma=2.0)
 optimizer = dict(base_lr=1.5e-3, warmup_iters=500, decay_epochs=(200, 260),
                  total_epochs=300)
-runtime = dict(work_dir='work_dirs/higher_hrnet32_aic_512x512_udp')
+runtime = dict(work_dir='work_dirs/higherhrnet_w32_aic_512x512_udp')

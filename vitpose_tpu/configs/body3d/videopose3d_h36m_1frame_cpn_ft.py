@@ -1,0 +1,17 @@
+# VideoPose3D single-frame (kernel-1 fullconv) on CPN 2D detections
+# (reference: configs/body/3d_kpt_sview_rgb_vid/video_pose_lift/h36m/
+# videopose3d_h36m_1frame_fullconv_supervised_cpn_ft.py)
+import os as _os
+_ROOT = _os.environ.get('H36M_ROOT', '/data/h36m')
+_base_ = ['videopose3d_h36m_27frames.py']
+model = dict(kernel_sizes=(1, 1, 1, 1, 1))
+data = dict(
+    seq_len=1,
+    train=dict(det_file=f'{_ROOT}/joint_2d_det_files/'
+                        'cpn_ft_h36m_dbb_train.npy'),
+    val=dict(det_file=f'{_ROOT}/joint_2d_det_files/'
+                      'cpn_ft_h36m_dbb_test.npy'),
+)
+optimizer = dict(base_lr=1e-4, lr_decay=0.98, total_epochs=160)
+runtime = dict(work_dir='work_dirs/videopose3d_h36m_1frame_cpn_ft',
+               save_best='MPJPE', save_best_mode='min')

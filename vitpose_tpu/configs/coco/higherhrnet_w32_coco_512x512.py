@@ -32,4 +32,4 @@ data = dict(
 target = dict(sigma=2.0)
 optimizer = dict(base_lr=1.5e-3, warmup_iters=500, decay_epochs=(200, 260),
                  total_epochs=300)
-runtime = dict(work_dir='work_dirs/higher_hrnet32_coco_512x512')
+runtime = dict(work_dir='work_dirs/higherhrnet_w32_coco_512x512')

@@ -17,7 +17,7 @@ model = dict(
 optimizer = dict(
     base_lr=5e-4,
     weight_decay=0.1,
-    layer_decay_rate=0.75,
+    layer_decay_rate=0.85,
     warmup_iters=500,
     warmup_ratio=1e-3,
     decay_epochs=(170, 200),

@@ -1,9 +1,7 @@
-# HigherHRNet-W32 bottom-up AIC (reference:
-# configs/.../associative_embedding/aic/higherhrnet_w32_aic_512x512.py —
-# the 14-keypoint AIC bottom-up protocol; dataset metadata/sigmas come
-# from the aic DatasetInfo).
+# HigherHRNet-W32 associative embedding on COCO-WholeBody (133 kpts)
+# at 512x512 (reference: configs/wholebody/2d_kpt_sview_rgb_img/associative_embedding/coco-wholebody/higherhrnet_w32_coco_wholebody_512x512.py)
 import os as _os
-_AIC_ROOT = _os.environ.get('AIC_ROOT', '/data/aic')
+_ROOT = _os.environ.get('COCO_ROOT', '/data/coco')
 _base_ = ['../base/default_runtime.py']
 
 model = dict(
@@ -15,23 +13,22 @@ model = dict(
                         deconv_filters=(32,), deconv_kernels=(4,),
                         num_basic_blocks=4, cat_output=(True,),
                         with_ae_loss=(True, False), final_kernel=1),
-    num_joints=14,
-    dataset_info='aic',
+    num_joints=133,
+    dataset_info='coco_wholebody',
 )
 data = dict(
-    dataset='aic', family='bottomup',
+    dataset='coco_wholebody', family='bottomup',
     input_size=512, output_sizes=(128, 256), base_size=256,
-    max_people=30, batch_size=24, num_workers=8,
+    max_people=30, batch_size=16, num_workers=8,
     test_scale_factor=(1.0,), use_udp=False,
     train=dict(
-        ann_file=f'{_AIC_ROOT}/annotations/'
-                 'aic_train.json',
-        img_prefix=f'{_AIC_ROOT}/train/'),
+        ann_file=f'{_ROOT}/annotations/coco_wholebody_train_v1.0.json',
+        img_prefix=f'{_ROOT}/train2017/'),
     val=dict(
-        ann_file=f'{_AIC_ROOT}/annotations/aic_val.json',
-        img_prefix=f'{_AIC_ROOT}/val/'),
+        ann_file=f'{_ROOT}/annotations/coco_wholebody_val_v1.0.json',
+        img_prefix=f'{_ROOT}/val2017/'),
 )
 target = dict(sigma=2.0)
 optimizer = dict(base_lr=1.5e-3, warmup_iters=500, decay_epochs=(200, 260),
                  total_epochs=300)
-runtime = dict(work_dir='work_dirs/higher_hrnet32_aic_512x512')
+runtime = dict(work_dir='work_dirs/higherhrnet_w32_coco_wholebody_512x512')
