@@ -387,3 +387,92 @@ model = dict(variant='s', img_size=(64, 48), out_channels=17,
         os.path.join(work_dir, 'train.log.json'))]
     train_recs = [r for r in records if r.get('mode') == 'train']
     assert train_recs and np.isfinite(train_recs[-1]['heatmap_loss'])
+
+
+@pytest.mark.slow
+def test_train_loop_load_from(tmp_path):
+    """cfg `load_from` initializes the FULL model (backbone + head) from a
+    checkpoint before finetuning (reference mmcv runner load_checkpoint;
+    the fork's ViTPose_*_combo_finetune_* configs depend on it)."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model, build_model_from_cfg
+    from vitpose_tpu.utils.checkpoint import save_params_npz
+
+    work_dir = str(tmp_path / "wd")
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    mcfg = dict(variant='s', img_size=(64, 48), out_channels=17,
+                head='heatmap', flip_test=True, use_udp=True,
+                backbone_overrides=dict(embed_dim=32, depth=2,
+                                        num_heads=4))
+    cfg['model'] = mcfg
+
+    # craft a donor checkpoint with a recognizable head-bias value
+    model = build_model_from_cfg(mcfg)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 64, 48, 3)), train=False)
+    params = jax.tree.map(lambda a: a, variables['params'])
+    fl = params['head']['final']
+    fl['bias'] = jnp.full_like(fl['bias'], 7.0)
+    donor = str(tmp_path / "donor.npz")
+    save_params_npz(donor, {'params': params,
+                            **{k: v for k, v in variables.items()
+                               if k != 'params'}})
+
+    cfg['load_from'] = donor
+    cfg['optimizer']['base_lr'] = 0.0       # keep weights untouched
+    cfg['optimizer']['total_epochs'] = 1
+    cfg['runtime']['eval_interval'] = 10
+    state = train_model(cfg, work_dir=work_dir, max_steps=1)
+    got = np.asarray(state.params['head']['final']['bias'])
+    assert np.allclose(got, 7.0), got
+
+
+@pytest.mark.slow
+def test_train_loop_load_from_nonstrict(tmp_path):
+    """Shape-mismatched leaves (e.g. a different-kpt head) are skipped,
+    matching mmcv load_checkpoint(strict=False)."""
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model, build_model_from_cfg
+    from vitpose_tpu.utils.checkpoint import save_params_npz
+
+    work_dir = str(tmp_path / "wd")
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    bb = dict(embed_dim=32, depth=2, num_heads=4)
+    cfg['model'] = dict(variant='s', img_size=(64, 48), out_channels=17,
+                        head='heatmap', flip_test=True, use_udp=True,
+                        backbone_overrides=bb)
+
+    # donor trained with 14 output channels: head final conv mismatches
+    donor_model = build_model_from_cfg(dict(cfg['model'], out_channels=14))
+    dv = donor_model.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 64, 48, 3)), train=False)
+    dparams = jax.tree.map(lambda a: a, dv['params'])
+    cls = dparams['backbone']['cls_or_patch']  \
+        if 'cls_or_patch' in dparams['backbone'] else None
+    # stamp a recognizable backbone leaf
+    pe = dparams['backbone']
+    key = next(k for k in pe if 'patch' in k or 'embed' in k)
+    leaf_path = key
+    donor = str(tmp_path / "donor14.npz")
+    save_params_npz(donor, {'params': dparams})
+
+    cfg['load_from'] = donor
+    cfg['optimizer']['base_lr'] = 0.0
+    cfg['optimizer']['total_epochs'] = 1
+    cfg['runtime']['eval_interval'] = 10
+    state = train_model(cfg, work_dir=work_dir, max_steps=1)
+    # head stays at the 17-channel fresh init (no crash, right shape)
+    fb = np.asarray(state.params['head']['final']['bias'])
+    assert fb.shape[0] == 17
+    # backbone leaf was taken from the donor
+    import jax.tree_util as jtu
+    got = state.params['backbone'][leaf_path]
+    want = dparams['backbone'][leaf_path]
+    flat_g = jtu.tree_leaves(got)
+    flat_w = jtu.tree_leaves(want)
+    assert all(np.allclose(np.asarray(g), np.asarray(w))
+               for g, w in zip(flat_g, flat_w))

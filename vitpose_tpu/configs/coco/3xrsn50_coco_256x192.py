@@ -23,4 +23,4 @@ model = dict(
 target = dict(encoding='MSRA', sigma=2.0)
 optimizer = dict(base_lr=5e-3, warmup_iters=500, decay_epochs=(170, 200),
                  total_epochs=210)
-runtime = dict(work_dir='work_dirs/rsn50_3x_coco_256x192')
+runtime = dict(work_dir='work_dirs/3xrsn50_coco_256x192')

@@ -295,6 +295,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
     loader = TopDownLoader(
         train_ds, dcfg.get('batch_size', 64), is_train=True,
         canvas_size=dcfg.get('canvas_size'),
+        padding=dcfg.get('padding', 1.25),
         aug=AugmentConfig(**dcfg.get('aug', {})),
         seed=seed, num_workers=dcfg.get('num_workers', 8),
         process_index=jax.process_index(), process_count=n_proc)
@@ -333,6 +334,20 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         merged = dict(init_params)
         merged['backbone'] = _merge_trees(init_params['backbone'], bb)
         init_params = merged
+
+    if cfg.get('load_from'):
+        # reference `load_from`: initialize the FULL model (backbone +
+        # head) from a previous checkpoint before finetuning (mmcv
+        # runner.load_checkpoint; the fork's SyntheticPose finetune
+        # configs rely on this, e.g. ViTPose_small_combo_finetune_*).
+        from ..api.inference import load_checkpoint_variables
+        lv = load_checkpoint_variables(cfg['load_from'], cfg['model'],
+                                       topdown_cfg=model.cfg)
+        init_params = _merge_trees_checked(init_params, lv['params'])
+        if 'batch_stats' in lv:
+            init_vars = dict(init_vars)
+            init_vars['batch_stats'] = _merge_trees(
+                dict(init_vars.get('batch_stats', {})), lv['batch_stats'])
 
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
     tx = _apply_freeze(tx, init_params, freeze_kw)
@@ -388,6 +403,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         val_loader = TopDownLoader(
             val_ds, dcfg.get('val_batch_size', dcfg.get('batch_size', 64)),
             is_train=False, canvas_size=dcfg.get('canvas_size'),
+        padding=dcfg.get('padding', 1.25),
             num_workers=dcfg.get('num_workers', 8))
 
     log_interval = rt.get('log_interval', 50)
@@ -469,6 +485,29 @@ def _merge_trees(base, override):
     return out
 
 
+def _merge_trees_checked(base, override, path=''):
+    """Non-strict checkpoint merge: leaves whose shape doesn't match the
+    model are kept at their fresh init (the reference mmcv
+    load_checkpoint(strict=False) behavior that `load_from` relies on,
+    e.g. finetuning a 133-kpt head from a 17-kpt body checkpoint)."""
+    out = dict(base)
+    for k, v in override.items():
+        here = f'{path}/{k}'
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_trees_checked(out[k], v, here)
+        elif k in out and getattr(out[k], 'shape', None) is not None \
+                and getattr(v, 'shape', None) is not None \
+                and tuple(out[k].shape) != tuple(v.shape):
+            print(f'load_from: skipping {here} '
+                  f'(ckpt {tuple(v.shape)} != model {tuple(out[k].shape)})',
+                  flush=True)
+        elif k not in out:
+            print(f'load_from: skipping unexpected key {here}', flush=True)
+        else:
+            out[k] = v
+    return out
+
+
 def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
                     resume: bool = False, max_steps: Optional[int] = None):
     """ViTPose+ multi-dataset MoE training.
@@ -518,6 +557,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
         loader = TopDownLoader(
             ds, dcfg.get('batch_size', 64), is_train=True,
             canvas_size=dcfg.get('canvas_size'),
+        padding=dcfg.get('padding', 1.25),
             aug=AugmentConfig(**dcfg.get('aug', {})),
             seed=seed + i, num_workers=dcfg.get('num_workers', 8),
             process_index=jax.process_index(),
@@ -599,6 +639,7 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
         val_loader = TopDownLoader(
             val_ds, dcfg.get('val_batch_size', batch_size),
             is_train=False, canvas_size=dcfg.get('canvas_size'),
+        padding=dcfg.get('padding', 1.25),
             num_workers=dcfg.get('num_workers', 8))
 
     log_interval = rt.get('log_interval', 50)
