@@ -476,3 +476,28 @@ def test_train_loop_load_from_nonstrict(tmp_path):
     flat_w = jtu.tree_leaves(want)
     assert all(np.allclose(np.asarray(g), np.asarray(w))
                for g, w in zip(flat_g, flat_w))
+
+
+@pytest.mark.slow
+def test_evaluation_interval_key(tmp_path):
+    """`evaluation = dict(interval=N)` (the reference's eval-hook knob)
+    drives periodic validation, taking precedence over the runtime
+    default."""
+    import json as _json
+    from vitpose_tpu.utils.config import load_config
+    from vitpose_tpu.train.loop import train_model
+
+    work_dir = str(tmp_path / "wd")
+    cfg = load_config(write_smoke_config(tmp_path, work_dir))
+    cfg['model'] = dict(variant='s', img_size=(64, 48), out_channels=17,
+                        head='heatmap', flip_test=True, use_udp=True,
+                        backbone_overrides=dict(embed_dim=32, depth=2,
+                                                num_heads=4))
+    cfg['optimizer']['total_epochs'] = 1
+    cfg['runtime']['eval_interval'] = 100      # would skip eval
+    cfg['evaluation'] = dict(interval=1, metric='mAP', save_best='AP')
+    train_model(cfg, work_dir=work_dir)
+    recs = [_json.loads(l) for l in
+            open(os.path.join(work_dir, 'train.log.json'))]
+    ep = [r for r in recs if r.get('mode') == 'epoch']
+    assert ep and 'AP' in ep[-1]

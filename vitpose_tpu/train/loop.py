@@ -407,7 +407,8 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
             num_workers=dcfg.get('num_workers', 8))
 
     log_interval = rt.get('log_interval', 50)
-    eval_interval = rt.get('eval_interval', 10)
+    eval_interval = cfg.get('evaluation', {}).get(
+        'interval', rt.get('eval_interval', 10))
     ckpt_interval = rt.get('ckpt_interval', 10)
     use_tb = rt.get('tensorboard', False)
     mcfg = model.cfg
@@ -643,7 +644,8 @@ def train_model_moe(cfg: dict, work_dir: Optional[str] = None,
             num_workers=dcfg.get('num_workers', 8))
 
     log_interval = rt.get('log_interval', 50)
-    eval_interval = rt.get('eval_interval', 10)
+    eval_interval = cfg.get('evaluation', {}).get(
+        'interval', rt.get('eval_interval', 10))
     ckpt_interval = rt.get('ckpt_interval', 10)
     mcfg = model.cfg
     # resume continues the optimizer-step counter so the per-step RNG
