@@ -16,9 +16,9 @@ data = dict(
                         'person_keypoints_train2017.json',
                img_prefix=f'{_DATA}/SyntheticPose/TOP_synthetic' + '/train2017/',
                use_gt_bbox=True),
-    val=dict(ann_file=f'{_DATA}/SyntheticPose/TOP_synthetic' + '/annotations/'
+    val=dict(ann_file=f'{_DATA}/COCO/humans_only/all' + '/annotations/'
                       'person_keypoints_val2017.json',
-             img_prefix=f'{_DATA}/SyntheticPose/TOP_synthetic' + '/val2017/', use_gt_bbox=True),
+             img_prefix=f'{_DATA}/COCO/humans_only/all' + '/val2017/', use_gt_bbox=True),
     aug=dict(flip_prob=0.5, half_body_prob=0.3, scale_factor=0.5,
              rot_factor=40.0, rot_prob=0.6),
 )
