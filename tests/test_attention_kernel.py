@@ -41,6 +41,48 @@ def test_attention_grad_flows():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,dtype", [
+    ((2, 192, 12, 64), jnp.float32),   # ViTPose-B real geometry
+    ((2, 192, 16, 80), jnp.float32),   # ViTPose-H real geometry
+    ((1, 48, 4, 32), jnp.float32),
+    ((2, 192, 12, 64), jnp.bfloat16),  # training dtype
+])
+def test_fused_backward_matches_xla_vjp(shape, dtype):
+    """The Pallas backward kernel (interpret mode on CPU) must produce the
+    same (dq, dk, dv) as jax.vjp through the reference einsum path — this
+    is the gradient-correctness gate for the TPU training fast path."""
+    from vitpose_tpu.ops.attention import fused_attention_bwd
+    rng = jax.random.PRNGKey(2)
+    q, k, v, g = (jax.random.normal(jax.random.fold_in(rng, i), shape,
+                                    dtype) for i in range(4))
+    _, vjp = jax.vjp(reference_attention, q, k, v)
+    ref = vjp(g)
+    got = fused_attention_bwd(q, k, v, g, interpret=True)
+    tol = dict(rtol=1e-4, atol=1e-4) if dtype == jnp.float32 \
+        else dict(rtol=0.1, atol=0.05)
+    for name, a, b in zip(('dq', 'dk', 'dv'), got, ref):
+        assert a.dtype == b.dtype == dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=name, **tol)
+
+
+def test_fused_backward_block_residue():
+    """(n*h) not divisible by the default block: the block-size fallback
+    loop must still cover every pair."""
+    from vitpose_tpu.ops.attention import fused_attention_bwd
+    shape = (1, 48, 6, 32)            # n*h = 6 -> bb falls to 2
+    rng = jax.random.PRNGKey(3)
+    q, k, v, g = (jax.random.normal(jax.random.fold_in(rng, i), shape)
+                  for i in range(4))
+    _, vjp = jax.vjp(reference_attention, q, k, v)
+    ref = vjp(g)
+    got = fused_attention_bwd(q, k, v, g, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_vit_with_fused_flag_cpu_fallback():
     """On CPU the `attention` wrapper falls back to the einsum path; the
     model must produce identical outputs with the flag on/off."""

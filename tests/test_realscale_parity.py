@@ -1,0 +1,309 @@
+"""REAL-geometry parity gates: ViTPose-B / MoE-B at full scale.
+
+Round-2 review flagged that all torch-parity evidence ran at toy geometry
+(embed 32, depth 2, 64x48 crops). These tests convert and match the real
+ViTPose-B (embed 768, depth 12, 12 heads, 192 tokens at 256x192, 17x64x48
+head — reference mmpose/models/backbones/vit.py:201 and
+configs/.../ViTPose_base_coco_256x192.py:55-67) and the real 6-expert
+part-192 ViTPose+ MoE-B (vit_moe.py:242), exercising the failure modes the
+miniature tests cannot reach: pos-embed 16x12 regrid at 768 dims, MAE
+14->16 patch pad on the real kernel, attention blocking at real head
+counts, and f32 accumulation over 12 blocks.
+
+This is the closest achievable proxy to the 75.8-AP gate while released
+weights cannot be downloaded (no egress): random-init reference torch
+models, converted via utils/torch_ckpt, must match forward + flip-test +
+decode output.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from vitpose_tpu.models import TopDownModel, make_config
+from vitpose_tpu.models.topdown import infer
+from vitpose_tpu.models.vit import ViT, ViTConfig
+from vitpose_tpu.utils import torch_ckpt as CK
+
+from ref_loader import ref_vit, ref_vit_moe, ref_simple_head
+
+pytestmark = pytest.mark.slow
+
+
+def _torch_sd(model, prefix=''):
+    return {prefix + k: v.detach().numpy()
+            for k, v in model.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def real_b_pair():
+    """Real ViTPose-B: reference torch model + converted flax variables."""
+    torch.manual_seed(42)
+    tv = ref_vit().ViT(img_size=(256, 192), patch_size=16, embed_dim=768,
+                       depth=12, num_heads=12, mlp_ratio=4, qkv_bias=True,
+                       drop_path_rate=0.0)
+    head = ref_simple_head().TopdownHeatmapSimpleHead(
+        in_channels=768, out_channels=17, num_deconv_layers=2,
+        num_deconv_filters=(256, 256), num_deconv_kernels=(4, 4),
+        extra=dict(final_conv_kernel=1))
+    tv.eval()
+    head.eval()
+    sd = {}
+    sd.update(_torch_sd(tv, prefix='backbone.'))
+    sd.update(_torch_sd(head, prefix='keypoint_head.'))
+    cfg = make_config('b', img_size=(256, 192), out_channels=17,
+                      use_udp=True, post_process='default',
+                      shift_heatmap=False)
+    variables = CK.convert_topdown_checkpoint(sd, cfg)
+    return tv, head, cfg, variables
+
+
+def _torch_flip_avg(tv, head, x, flip_pairs):
+    """Reference flip-test protocol (top_down.py:163-188,
+    shift_heatmap=False)."""
+    from ref_loader import ref_post_transforms
+    pt = ref_post_transforms()
+    with torch.no_grad():
+        hm = head(tv(torch.from_numpy(x))).numpy()
+        hm_f = head(tv(torch.from_numpy(x).flip(3))).numpy()
+    hm_f = pt.flip_back(hm_f, flip_pairs, target_type='GaussianHeatmap')
+    return (hm + hm_f) * 0.5
+
+
+def test_vitpose_b_real_forward_flip_decode(real_b_pair):
+    """Full-scale B: forward, flip-test average, and UDP decode must match
+    the reference to f32 numerical noise."""
+    tv, head, cfg, variables = real_b_pair
+    from vitpose_tpu.data import DatasetInfo
+    flip_pairs = DatasetInfo.load('coco').flip_pairs
+    flip_index = DatasetInfo.load('coco').flip_index
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 256, 192).astype(np.float32)
+
+    # --- plain forward ------------------------------------------------
+    with torch.no_grad():
+        ref_hm = head(tv(torch.from_numpy(x))).numpy()
+    model = TopDownModel(cfg)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_hm = np.asarray(model.apply(variables, xj, train=False))
+    assert got_hm.shape == ref_hm.shape == (2, 17, 64, 48)
+    # 12 blocks of f32 accumulation: tolerance must absorb reduction-order
+    # noise but still catch any convention slip (which shows up at >1e-2)
+    np.testing.assert_allclose(got_hm, ref_hm, rtol=1e-3, atol=1e-4)
+
+    # --- flip-test average ---------------------------------------------
+    ref_avg = _torch_flip_avg(tv, head, x, flip_pairs)
+    got_avg = np.asarray(infer(model, variables, xj,
+                               flip_index=np.asarray(flip_index)))
+    np.testing.assert_allclose(got_avg, ref_avg, rtol=1e-3, atol=1e-4)
+
+    # --- decode (UDP post-processing, the ViTPose-B config) ------------
+    from ref_loader import ref_top_down_eval
+    tde = ref_top_down_eval()
+    from vitpose_tpu.ops.decode import keypoints_from_heatmaps
+    center = np.array([[120.0, 160.0], [90.0, 130.0]], np.float32)
+    scale = np.array([[1.2, 1.6], [0.9, 1.2]], np.float32)
+    ref_preds, ref_vals = tde.keypoints_from_heatmaps(
+        ref_avg, center, scale, unbiased=False, post_process='default',
+        kernel=11, use_udp=True, target_type='GaussianHeatmap')
+    got_preds, got_vals = keypoints_from_heatmaps(
+        jnp.asarray(got_avg), jnp.asarray(center), jnp.asarray(scale),
+        post_process='default', kernel=11, use_udp=True)
+    np.testing.assert_allclose(np.asarray(got_preds), ref_preds,
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_vals), ref_vals,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_vitpose_b_real_bf16_bound(real_b_pair):
+    """Documented bf16 accumulation bound over the real 12-block stack.
+
+    bf16 is the TPU serving dtype; this pins how far its heatmaps may
+    drift from the f32 reference at real depth. The e2e AP-parity tests
+    show this deviation level is AP-neutral on the fixture set; if this
+    bound ever loosens, re-run those before trusting bf16 eval."""
+    tv, head, cfg, variables = real_b_pair
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 256, 192).astype(np.float32)
+    with torch.no_grad():
+        ref_hm = head(tv(torch.from_numpy(x))).numpy()
+
+    bcfg = make_config('b', img_size=(256, 192), out_channels=17,
+                       dtype='bfloat16', use_udp=True)
+    model = TopDownModel(bcfg)
+    got = np.asarray(model.apply(variables, jnp.asarray(
+        x.transpose(0, 2, 3, 1)), train=False))
+    # measured max|diff| ~0.02 at heatmap dynamic range ~O(1); the bound
+    # is 3x the observed value so regressions (e.g. a double-rounding) trip
+    dyn = np.abs(ref_hm).max()
+    max_err = np.abs(got - ref_hm).max()
+    assert max_err < 0.1 * dyn, (max_err, dyn)
+
+
+@pytest.fixture(scope="module")
+def real_moe_pair():
+    """Real ViTPose+ MoE-B: 6 experts, part_features=192
+    (reference vit_moe.py:242; vitPose+_base config num_expert=6)."""
+    torch.manual_seed(43)
+    tv = ref_vit_moe().ViTMoE(img_size=(256, 192), patch_size=16,
+                              embed_dim=768, depth=12, num_heads=12,
+                              mlp_ratio=4, qkv_bias=True,
+                              num_expert=6, part_features=192,
+                              drop_path_rate=0.0)
+    tv.eval()
+    return tv
+
+
+def test_vitpose_moe_b_real_forward(real_moe_pair):
+    tv = real_moe_pair
+    rng = np.random.RandomState(2)
+    x = rng.randn(3, 3, 256, 192).astype(np.float32)
+    idx = np.array([0, 3, 5])
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(x), torch.from_numpy(idx)).numpy()
+
+    params = CK.convert_backbone(_torch_sd(tv), None, prefix='')
+    cfg = ViTConfig(img_size=(256, 192), embed_dim=768, depth=12,
+                    num_heads=12, num_experts=6, part_dim=192)
+    model = ViT(cfg)
+    out = model.apply({'params': params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      deterministic=True, expert_idx=jnp.asarray(idx))
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_moe_split_real_scale(real_b_pair):
+    """split_moe_experts at the real 768-d/3072-hidden/part-192 geometry:
+    expert-0 output of the split model equals the dense pretrained model
+    (reference checkpoint.py:396-404 expert init)."""
+    tv, head, cfg, variables = real_b_pair
+    sd = _torch_sd(tv)
+    sd2 = CK.split_moe_experts(sd, num_experts=6, part_dim=192, depth=12)
+    # every block's fc2 lost exactly 192 rows; each expert got them
+    assert sd2['blocks.0.mlp.fc2.weight'].shape == (768 - 192, 3072)
+    assert sd2['blocks.0.mlp.experts.5.weight'].shape == (192, 3072)
+
+    mcfg = ViTConfig(img_size=(256, 192), embed_dim=768, depth=12,
+                     num_heads=12, num_experts=6, part_dim=192)
+    params = CK.convert_backbone(sd2, None, prefix='')
+    model = ViT(mcfg)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 256, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(x)).numpy()
+    out = model.apply({'params': params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      deterministic=True,
+                      expert_idx=jnp.zeros(2, jnp.int32))
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_mae_patch_pad_and_pos_regrid_real_kernel():
+    """MAE-style checkpoint ingestion at real scale: a 768-d 14x14 patch
+    kernel (MAE pretrain geometry) and a 197-token square pos embed must be
+    adapted exactly the way the reference does (checkpoint.py:360-394:
+    zero-pad 1px/side to 16x16; bicubic pos regrid 14x14 -> 16x12 keeping
+    the cls token) — verified functionally: the torch model loaded with the
+    reference-adapted weights and our model converted from the RAW MAE sd
+    produce the same features."""
+    torch.manual_seed(44)
+    tv = ref_vit().ViT(img_size=(256, 192), patch_size=16, embed_dim=768,
+                       depth=2, num_heads=12, mlp_ratio=4, qkv_bias=True,
+                       drop_path_rate=0.0)
+    tv.eval()
+    sd = _torch_sd(tv)
+    # fabricate the MAE-pretrain geometry: 14x14 kernel + 197-token pos
+    rng = np.random.RandomState(4)
+    sd['patch_embed.proj.weight'] = rng.randn(768, 3, 14, 14).astype(
+        np.float32) * 0.02
+    sd['pos_embed'] = rng.randn(1, 14 * 14 + 1, 768).astype(np.float32) * .02
+
+    # --- the reference adaptation, re-executed with torch ops ----------
+    # patch pad (checkpoint.py:363-370): diff=2 -> pad l=1, r=1, zeros
+    k = torch.from_numpy(sd['patch_embed.proj.weight'])
+    k16 = torch.nn.functional.pad(k, (1, 1, 1, 1)).numpy()
+    # pos regrid (checkpoint.py:377-394): cls kept, patch tokens bicubic
+    pos = torch.from_numpy(sd['pos_embed'])
+    pos_tokens = pos[:, 1:].reshape(1, 14, 14, 768).permute(0, 3, 1, 2)
+    pos_tokens = torch.nn.functional.interpolate(
+        pos_tokens, size=(16, 12), mode='bicubic', align_corners=False)
+    pos16 = torch.cat(
+        [pos[:, :1], pos_tokens.permute(0, 2, 3, 1).flatten(1, 2)],
+        dim=1).numpy()
+
+    adapted = dict(sd)
+    adapted['patch_embed.proj.weight'] = k16
+    adapted['pos_embed'] = pos16
+    tv.load_state_dict({k: torch.from_numpy(v) for k, v in adapted.items()})
+    x = rng.randn(2, 3, 256, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(x)).numpy()
+
+    # --- our converter from the RAW (unadapted) MAE sd ------------------
+    cfg = make_config('b', img_size=(256, 192), out_channels=17)
+    bb = ViTConfig(img_size=(256, 192), embed_dim=768, depth=2,
+                   num_heads=12)
+    params = CK.convert_backbone_checkpoint(sd, cfg.__class__(
+        **{**cfg.__dict__, 'backbone': bb}), patch_padding='pad')
+    # tensor-level goldens first (sharper failure localization)
+    np.testing.assert_allclose(
+        np.asarray(params['patch_embed']['kernel']),
+        k16.transpose(2, 3, 1, 0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params['pos_embed']), pos16,
+                               rtol=1e-5, atol=1e-6)
+    model = ViT(bb)
+    out = model.apply({'params': params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      deterministic=True)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("embed,heads,depth", [
+    (1024, 16, 4),     # ViTPose-L width (full depth 24 — 4-block stack)
+    (1280, 16, 4),     # ViTPose-H width (full depth 32 — 4-block stack)
+])
+def test_l_h_width_block_stack_parity(embed, heads, depth):
+    """Spot-check the L and H widths: real embed dim + head count through a
+    4-block stack (full-depth L/H compile is covered by the B test; width
+    is the variable that changes head_dim/attention shapes)."""
+    torch.manual_seed(45)
+    tv = ref_vit().ViT(img_size=(256, 192), patch_size=16, embed_dim=embed,
+                       depth=depth, num_heads=heads, mlp_ratio=4,
+                       qkv_bias=True, drop_path_rate=0.0)
+    tv.eval()
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 3, 256, 192).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.from_numpy(x)).numpy()
+    params = CK.convert_backbone(_torch_sd(tv), None, prefix='')
+    cfg = ViTConfig(img_size=(256, 192), embed_dim=embed, depth=depth,
+                    num_heads=heads)
+    model = ViT(cfg)
+    out = model.apply({'params': params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      deterministic=True)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_attention_real_head_counts():
+    """The Pallas kernel (interpret mode on CPU) at REAL ViTPose shapes:
+    B (12 heads, d=64), L/H (16 heads, d=64/80) at T=192 tokens, block=16
+    — the exact blocking the TPU path uses."""
+    from vitpose_tpu.ops.attention import fused_attention, \
+        reference_attention
+    rng = np.random.RandomState(6)
+    for h, d in [(12, 64), (16, 64), (16, 80)]:
+        q = jnp.asarray(rng.randn(2, 192, h, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 192, h, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 192, h, d).astype(np.float32))
+        ref = reference_attention(q, k, v)
+        got = fused_attention(q, k, v, interpret=True, block=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f'heads={h} d={d}')

@@ -61,6 +61,7 @@ def build_eval_objects(cfg, batch_size=None, shard_by_process=False):
     loader = TopDownLoader(
         ds, batch_size or dcfg.get('batch_size', 64), is_train=False,
         canvas_size=dcfg.get('canvas_size'),
+        padding=dcfg.get('padding', 1.25),
         num_workers=dcfg.get('num_workers', 8), **shard)
     return model, ds, loader
 

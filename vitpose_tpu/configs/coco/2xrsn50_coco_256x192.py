@@ -1,6 +1,6 @@
 # 2xRSN-50 top-down COCO (reference:
 # configs/body/2d_kpt_sview_rgb_img/topdown_heatmap/coco/2xrsn50_coco_256x192.py)
-_base_ = ['../coco/rsn50_3x_coco_256x192.py']
+_base_ = ['../coco/3xrsn50_coco_256x192.py']
 
 model = dict(num_stages=2,
              backbone_overrides=dict(dtype='bfloat16', num_stages=2,

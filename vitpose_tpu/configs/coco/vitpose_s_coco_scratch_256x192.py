@@ -23,7 +23,10 @@ data = dict(
              rot_factor=40.0, rot_prob=0.6),
 )
 target = dict(encoding='UDP', sigma=2.0)
-pretrained = 'models/pretrained/mae_pretrain_vit_small.pth'
+# The reference config sets load_from=MAE with model.pretrained=None; stock
+# mmcv load_checkpoint(strict=False) cannot match raw MAE keys (no
+# 'backbone.' prefix) against the TopDown model, so the reference run
+# effectively trained from RANDOM init. Reproduce that: no pretrained here.
 evaluation = dict(interval=10, metric='mAP', save_best='AP')
 optimizer = dict(base_lr=5e-4, weight_decay=0.1,
                  layer_decay_rate=0.8, warmup_iters=500,

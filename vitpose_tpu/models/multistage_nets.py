@@ -9,7 +9,9 @@ Counterparts of reference mmpose/models/backbones/{mspn,rsn,litehrnet}.py:
   * LiteHRNet: HRNet topology with conditional-channel-weighting blocks
     instead of heavy residual units.
 Compact NHWC flax implementations preserving the architectural semantics
-(stage counts, resolutions, fusion patterns), not weight-compatible layouts.
+(stage counts, resolutions, fusion patterns). Reference .pth checkpoints
+convert via utils/cnn_ckpt.py with conversion-parity goldens
+(tests/test_cnn_parity.py).
 """
 from __future__ import annotations
 

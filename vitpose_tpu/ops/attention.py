@@ -91,11 +91,103 @@ def reference_attention(q, k, v, scale=None):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale):
+    """Fused attention backward: recompute scores/probabilities in VMEM and
+    emit dq/dk/dv without ever materializing the [T, T] probability tensor
+    in HBM (the round-2 XLA-recompute VJP wrote it to HBM twice per block).
+
+    Math (per (batch*head) slice; everything f32 on the MXU/VPU):
+        s  = q k^T * scale        p  = softmax(s)
+        dv = p^T g
+        dp = g v^T
+        ds = p * (dp - rowsum(dp * p))          # softmax VJP
+        dq = ds k * scale         dk = ds^T q * scale
+    """
+    q = q_ref[...]                                   # [BB, T, d]
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [BB, T, T] f32
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    gf = g.astype(jnp.float32)
+    # dv = p^T @ g : contract over the query axis (1)
+    dv = jax.lax.dot_general(
+        p, gf, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [BB, T, d]
+    # dp = g @ v^T : contract over the feature axis
+    dp = jax.lax.dot_general(
+        gf, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [BB, T, T]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [BB, T, d]
+    # dk = ds^T @ q : contract over the query axis (1)
+    dk = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def fused_attention_bwd(q, k, v, g, scale=None, interpret=False, block=8):
+    """Pallas backward pass: (q, k, v, dO) [N, T, H, d] -> (dq, dk, dv).
+
+    block=8 (vs the forward's 16): the backward holds four [BB, T, T] f32
+    intermediates in VMEM (s/p/dp/ds) — at T=192 and BB=8 that is ~4.7 MB
+    plus ~2.8 MB of [BB, T, d] operands, comfortably inside the ~16 MB
+    VMEM; BB=16 would be borderline."""
+    from jax.experimental import pallas as pl
+
+    n, t, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(n * h, t, d)
+
+    qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        memory_space = pltpu.VMEM
+    except ImportError:                              # pragma: no cover
+        memory_space = None
+
+    bb = block
+    while (n * h) % bb:
+        bb //= 2
+    bb = max(bb, 1)
+
+    spec = pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+                        memory_space=memory_space)
+    shape = jax.ShapeDtypeStruct((n * h, t, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        out_shape=(shape, shape, shape),
+        grid=(n * h // bb,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+    )(qb, kb, vb, gb)
+
+    def from_bh(x):
+        return x.reshape(n, h, t, d).transpose(0, 2, 1, 3)
+
+    return from_bh(dq), from_bh(dk), from_bh(dv)
+
+
 @jax.custom_vjp
 def attention(q, k, v):
-    """Differentiable fused attention: Pallas forward on TPU, XLA backward
-    (recomputes scores — same rematerialized-backward shape flash attention
-    uses, fine at these sequence lengths)."""
+    """Differentiable fused attention: Pallas forward AND backward on TPU
+    (flash-style in-VMEM recompute; the [T, T] probabilities never touch
+    HBM in either direction), plain-XLA fallback elsewhere."""
     return _attention_fwd_impl(q, k, v)
 
 
@@ -114,6 +206,11 @@ def _attention_fwd(q, k, v):
 
 def _attention_bwd(res, g):
     q, k, v = res
+    if jax.default_backend() == 'tpu':
+        try:
+            return fused_attention_bwd(q, k, v, g)
+        except Exception:                            # pragma: no cover
+            pass
     _, vjp = jax.vjp(reference_attention, q, k, v)
     return vjp(g)
 

@@ -346,7 +346,7 @@ def train_model(cfg: dict, work_dir: Optional[str] = None,
         init_params = _merge_trees_checked(init_params, lv['params'])
         if 'batch_stats' in lv:
             init_vars = dict(init_vars)
-            init_vars['batch_stats'] = _merge_trees(
+            init_vars['batch_stats'] = _merge_trees_checked(
                 dict(init_vars.get('batch_stats', {})), lv['batch_stats'])
 
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch)
@@ -496,6 +496,11 @@ def _merge_trees_checked(base, override, path=''):
         here = f'{path}/{k}'
         if isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = _merge_trees_checked(out[k], v, here)
+        elif k in out and isinstance(v, dict) != isinstance(out[k], dict):
+            # structural mismatch (dict on one side, array on the other):
+            # keep the fresh init rather than corrupting the param tree
+            print(f'load_from: skipping {here} (structure mismatch)',
+                  flush=True)
         elif k in out and getattr(out[k], 'shape', None) is not None \
                 and getattr(v, 'shape', None) is not None \
                 and tuple(out[k].shape) != tuple(v.shape):
