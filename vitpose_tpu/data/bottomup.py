@@ -422,3 +422,127 @@ def resize_align_multi_scale(image, input_size, current_scale, min_scale,
                                          np.zeros(1), size_resized))[0]
         resized = cv2.warpAffine(image, trans, size_resized)
     return resized, center, scale
+
+
+# ---------------------------------------------------------------------------
+# train-time augmentation (reference bottom_up_transform.py:360-569:
+# BottomUpRandomAffine + BottomUpRandomFlip)
+# ---------------------------------------------------------------------------
+
+def _pad_scale(image_wh, resized_wh, scale_type):
+    """reference BottomUpRandomAffine._get_scale (bottom_up_transform.py:426):
+    the source window (w_pad, h_pad) whose aspect matches the destination;
+    'short' fits the short image side, 'long' the long one."""
+    w, h = float(image_wh[0]), float(image_wh[1])
+    wr, hr = float(resized_wh[0]), float(resized_wh[1])
+    if w / wr < h / hr:
+        if scale_type == 'long':
+            return np.array([h / hr * wr, h], np.float32)
+        if scale_type == 'short':
+            return np.array([w, w / wr * hr], np.float32)
+    else:
+        if scale_type == 'long':
+            return np.array([w, w / wr * hr], np.float32)
+        if scale_type == 'short':
+            return np.array([h / hr * wr, h], np.float32)
+    raise ValueError(f'Unknown scale type: {scale_type}')
+
+
+def bottomup_random_affine(img, mask, joints, input_size, output_sizes, rng,
+                           rot_factor=30.0, scale_factor=(0.75, 1.5),
+                           scale_type='short', trans_factor=40,
+                           use_udp=False):
+    """Reference `BottomUpRandomAffine` (bottom_up_transform.py:401): random
+    rotation in [-rot_factor, rot_factor], random zoom in scale_factor
+    (relative to the scale_type side), random center translation, applied
+    to the whole image AND separately to every output scale's joints/mask
+    (so per-scale targets are painted, never resized).
+
+    Args:
+      img: [H, W, 3] uint8; mask [H, W] float; joints [P, K, 3(+1)] pixels.
+      input_size: int (square input canvas S).
+      output_sizes: sequence of ints (square heatmap sizes per scale).
+      rng: np.random.RandomState — draws happen in the reference's order
+        (scale, rot, dx, dy) so goldens can replay them.
+
+    Returns (img_warped [S, S, 3], masks_per_scale, joints_per_scale,
+    aug_scale). When joints carry a 4th (scale-aware sigma) column, it is
+    divided by aug_scale exactly like the reference (:519,:553)."""
+    import cv2
+    from ..ops.geometry import affine_matrix
+
+    height, width = img.shape[:2]
+    if use_udp:
+        center = np.array([(width - 1.0) / 2, (height - 1.0) / 2])
+    else:
+        center = np.array([width / 2.0, height / 2.0])
+    img_scale = np.array([width, height], np.float32)
+    aug_scale = rng.random_sample() * (scale_factor[1] - scale_factor[0]) \
+        + scale_factor[0]
+    img_scale = img_scale * aug_scale
+    aug_rot = (rng.random_sample() * 2 - 1) * rot_factor
+    if trans_factor > 0:
+        dx = rng.randint(-trans_factor * img_scale[0] / 200.0,
+                         trans_factor * img_scale[0] / 200.0)
+        dy = rng.randint(-trans_factor * img_scale[1] / 200.0,
+                         trans_factor * img_scale[1] / 200.0)
+        center = center + np.array([dx, dy], np.float64)
+
+    in_wh = (int(input_size), int(input_size))
+    masks_out, joints_out = [], []
+    for i, out_size in enumerate(output_sizes):
+        out_wh = (int(out_size), int(out_size))
+        scale = _pad_scale(img_scale, out_wh, scale_type)
+        if use_udp:
+            trans = _udp_raw_warp_matrix(
+                aug_rot, center * 2.0,
+                np.array(out_wh, np.float32) - 1.0, scale)
+        else:
+            trans = np.asarray(affine_matrix(
+                center[None].astype(np.float32),
+                (scale / 200.0)[None], np.array([aug_rot], np.float32),
+                out_wh))[0]
+        # both reference branches resolve to INTER_LINEAR (the non-UDP one
+        # via cv2's default flags) followed by the 0.5 binarization
+        m = cv2.warpAffine((mask[i] * 255).astype(np.uint8), trans, out_wh,
+                           flags=cv2.INTER_LINEAR) / 255
+        m = (m > 0.5).astype(np.float32)
+        j = joints[i].copy()
+        if j.size:
+            pts = j[:, :, :2]
+            ones = np.ones(pts.shape[:2] + (1,), np.float32)
+            j[:, :, :2] = np.concatenate([pts, ones], axis=2) @ trans.T
+            if j.shape[-1] > 3:
+                j[:, :, 3] = j[:, :, 3] / aug_scale
+        masks_out.append(m)
+        joints_out.append(j)
+
+    scale = _pad_scale(img_scale, in_wh, scale_type)
+    if use_udp:
+        mat_input = _udp_raw_warp_matrix(
+            aug_rot, center * 2.0,
+            np.array(in_wh, np.float32) - 1.0, scale)
+    else:
+        mat_input = np.asarray(affine_matrix(
+            center[None].astype(np.float32), (scale / 200.0)[None],
+            np.array([aug_rot], np.float32), in_wh))[0]
+    img_warped = cv2.warpAffine(img, mat_input, in_wh,
+                                flags=cv2.INTER_LINEAR)
+    return img_warped, masks_out, joints_out, aug_scale
+
+
+def bottomup_random_flip(img, masks, joints, flip_index, output_sizes, rng,
+                         flip_prob=0.5):
+    """Reference `BottomUpRandomFlip` (bottom_up_transform.py:360): runs
+    AFTER the affine, flipping the input-res image and each output scale's
+    mask/joints in its own pixel frame (x -> out_size - x - 1)."""
+    if rng.random_sample() >= flip_prob:
+        return img, masks, joints, False
+    img = img[:, ::-1].copy()
+    masks = [m[:, ::-1].copy() for m in masks]
+    out = []
+    for j, out_size in zip(joints, output_sizes):
+        j = j[:, flip_index].copy()
+        j[:, :, 0] = out_size - j[:, :, 0] - 1
+        out.append(j)
+    return img, masks, out, True

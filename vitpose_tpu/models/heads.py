@@ -10,9 +10,17 @@ Re-designs of the reference torch heads:
 
 ConvTranspose uses `transpose_kernel=True` + 'SAME' so converted torch
 ConvTranspose2d(k=4, s=2, p=1) weights are bit-compatible (verified in
-tests/test_models.py). BatchNorm runs per-replica (no cross-device sync),
-matching the reference's `broadcast_buffers=False` DDP semantics
-(reference apis/train.py:131).
+tests/test_models.py).
+
+BatchNorm under the data mesh: batch statistics reduce over the GLOBAL
+logical batch (GSPMD inserts the cross-replica collective), i.e. sync-BN.
+This is a DELIBERATE deviation from the reference, which keeps per-GPU
+local stats (`broadcast_buffers=False`, reference apis/train.py:131):
+sync-BN over the global batch is the XLA-native semantics and statistically
+at least as stable as 64-sample local BN; forcing local stats would require
+shard_map against the compiler. Pinned by
+tests/test_bn_mesh.py::test_bn_stats_are_global_batch_under_mesh and
+documented in docs/parallelism.md.
 """
 from __future__ import annotations
 

@@ -183,6 +183,42 @@ def shard_state(mesh: Mesh, state, zero1: bool = False):
     )
 
 
+def data_parallel_step(step_fn, mesh: Mesh, n_args, batch_argnums,
+                       donate_argnums=()):
+    """Jit an aux-family train step over the mesh's `data` axis.
+
+    The reference trains EVERY family under DDP (apis/train.py:129,
+    tools/dist_train.sh), not just the flagship; this is the mesh
+    equivalent for loops whose step signature is not TrainState-shaped
+    (bottom-up AE, pose lifter, ...): the args listed in ``batch_argnums``
+    shard on their leading dim over `data`, everything else (params,
+    optimizer state, rng keys, scalars) is replicated, and XLA inserts the
+    gradient psum. Outputs are pinned replicated so parameters never come
+    back data-sharded.
+
+    Returns (jitted_fn, place_batch) — place_batch commits a batch pytree
+    with the data sharding (every leaf's leading dim must divide the
+    mesh's `data` size; pick n_data = gcd(batch, devices) upstream).
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+    batch_argnums = set(batch_argnums)
+    in_shardings = tuple(data if i in batch_argnums else repl
+                         for i in range(n_args))
+    jitted = jax.jit(step_fn, in_shardings=in_shardings,
+                     out_shardings=repl, donate_argnums=donate_argnums)
+
+    if jax.process_count() > 1:
+        def place_batch(batch):
+            return jax.tree.map(
+                lambda leaf: jax.make_array_from_process_local_data(
+                    data, np.asarray(leaf)), batch)
+    else:
+        def place_batch(batch):
+            return jax.device_put(batch, data)
+    return jitted, place_batch
+
+
 def shard_train_step(train_step, mesh: Mesh, state, sample_batch,
                      zero1: bool = False):
     """Jit a train step over the mesh.

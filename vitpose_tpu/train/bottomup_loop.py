@@ -17,21 +17,48 @@ from ..data.bottomup import BottomUpCocoDataset, generate_ae_targets
 from ..models.losses_regression import ae_heatmap_loss, ae_tag_loss
 
 
+class BottomUpAugConfig:
+    """Reference train recipe knobs (BottomUpRandomAffine +
+    BottomUpRandomFlip, e.g. higherhrnet_w32_coco_512x512.py:122-128:
+    rot 30, scale [0.75, 1.5], scale_type 'short', trans 40, flip 0.5)."""
+
+    def __init__(self, rot_factor=30.0, scale_factor=(0.75, 1.5),
+                 scale_type='short', trans_factor=40, flip_prob=0.5):
+        self.rot_factor = rot_factor
+        self.scale_factor = tuple(scale_factor)
+        self.scale_type = scale_type
+        self.trans_factor = trans_factor
+        self.flip_prob = flip_prob
+
+
 class BottomUpLoader:
-    """Batches of (imgs [N,S,S,3] f32-normalized later on device, heatmap
-    targets, masks, ae joint indices) from a BottomUpCocoDataset."""
+    """Batches of (imgs [N,S,S,3], PER-SCALE painted heatmap targets +
+    masks, ae joint indices) from a BottomUpCocoDataset.
+
+    Training follows the reference pipeline order exactly
+    (bottom_up_transform.py): random affine (rotation/scale/translation,
+    applied per output scale so every target is PAINTED at its own
+    resolution — never bilinear-resized, which would distort sigma and
+    peak) -> random flip (per-scale frames) -> HeatmapGenerator +
+    JointsEncoder per scale."""
 
     def __init__(self, dataset: BottomUpCocoDataset, batch_size,
-                 output_size=None, sigma=2.0, seed=0, is_train=True,
-                 use_udp=False):
+                 output_size=None, output_sizes=None, sigma=2.0, seed=0,
+                 is_train=True, use_udp=False,
+                 aug: Optional[BottomUpAugConfig] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.input_size = dataset.input_size
-        self.output_size = output_size or dataset.output_sizes[0]
+        self.output_sizes = tuple(
+            output_sizes if output_sizes is not None
+            else ([output_size] if output_size is not None
+                  else dataset.output_sizes))
+        self.output_size = self.output_sizes[0]
         self.sigma = sigma
         self.seed = seed
         self.is_train = is_train
         self.use_udp = use_udp
+        self.aug = aug or BottomUpAugConfig()
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -40,53 +67,105 @@ class BottomUpLoader:
     def __len__(self):
         return max(1, len(self.ds) // self.batch_size)
 
+    def _train_sample(self, rec, rng, cv2):
+        """One augmented training record: reference pipeline order."""
+        from ..data.bottomup import (bottomup_random_affine,
+                                     bottomup_random_flip,
+                                     generate_heatmap_targets)
+        s = self.input_size
+        img = cv2.imread(rec['image_file'])
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        mask = self.ds.build_loss_mask(rec)
+        joints = rec['joints'].copy()
+        a = self.aug
+        img, masks, joints_s, _ = bottomup_random_affine(
+            img, [mask.copy() for _ in self.output_sizes],
+            [joints.copy() for _ in self.output_sizes],
+            s, self.output_sizes, rng,
+            rot_factor=a.rot_factor, scale_factor=a.scale_factor,
+            scale_type=a.scale_type, trans_factor=a.trans_factor,
+            use_udp=self.use_udp)
+        img, masks, joints_s, _ = bottomup_random_flip(
+            img, masks, joints_s, self.ds.info.flip_index,
+            self.output_sizes, rng, flip_prob=a.flip_prob)
+        hms = [generate_heatmap_targets(j, o, sigma=self.sigma,
+                                        use_udp=self.use_udp)
+               for j, o in zip(joints_s, self.output_sizes)]
+        # AE joint indices at scale 0 (JointsEncoder,
+        # bottom_up_transform.py:237: truncated-int flat index + validity)
+        o0 = self.output_sizes[0]
+        j0 = joints_s[0]
+        xi = np.trunc(j0[..., 0]).astype(np.int64)
+        yi = np.trunc(j0[..., 1]).astype(np.int64)
+        inside = (xi >= 0) & (xi < o0) & (yi >= 0) & (yi < o0)
+        ae = np.zeros(j0.shape[:2] + (2,), np.int32)
+        ae[..., 0] = (np.clip(yi, 0, o0 - 1) * o0 + np.clip(xi, 0, o0 - 1))
+        ae[..., 1] = ((j0[..., 2] > 0) & inside).astype(np.int32)
+        m = self.ds.max_people
+        if ae.shape[0] < m:
+            ae = np.pad(ae, [(0, m - ae.shape[0]), (0, 0), (0, 0)])
+        return img, hms, masks, ae[:m]
+
+    def _eval_sample(self, rec, cv2):
+        """Deterministic path: short-side resize onto the square canvas."""
+        s = self.input_size
+        img = cv2.imread(rec['image_file'])
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        f = s / max(img.shape[:2])
+        resized = cv2.resize(img, (int(round(img.shape[1] * f)),
+                                   int(round(img.shape[0] * f))))
+        canvas = np.zeros((s, s, 3), np.uint8)
+        canvas[:resized.shape[0], :resized.shape[1]] = resized
+        joints = rec['joints'].copy()
+        joints[..., :2] *= f
+        mask = self.ds.build_loss_mask(rec)
+        mask = cv2.resize(mask, (resized.shape[1], resized.shape[0]))
+        mask_c = np.zeros((s, s), np.float32)
+        mask_c[:resized.shape[0], :resized.shape[1]] = mask
+        hms, masks = [], []
+        for o in self.output_sizes:
+            t = generate_ae_targets(joints, mask_c, s, o,
+                                    sigma=self.sigma,
+                                    max_people=self.ds.max_people,
+                                    use_udp=self.use_udp)
+            hms.append(np.asarray(t['heatmaps']))
+            masks.append(np.asarray(t['mask']))
+        t0 = generate_ae_targets(joints, mask_c, s, self.output_sizes[0],
+                                 sigma=self.sigma,
+                                 max_people=self.ds.max_people,
+                                 use_udp=self.use_udp)
+        return canvas, hms, masks, np.asarray(t0['ae_joints'])
+
     def __iter__(self):
         import cv2
         rng = np.random.RandomState(self.seed + self.epoch)
         order = np.arange(len(self.ds))
         if self.is_train:
             rng.shuffle(order)
-        s = self.input_size
         bs = self.batch_size
+        n_scales = len(self.output_sizes)
         for b in range(len(self)):
             idxs = order[b * bs:(b + 1) * bs]
-            imgs, hms, masks, aes = [], [], [], []
+            imgs, aes = [], []
+            hms = [[] for _ in range(n_scales)]
+            masks = [[] for _ in range(n_scales)]
             for i in idxs:
                 rec = self.ds.record(int(i))
-                img = cv2.imread(rec['image_file'])
-                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                f = s / max(img.shape[:2])
-                resized = cv2.resize(img, (int(round(img.shape[1] * f)),
-                                           int(round(img.shape[0] * f))))
-                canvas = np.zeros((s, s, 3), np.uint8)
-                canvas[:resized.shape[0], :resized.shape[1]] = resized
-                joints = rec['joints'].copy()
-                joints[..., :2] *= f
-                flipped = self.is_train and rng.rand() < 0.5
-                if flipped:
-                    canvas = canvas[:, ::-1]
-                    fi = self.ds.info.flip_index
-                    joints = joints[:, fi]
-                    joints[..., 0] = s - 1 - joints[..., 0]
-                mask = self.ds.build_loss_mask(rec)
-                mask = cv2.resize(mask, (resized.shape[1],
-                                         resized.shape[0]))
-                mask_c = np.zeros((s, s), np.float32)
-                mask_c[:resized.shape[0], :resized.shape[1]] = mask
-                if flipped:
-                    # keep the loss mask aligned to the flipped canvas
-                    mask_c = mask_c[:, ::-1]
-                t = generate_ae_targets(joints, mask_c, s,
-                                        self.output_size,
-                                        sigma=self.sigma,
-                                        max_people=self.ds.max_people,
-                                        use_udp=self.use_udp)
-                imgs.append(canvas)
-                hms.append(np.asarray(t['heatmaps']))
-                masks.append(np.asarray(t['mask']))
-                aes.append(np.asarray(t['ae_joints']))
-            yield dict(imgs=np.stack(imgs), heatmaps=np.stack(hms),
-                       masks=np.stack(masks), ae_joints=np.stack(aes))
+                if self.is_train:
+                    img, h, m, ae = self._train_sample(rec, rng, cv2)
+                else:
+                    img, h, m, ae = self._eval_sample(rec, cv2)
+                imgs.append(img)
+                aes.append(ae)
+                for si in range(n_scales):
+                    hms[si].append(np.asarray(h[si]))
+                    masks[si].append(np.asarray(m[si]))
+            yield dict(
+                imgs=np.stack(imgs),
+                heatmaps=np.stack(hms[0]), masks=np.stack(masks[0]),
+                multi_heatmaps=tuple(np.stack(h) for h in hms),
+                multi_masks=tuple(np.stack(m) for m in masks),
+                ae_joints=np.stack(aes))
 
 
 def split_bottomup_variables(variables):
@@ -144,17 +223,26 @@ def make_bottomup_train_step(estimator, push_loss_factor=0.001,
         # (reference MultiLossFactory with_heatmaps_loss=[True, True]);
         # the AE tag loss uses the first output carrying tag channels.
         outs = list(out) if isinstance(out, (list, tuple)) else [out]
+        # per-scale PAINTED targets (reference BottomUpGenerateTarget: one
+        # HeatmapGenerator per output size — resizing one painted map would
+        # change its sigma/peak); output i pairs with target scale i like
+        # MultiLossFactory. A resolution mismatch (an output size the
+        # loader didn't paint) falls back to resizing the nearest target.
+        tgt_hms = batch.get('multi_heatmaps', (batch['heatmaps'],))
+        tgt_masks = batch.get('multi_masks', (batch['masks'],))
         hm_loss = 0.0
         hm = tags = None
-        for o in outs:
+        for si, o in enumerate(outs):
             o_hm = o[..., :k].transpose(0, 3, 1, 2)
             oh, ow = o_hm.shape[2], o_hm.shape[3]
-            t = jax.image.resize(batch['heatmaps'],
-                                 batch['heatmaps'].shape[:2] + (oh, ow),
-                                 method='bilinear')
-            m = jax.image.resize(batch['masks'],
-                                 batch['masks'].shape[:1] + (oh, ow),
-                                 method='nearest')
+            t = tgt_hms[min(si, len(tgt_hms) - 1)]
+            m = tgt_masks[min(si, len(tgt_masks) - 1)]
+            if t.shape[2:] != (oh, ow):
+                t = jax.image.resize(t, t.shape[:2] + (oh, ow),
+                                     method='bilinear')
+            if m.shape[1:] != (oh, ow):
+                m = jax.image.resize(m, m.shape[:1] + (oh, ow),
+                                     method='nearest')
             hm_loss = hm_loss + (ae_heatmap_loss(o_hm, t, m)
                                  * heatmap_loss_factor)
             if hm is None and o.shape[-1] > k:
@@ -227,12 +315,20 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
         input_size=dcfg.get('input_size', 512),
         output_sizes=tuple(dcfg.get('output_sizes', (128,))),
         max_people=dcfg.get('max_people', 30))
+    acfg = dcfg.get('aug', {})
+    aug = BottomUpAugConfig(
+        rot_factor=acfg.get('rot_factor', 30.0),
+        scale_factor=tuple(acfg.get('scale_factor', (0.75, 1.5))),
+        scale_type=acfg.get('scale_type', 'short'),
+        trans_factor=acfg.get('trans_factor', 40),
+        flip_prob=acfg.get('flip_prob', 0.5))
     loader = BottomUpLoader(ds, dcfg.get('batch_size', 24),
-                            output_size=dcfg.get('output_sizes',
-                                                 (128,))[0],
+                            output_sizes=tuple(dcfg.get('output_sizes',
+                                                        (128,))),
                             sigma=cfg.get('target', {}).get('sigma', 2.0),
                             seed=cfg.get('runtime', {}).get('seed', 0),
-                            use_udp=dcfg.get('use_udp', False))
+                            use_udp=dcfg.get('use_udp', False),
+                            aug=aug)
 
     ocfg = cfg.get('optimizer', {})
     total_epochs = ocfg.get('total_epochs', 300)
@@ -269,14 +365,28 @@ def train_bottomup_model(cfg: dict, work_dir=None, resume=False,
         opt_state = jax.tree_util.tree_unflatten(treedef, loaded)
 
     _, train_step = make_bottomup_train_step(est)
-    step_j = jax.jit(functools.partial(train_step, tx=tx))
+    # data-parallel over the mesh like the flagship loop (the reference
+    # trains AE under DDP via tools/dist_train.sh); BN batch stats reduce
+    # over the global batch (sync-BN, see docs/parallelism.md)
+    import math
+    from ..parallel.mesh import make_mesh, data_parallel_step
+    rt = cfg.get('runtime', {})
+    n_data = rt.get('n_data') or math.gcd(dcfg.get('batch_size', 24),
+                                          jax.device_count())
+    mesh = make_mesh(n_data=n_data, n_expert=1,
+                     devices=jax.devices()[:n_data])
+    step_j, place_batch = data_parallel_step(
+        functools.partial(train_step, tx=tx), mesh,
+        n_args=4, batch_argnums={3})
 
     done = 0
     for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         for it, batch in enumerate(loader):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # tree-aware: multi_heatmaps/multi_masks are tuples of
+            # per-scale arrays with different resolutions
+            batch = place_batch(jax.tree.map(np.asarray, batch))
             params, batch_stats, opt_state, metrics = step_j(
                 params, batch_stats, opt_state, batch)
             done += 1

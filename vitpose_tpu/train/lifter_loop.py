@@ -175,7 +175,6 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
 
     sup_loss = mse_loss if loss_name == 'mse' else mpjpe_loss
 
-    @jax.jit
     def step(variables, opt_state, x, y_rel, drop_rng):
         def loss_fn(v):
             out, upd = _apply(v, x, drop_rng)
@@ -186,7 +185,6 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
         variables = optax.apply_updates(variables, updates)
         return {**variables, **upd}, opt_state, dict(mpjpe_loss=loss)
 
-    @jax.jit
     def step_semi(variables, opt_state, x, y_rel, root, xu, t2d, intr,
                   warm, drop_rng):
         def loss_fn(v):
@@ -209,6 +207,20 @@ def train_pose_lifter_model(cfg: dict, work_dir: Optional[str] = None,
         updates, opt_state = tx.update(grads, opt_state, variables)
         variables = optax.apply_updates(variables, updates)
         return {**variables, **upd}, opt_state, mets
+
+    # data-parallel over the mesh (the reference trains the lifter under
+    # DDP via tools/dist_train.sh): batch args shard over `data`,
+    # variables/opt state replicated, XLA inserts the gradient psum
+    import math
+    from ..parallel.mesh import make_mesh, data_parallel_step
+    n_data = cfg.get('runtime', {}).get('n_data') or \
+        math.gcd(batch_size, jax.device_count())
+    dp_mesh = make_mesh(n_data=n_data, n_expert=1,
+                        devices=jax.devices()[:n_data])
+    step, _place = data_parallel_step(step, dp_mesh, n_args=5,
+                                      batch_argnums={2, 3})
+    step_semi, _ = data_parallel_step(step_semi, dp_mesh, n_args=10,
+                                      batch_argnums={2, 3, 4, 5, 6, 7})
 
     metrics = {}
     n_steps = 0
