@@ -136,3 +136,90 @@ def test_lifter_loop_trains_on_mesh(tmp_path):
     variables, metrics = train_pose_lifter_model(cfg, work_dir=str(tmp_path),
                                                  max_steps=2)
     assert np.isfinite(float(metrics['mpjpe_loss']))
+
+
+@pytest.mark.slow
+def test_mesh_adversarial_step_sharded_matches_unsharded():
+    """The two-optimizer adversarial step (generator + discriminator)
+    through data_parallel_step equals the plain jit step — BOTH gradient
+    psums (gen and disc) must be semantics-preserving."""
+    from vitpose_tpu.models.mesh import (SMPLDiscriminator, ParametricMesh,
+                                         make_adversarial_train_step,
+                                         linear_smpl_fn)
+    from vitpose_tpu.models.resnet import ResNet
+
+    rng = np.random.RandomState(3)
+    B = 4
+    batch = dict(
+        imgs=rng.rand(B, 64, 64, 3).astype(np.float32),
+        joints_2d=rng.rand(B, 24, 2).astype(np.float32) * 64,
+        joints_2d_visible=np.ones((B, 24), np.float32),
+        joints_3d=rng.randn(B, 24, 3).astype(np.float32),
+        joints_3d_visible=np.ones((B, 24), np.float32),
+        real_pose=rng.randn(B, 72).astype(np.float32) * 0.1,
+        real_shape=rng.randn(B, 10).astype(np.float32) * 0.1,
+    )
+    key = jax.random.PRNGKey(0)
+    mesh_model = ParametricMesh(ResNet(depth=18), linear_smpl_fn(),
+                                num_iters=2)
+    disc = SMPLDiscriminator(hidden=32)
+    gen_vars = mesh_model.init(key, jnp.asarray(batch['imgs']))
+    disc_vars = disc.init(key, jnp.zeros((B, 72)), jnp.zeros((B, 10)))
+    # sgd: adam's sign-like first step amplifies f32 reduction-order noise
+    gen_tx, disc_tx = optax.sgd(1e-3), optax.sgd(1e-4)
+    step = make_adversarial_train_step(mesh_model, disc, gen_tx, disc_tx)
+
+    jb = jax.tree.map(jnp.asarray, batch)
+    g_ref, d_ref, _, _, m_ref = jax.jit(step)(
+        gen_vars, disc_vars, gen_tx.init(gen_vars),
+        disc_tx.init(disc_vars), jb)
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    jitted, place_batch = data_parallel_step(step, mesh, n_args=5,
+                                             batch_argnums={4})
+    g_got, d_got, _, _, m_got = jitted(
+        gen_vars, disc_vars, gen_tx.init(gen_vars),
+        disc_tx.init(disc_vars), place_batch(batch))
+    np.testing.assert_allclose(float(m_got['gen_loss']),
+                               float(m_ref['gen_loss']), rtol=1e-5)
+    np.testing.assert_allclose(float(m_got['disc_loss']),
+                               float(m_ref['disc_loss']), rtol=1e-5)
+    for tree_ref, tree_got, label in ((g_ref, g_got, 'gen'),
+                                      (d_ref, d_got, 'disc')):
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(
+                    jax.tree.map(np.asarray, tree_ref))[0],
+                jax.tree_util.tree_flatten_with_path(
+                    jax.tree.map(np.asarray, tree_got))[0]):
+            assert pa == pb
+            # atol 3e-5: f32 reduction-order noise through two chained
+            # optimizer updates (gen then disc)
+            np.testing.assert_allclose(b, a, rtol=2e-4, atol=3e-5,
+                                       err_msg=f'{label}:{pa}')
+
+
+@pytest.mark.slow
+def test_interhand_loop_trains_on_mesh(tmp_path):
+    """train_model('interhand3d') accepts runtime.n_data like the
+    flagship and runs its sharded step."""
+    from vitpose_tpu.train.loop import train_model
+    REF = "/root/reference/tests/data/interhand2.6m"
+    cfg = dict(
+        model=dict(family='interhand3d', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18), num_joints=42,
+                   depth_size=8),
+        data=dict(
+            dataset='interhand3d', image_size=(64, 64),
+            heatmap_size=(8, 8), batch_size=4,
+            train=dict(
+                ann_file=f"{REF}/test_interhand2.6m_data.json",
+                camera_file=f"{REF}/test_interhand2.6m_camera.json",
+                joint_file=f"{REF}/test_interhand2.6m_joint_3d.json",
+                img_prefix=REF + "/")),
+        target=dict(depth_bound=400.0, root_depth_bins=16,
+                    root_depth_bound=400.0, sigma=1.5),
+        optimizer=dict(base_lr=1e-3, total_epochs=1),
+        runtime=dict(n_data=4, work_dir=str(tmp_path)),
+    )
+    variables, metrics = train_model(cfg, max_steps=2)
+    assert all(np.isfinite(v) for v in metrics.values())

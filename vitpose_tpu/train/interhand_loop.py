@@ -126,9 +126,10 @@ class InterHandLoader:
 
 def make_interhand_train_step(model, tx, root_depth_bins=64,
                               root_depth_bound=400.0):
-    """One-jit training step: train forward (BN stats advanced) + the
-    three reference losses + optimizer update. Returns
-    step(variables, opt_state, batch) -> (variables, opt_state, metrics).
+    """Training step: train forward (BN stats advanced) + the three
+    reference losses + optimizer update. Returns an UNJITTED
+    step(params, stats, opt_state, batch) -> (params, stats, opt_state,
+    metrics); the loop jits it over the mesh via data_parallel_step.
     """
     import jax
     import jax.numpy as jnp
@@ -156,7 +157,6 @@ def make_interhand_train_step(model, tx, root_depth_bins=64,
     def batch_stats_of(stats, key):
         return {c: v for c, v in stats.get(key, {}).items()}
 
-    @jax.jit
     def step(params, stats, opt_state, batch):
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, stats, batch)
@@ -212,6 +212,18 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
     step = make_interhand_train_step(
         model, tx, root_depth_bins=tcfg.get('root_depth_bins', 64),
         root_depth_bound=tcfg.get('root_depth_bound', 400.0))
+    # data-parallel over the mesh (the reference trains interhand3d under
+    # DDP via tools/dist_train.sh): batch shards over `data`, XLA inserts
+    # the gradient psum; BN stats reduce globally (sync-BN,
+    # docs/parallelism.md)
+    import math
+    from ..parallel.mesh import make_mesh, data_parallel_step
+    n_data = cfg.get('runtime', {}).get('n_data') or math.gcd(
+        dcfg.get('batch_size', 16), jax.device_count())
+    dp_mesh = make_mesh(n_data=n_data, n_expert=1,
+                        devices=jax.devices()[:n_data])
+    step, place_batch = data_parallel_step(step, dp_mesh, n_args=4,
+                                           batch_argnums={3})
 
     total_epochs = ocfg.get('total_epochs', 20)
     metrics = {}
@@ -221,8 +233,8 @@ def train_interhand3d_model(cfg: dict, work_dir: Optional[str] = None,
     for epoch in range(total_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
-            params, stats, opt_state, metrics = step(params, stats,
-                                                     opt_state, batch)
+            params, stats, opt_state, metrics = step(
+                params, stats, opt_state, place_batch(batch))
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
                 done = True

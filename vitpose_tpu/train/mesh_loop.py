@@ -66,8 +66,18 @@ def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
         gen_vars, disc_vars = both['gen'], both['disc']
     gen_opt = gen_tx.init(gen_vars)
     disc_opt = disc_tx.init(disc_vars)
-    step = jax.jit(make_adversarial_train_step(mesh, disc, gen_tx,
-                                               disc_tx))
+    # data-parallel over the mesh (the reference trains HMR under DDP,
+    # apis/train.py:129): image + mosh batches shard over `data`, the
+    # generator AND discriminator gradient psums are inserted by XLA
+    import math
+    from ..parallel.mesh import make_mesh, data_parallel_step
+    n_data = cfg.get('runtime', {}).get('n_data') or math.gcd(
+        dcfg.get('batch_size', 64), jax.device_count())
+    dp_mesh = make_mesh(n_data=n_data, n_expert=1,
+                        devices=jax.devices()[:n_data])
+    step, place_batch = data_parallel_step(
+        make_adversarial_train_step(mesh, disc, gen_tx, disc_tx),
+        dp_mesh, n_args=5, batch_argnums={4})
 
     metrics = {}
     n_steps = 0
@@ -76,8 +86,8 @@ def train_mesh_model(cfg: dict, work_dir: Optional[str] = None,
     for epoch in range(ocfg.get('total_epochs', 100)):
         loader.set_epoch(epoch)
         for batch in loader:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ('pose', 'beta', 'has_smpl')}
+            jb = place_batch({k: np.asarray(v) for k, v in batch.items()
+                              if k not in ('pose', 'beta', 'has_smpl')})
             gen_vars, disc_vars, gen_opt, disc_opt, metrics = step(
                 gen_vars, disc_vars, gen_opt, disc_opt, jb)
             n_steps += 1

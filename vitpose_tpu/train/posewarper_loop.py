@@ -160,7 +160,6 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
     train_fw = (jnp.asarray(ds.db[0]['frame_weight'])
                 if len(ds.db) else jnp.full((t,), 1.0 / t))
 
-    @jax.jit
     def step(params, stats, opt_state, frames, target, weight):
         def loss_fn(p):
             out, new_vars = model.apply(
@@ -173,6 +172,18 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_vars, opt_state, dict(heatmap_loss=loss)
+
+    # data-parallel over the mesh (the reference trains PoseWarper under
+    # DDP via tools/dist_train.sh): frame windows/targets shard over
+    # `data`, XLA inserts the gradient psum
+    import math
+    from ..parallel.mesh import make_mesh, data_parallel_step
+    n_data = cfg.get('runtime', {}).get('n_data') or math.gcd(
+        batch_size, jax.device_count())
+    dp_mesh = make_mesh(n_data=n_data, n_expert=1,
+                        devices=jax.devices()[:n_data])
+    step, place_batch = data_parallel_step(step, dp_mesh, n_args=6,
+                                           batch_argnums={3, 4, 5})
 
     metrics = {}
     n_steps = 0
@@ -206,9 +217,11 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
                 jnp.asarray(np.stack(joints)),
                 jnp.asarray(np.stack(viss)),
                 image_size, heatmap_size, sigma=sigma)
+            fj, target, weight = place_batch(
+                (np.stack(frames), np.asarray(target),
+                 np.asarray(weight)))
             params, new_vars, opt_state, metrics = step(
-                params, stats, opt_state,
-                jnp.asarray(np.stack(frames)), target, weight)
+                params, stats, opt_state, fj, target, weight)
             stats = {k: v for k, v in new_vars.items() if k != 'params'}
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
