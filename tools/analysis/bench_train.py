@@ -3,6 +3,13 @@ attention, layer-decay AdamW) on one chip, steps scanned in groups so the
 measurement amortizes dispatch latency like a real input-pipelined loop.
 
 Prints one json line {imgs_per_sec, ms_per_step}.
+
+BENCH_E2E=1: instead of synthetic device batches, run the FED loop —
+synthetic-JPEG TopDownLoader (train pipeline: decode + aug + collate) in a
+prefetch thread feeding the jitted device preprocess (crop/normalize/
+target-gen) + train step. Reports sustained end-to-end img/s alongside
+the loader-only and step-only component rates, i.e. whether ONE host
+process keeps the chip fed for this variant.
 """
 import json
 import os
@@ -77,5 +84,139 @@ def main():
                       'ms_per_step': round(dt / (GROUP * ITERS) * 1e3, 1)}))
 
 
+def main_e2e():
+    """Fed training loop: host loader thread -> queue -> device step."""
+    import dataclasses as dc
+    import queue
+    import tempfile
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bench_io import make_jpegs
+    from vitpose_tpu.data import DatasetInfo
+    from vitpose_tpu.data.loader import TopDownLoader
+    from vitpose_tpu.data.pipeline import make_preprocess_fn
+    from vitpose_tpu.models import TopDownModel, make_config
+    from vitpose_tpu.train import (OptimConfig, layer_decay_adamw,
+                                   create_train_state, make_train_step)
+
+    n_imgs = int(os.environ.get('BENCH_E2E_IMGS', '768'))
+    tmpdir = tempfile.mkdtemp()
+    paths = make_jpegs(tmpdir, n_imgs)
+    recs = []
+    for i, p in enumerate(paths):
+        recs.append(dict(
+            image_file=p,
+            bbox=np.asarray([200.0, 120.0, 240.0, 320.0], np.float32),
+            rotation=0,
+            joints_3d=np.tile(np.asarray([[300.0, 200.0, 0.0]],
+                                         np.float32), (17, 1)),
+            joints_3d_visible=np.tile(
+                np.asarray([[1.0, 1.0, 0.0]], np.float32), (17, 1)),
+            bbox_score=1.0, bbox_id=i, image_id=i, dataset_idx=0))
+
+    class _DS:
+        db = recs
+        num_joints = 17
+        image_size = (192, 256)
+        heatmap_size = (48, 64)
+        info = DatasetInfo.load('coco')
+        dataset_idx = 0
+        name = 'synthetic'
+
+    loader = TopDownLoader(_DS(), BATCH, is_train=True, canvas_size=640,
+                           seed=0)
+
+    # loader-only rate (one full pass, warm page cache)
+    for _ in loader:
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for b in loader:
+        n += int(b['imgs'].shape[0])
+    loader_ips = n / (time.perf_counter() - t0)
+
+    remat = os.environ.get('BENCH_REMAT', '1') == '1'
+    cfg = make_config(VARIANT, img_size=(256, 192), out_channels=17,
+                      dtype='bfloat16', remat=remat)
+    cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
+                                              fused_attention=True))
+    model = TopDownModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    preprocess = make_preprocess_fn(image_size=(192, 256),
+                                    heatmap_size=(48, 64))
+    imgs0 = jnp.zeros((BATCH, 256, 192, 3), jnp.float32)
+    ocfg = OptimConfig(base_lr=5e-4, num_layers=cfg.backbone.depth)
+    init_params = model.init(rng, imgs0, train=False)['params']
+    tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch=1000)
+    state = create_train_state(model, rng, imgs0, tx)
+    step = jax.jit(make_train_step(model), donate_argnums=0)
+
+    q = queue.Queue(maxsize=4)
+    stop = threading.Event()
+
+    def feed():
+        epoch = 0
+        while not stop.is_set():
+            loader.set_epoch(epoch)
+            for b in loader:
+                if stop.is_set():
+                    return
+                q.put(b)
+            epoch += 1
+
+    th = threading.Thread(target=feed, daemon=True)
+    th.start()
+
+    def one(state, b, i):
+        pre = preprocess(b['imgs'], b['center'], b['scale'], b['rot'],
+                         b['joints'], b['vis'], b.get('flip'))
+        return step(state, {'imgs': pre['imgs'], 'target': pre['target'],
+                            'target_weight': pre['target_weight']},
+                    jax.random.fold_in(rng, i))
+
+    state, m = one(state, q.get(), 0)      # compile
+    float(m['heatmap_loss'])
+    steps = int(os.environ.get('BENCH_E2E_STEPS', '40'))
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        state, m = one(state, q.get(), i)
+    float(m['heatmap_loss'])               # drain the device
+    e2e_ips = steps * BATCH / (time.perf_counter() - t0)
+    stop.set()
+    try:
+        q.get_nowait()                     # unblock the feeder
+    except queue.Empty:
+        pass
+
+    # step-only rate under the SAME program (device preprocess + step),
+    # replaying one already-loaded host batch
+    b0 = next(iter(loader))
+    state, m = one(state, b0, 0)
+    float(m['heatmap_loss'])
+    t0 = time.perf_counter()
+    for i in range(20):
+        state, m = one(state, b0, i)
+    float(m['heatmap_loss'])
+    step_ips = 20 * BATCH / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        'metric': f'vitpose_{VARIANT}_256x192_train_e2e',
+        'e2e_imgs_per_sec': round(e2e_ips, 1),
+        'loader_imgs_per_sec': round(loader_ips, 1),
+        'step_imgs_per_sec': round(step_ips, 1),
+        'fed': bool(loader_ips >= step_ips),
+        'host_processes_needed': max(1, int(np.ceil(step_ips
+                                                    / loader_ips))),
+    }))
+
+
 if __name__ == '__main__':
-    main()
+    if os.environ.get('BENCH_E2E', '0') == '1':
+        main_e2e()
+    else:
+        main()

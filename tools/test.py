@@ -208,6 +208,13 @@ def main():
     ap.add_argument('--tmpdir', default=None,
                     help='shared scratch dir for multi-process result '
                          'gathering (reference tools/test.py --tmpdir)')
+    ap.add_argument('--int8', action='store_true',
+                    help='evaluate through the int8+tanh FAST serving '
+                         'path (calibrates static scales on the first '
+                         'val batches; measures the AP delta of the '
+                         'deployed path — see tests/'
+                         'test_int8_ap_neutrality.py for the budget '
+                         'methodology)')
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
@@ -238,6 +245,20 @@ def main():
                                cfg['model'].get('backbone_type', 'vit'),
                                num_units=cfg['model'].get('num_units', 4),
                                use_prm=cfg['model'].get('use_prm', False))
+
+    if args.int8:
+        # deployed fast path: calibrated W8A8 MLP+qkv + tanh GELU
+        # (AP budget methodology: tests/test_int8_ap_neutrality.py)
+        import dataclasses
+        from vitpose_tpu.utils.quantize import (calibrate_from_loader,
+                                                int8_serving_config)
+        scales = calibrate_from_loader(model, variables, loader,
+                                       attn=True)
+        fcfg = int8_serving_config(model.cfg, scales, qkv=True)
+        fcfg = dataclasses.replace(
+            fcfg, backbone=dataclasses.replace(fcfg.backbone,
+                                               gelu_approx=True))
+        model = type(model)(fcfg)
 
     mcfg = model.cfg
     results = run_validation(model, variables, loader, use_udp=mcfg.use_udp,

@@ -73,6 +73,89 @@ def project_heatmaps_to_voxels(heatmaps, cameras, grid):
     return (acc / v).reshape(grid.shape[:3] + (k,))
 
 
+def stack_camera_params(cameras):
+    """Stack V SimpleCameras into plain arrays so the projection can run
+    INSIDE jit/vmap (cameras become batch data instead of trace-time
+    constants — the per-frame camera objects force a retrace per scene,
+    and cannot batch over a `data`-sharded frame axis).
+
+    Distortion is normalized to the rational-6 form: k padded to 6 with
+    zeros (denominator 1 == plain radial-3), k=p=0 == no distortion.
+    """
+    def k6(cam):
+        if getattr(cam, 'has_dist', False):
+            kk = np.zeros(6, np.float32)
+            kv = np.asarray(cam.k, np.float32).ravel()
+            kk[:kv.shape[0]] = kv
+            return kk
+        return np.zeros(6, np.float32)
+
+    def p2(cam):
+        if getattr(cam, 'has_dist', False):
+            return np.asarray(cam.p, np.float32).ravel()[:2]
+        return np.zeros(2, np.float32)
+
+    return dict(
+        R=jnp.stack([jnp.asarray(c.R_w2c) for c in cameras]),   # [V,3,3]
+        T=jnp.stack([jnp.asarray(c.T_w2c) for c in cameras]),   # [V,1,3]
+        K=jnp.stack([jnp.asarray(c.K) for c in cameras]),       # [V,3,2]
+        k=jnp.asarray(np.stack([k6(c) for c in cameras])),      # [V,6]
+        p=jnp.asarray(np.stack([p2(c) for c in cameras])),      # [V,2]
+    )
+
+
+def project_points_pix(pts, cp):
+    """World points -> pixel coords for ALL views at once.
+
+    pts [P, 3]; cp from stack_camera_params -> [V, P, 2]. Same math as
+    SimpleCamera.world_to_camera + camera_to_pixel (ops/camera.py:51,59),
+    vectorized over the view axis."""
+    xc = jnp.einsum('pi,vij->vpj', jnp.asarray(pts, jnp.float32),
+                    cp['R']) + cp['T']                    # [V,P,3]
+    v = xc / xc[..., 2:]
+    v2 = v[..., :2]
+    r2 = jnp.sum(v2 ** 2, axis=-1)                        # [V,P]
+    k, p = cp['k'], cp['p']
+    num = (1.0 + k[:, 0:1] * r2 + k[:, 1:2] * r2 ** 2
+           + k[:, 2:3] * r2 ** 3)
+    den = (1.0 + k[:, 3:4] * r2 + k[:, 4:5] * r2 ** 2
+           + k[:, 5:6] * r2 ** 3)
+    radial = num / den
+    tangential = 2.0 * (p[:, 1:2] * v[..., 0] + p[:, 0:1] * v[..., 1])
+    v2 = (v2 * (radial + tangential)[..., None]
+          + r2[..., None] * p[:, None, ::-1])
+    v = jnp.concatenate([v2, v[..., 2:]], axis=-1)
+    return jnp.einsum('vpi,vij->vpj', v, cp['K'])         # [V,P,2]
+
+
+def project_heatmaps_to_voxels_arr(heatmaps, cp, grid):
+    """project_heatmaps_to_voxels with array cameras: all views sampled in
+    one vectorized gather (no python view loop), jit/vmap-safe over a
+    frame batch. heatmaps [V, K, H, W]; grid [..., 3] -> [..., K]."""
+    v, k, h, w = heatmaps.shape
+    pts = grid.reshape(-1, 3)
+    pix = project_points_pix(pts, cp)                     # [V,P,2]
+    x, y = pix[..., 0], pix[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    hm = heatmaps.reshape(v, k, h * w)
+
+    def samp(xi, yi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)   # [V,P]
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(hm, idx[:, None, :], axis=2)  # [V,K,P]
+        return jnp.where(valid[:, None, :], vals, 0.0)
+
+    val = (samp(x0i, y0i) * (1 - fx)[:, None] * (1 - fy)[:, None]
+           + samp(x0i + 1, y0i) * fx[:, None] * (1 - fy)[:, None]
+           + samp(x0i, y0i + 1) * (1 - fx)[:, None] * fy[:, None]
+           + samp(x0i + 1, y0i + 1) * fx[:, None] * fy[:, None])
+    acc = jnp.mean(val, axis=0)                           # [K,P]
+    return acc.T.reshape(grid.shape[:-1] + (k,))
+
+
 class _Basic3D(nn.Module):
     ch: int
     dtype: jnp.dtype = jnp.float32
@@ -147,12 +230,17 @@ class CuboidPoseHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, grid, train: bool = False):
-        """x [N, X, Y, Z, C], grid [X, Y, Z, 3] -> joints [N, K, 3]."""
+        """x [N, X, Y, Z, C], grid [X, Y, Z, 3] (shared) or
+        [N, X, Y, Z, 3] (per-sample cube grids, the batched training
+        path) -> joints [N, K, 3]."""
         vol = V2VNet(self.mid_channels, self.num_joints,
                      dtype=self.dtype, name='v2v')(x, train=train)
         n = vol.shape[0]
         flat = vol.reshape(n, -1, self.num_joints)
         w = jax.nn.softmax(self.beta * flat, axis=1)         # [N, P, K]
+        if grid.ndim == 5:
+            pts = grid.reshape(n, -1, 3)                     # [N, P, 3]
+            return jnp.einsum('npk,npd->nkd', w, pts)
         pts = grid.reshape(-1, 3)                            # [P, 3]
         return jnp.einsum('npk,pd->nkd', w, pts)
 
@@ -256,6 +344,78 @@ class DetectAndRegress:
                 jnp.abs((joints[0] - jnp.asarray(gt_joints[p])) * w))
             pose_cnt = pose_cnt + cand_mask[p] * joints[0].size
         new_vars['pose'] = pose_vars
+        loss_pose = pose_abs / jnp.maximum(pose_cnt, 1.0)
+        return (dict(loss_center=loss_center, loss_pose=loss_pose),
+                new_vars)
+
+    def training_losses_batched(self, variables, heatmaps, cam_params,
+                                candidates, cand_mask, gt_joints, gt_vis,
+                                targets_3d, train=True):
+        """Frame-BATCHED training losses — the TPU-native training path.
+
+        Where `training_losses` processes one scene (and a python loop
+        over candidates, each a batch-of-1 head forward), this stacks G
+        frames and runs the center net on a [G] batch and the pose net on
+        ONE [G*P] batch — the same proposal batching the reference's
+        VoxelSinglePose.forward_train does (multiview_pose.py:519 runs all
+        proposals through the pose net together). BN statistics therefore
+        reduce over the global frame/proposal batch (sync-BN,
+        docs/parallelism.md); padded candidate slots (cand_mask 0) are
+        masked out of the loss but do enter BN statistics — pad candidates
+        with in-space centers.
+
+        Args:
+          heatmaps: [G, V, K, H, W]; cam_params: stack_camera_params
+            leaves with a leading [G, V, ...] frame axis.
+          candidates [G, P, 3]; cand_mask [G, P]; gt_joints [G, P, K, 3];
+          gt_vis [G, P, K]; targets_3d [G, X, Y, Z].
+        Returns (losses, updated variables) like `training_losses`.
+        """
+        g, p = candidates.shape[:2]
+        proj_space = jax.vmap(
+            lambda hm, cp: project_heatmaps_to_voxels_arr(
+                hm, cp, self.space_grid))
+        space_vols = proj_space(heatmaps, cam_params)     # [G,X,Y,Z,K]
+        new_vars = dict(variables)
+        if train:
+            center_pred, upd = self.center_head.apply(
+                variables['center'], space_vols, train=True,
+                mutable=['batch_stats'])
+            new_vars['center'] = {**variables['center'], **upd}
+        else:
+            center_pred = self.center_head.apply(variables['center'],
+                                                 space_vols, train=False)
+        loss_center = jnp.mean((center_pred
+                                - jnp.asarray(targets_3d)) ** 2)
+
+        # per-candidate cube grids: fixed offsets + traced centers
+        offsets = make_voxel_grid((0, 0, 0), self.cube_size,
+                                  self.cube_resolution)   # [Xc,Yc,Zc,3]
+        grids = (jnp.asarray(candidates, jnp.float32)
+                 [:, :, None, None, None, :] + offsets)   # [G,P,Xc,Yc,Zc,3]
+        proj_cubes = jax.vmap(                            # over G
+            lambda hm, cp, gr: jax.vmap(                  # over P
+                lambda g1: project_heatmaps_to_voxels_arr(hm, cp, g1)
+            )(gr))
+        cube_vols = proj_cubes(heatmaps, cam_params, grids)
+        cube_vols = cube_vols.reshape((g * p,) + cube_vols.shape[2:])
+        grids_flat = grids.reshape((g * p,) + grids.shape[2:])
+        if train:
+            joints, upd = self.pose_head.apply(
+                variables['pose'], cube_vols, grids_flat, train=True,
+                mutable=['batch_stats'])
+            new_vars['pose'] = {**variables['pose'], **upd}
+        else:
+            joints = self.pose_head.apply(variables['pose'], cube_vols,
+                                          grids_flat, train=False)
+        joints = joints.reshape(g, p, self.num_joints, 3)
+        cand_mask = jnp.asarray(cand_mask, jnp.float32)
+        gt_vis = jnp.asarray(gt_vis, jnp.float32)
+        w = cand_mask[..., None, None] * gt_vis[..., None]  # [G,P,K,1]
+        pose_abs = jnp.sum(jnp.abs((joints - jnp.asarray(gt_joints)) * w))
+        # count matches training_losses: full joint size per valid
+        # candidate regardless of per-joint visibility
+        pose_cnt = jnp.sum(cand_mask) * self.num_joints * 3
         loss_pose = pose_abs / jnp.maximum(pose_cnt, 1.0)
         return (dict(loss_center=loss_center, loss_pose=loss_pose),
                 new_vars)

@@ -210,6 +210,9 @@ def build_family_model(family: str, mcfg: dict):
                                     backbone_mode_kwarg='train', **mcfg)
     if family == 'voxelpose':
         from ..models.voxelpose import DetectAndRegress
+        # loop-level knobs, not model-ctor args
+        mcfg.pop('root_id', None)
+        mcfg.pop('max_people_train', None)
         return DetectAndRegress(**mcfg)
     raise KeyError(f'unknown model family {family!r}; expected topdown, '
                    'bottomup, pose_lifter, mesh, posewarper, '

@@ -106,61 +106,111 @@ def train_voxelpose_model(cfg: dict, work_dir: Optional[str] = None,
     def _rebuild(trainable, stats):
         return {k: {**stats[k], 'params': trainable[k]} for k in trainable}
 
-    def frame_losses(trainable_tree, stats, heatmaps, cameras, candidates,
-                     cand_mask, gt_joints, gt_vis, targets_3d):
+    def batch_losses(trainable_tree, stats, batch):
         # ONE train-mode forward: BN normalizes by batch statistics (the
         # running stats leave the gradient graph) and the advanced stats
         # come back as aux — no second stats-only pass needed
-        losses, new_vars = model.training_losses(
-            _rebuild(trainable_tree, stats), heatmaps, cameras,
-            candidates, cand_mask, gt_joints, gt_vis, targets_3d,
+        losses, new_vars = model.training_losses_batched(
+            _rebuild(trainable_tree, stats), batch['heatmaps'],
+            batch['cam'], batch['candidates'], batch['cand_mask'],
+            batch['gt_joints'], batch['gt_vis'], batch['targets_3d'],
             train=True)
         return (losses['loss_center'] + losses['loss_pose'],
                 (losses, new_vars))
 
-    grad_fn = jax.value_and_grad(frame_losses, has_aux=True)
+    def train_step(trainable, stats, opt_state, batch):
+        (total, (losses, new_vars)), grads = jax.value_and_grad(
+            batch_losses, has_aux=True)(trainable, stats, batch)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        stats = {k: {c: v for c, v in new_vars[k].items() if c != 'params'}
+                 for k in new_vars}
+        return (trainable, stats, opt_state,
+                dict(losses, total_loss=total))
+
     root_id = cfg['model'].get('root_id', 2)   # reference panoptic config
+    # frame-batched + data-parallel over the mesh (the reference trains
+    # voxelpose under DDP with per-GPU frame batches): G frames stack
+    # into one step; cameras travel as stacked arrays (models/voxelpose.py
+    # stack_camera_params) so the step stays retrace-free and shardable
+    import math
+    from ..models.voxelpose import stack_camera_params
+    from ..parallel.mesh import make_mesh, data_parallel_step
+    g_frames = dcfg.get('batch_size', 1)
+    max_p = cfg['model'].get('max_people_train',
+                             cfg['model'].get('max_people', 10))
+    n_data = cfg.get('runtime', {}).get('n_data') or math.gcd(
+        g_frames, jax.device_count())
+    dp_mesh = make_mesh(n_data=n_data, n_expert=1,
+                        devices=jax.devices()[:n_data])
+    step_j, place_batch = data_parallel_step(train_step, dp_mesh,
+                                             n_args=4, batch_argnums={3})
+
+    def frame_arrays(frame):
+        """One frame -> fixed-shape arrays (people padded to max_p)."""
+        cameras = heatmap_frame_cameras(frame['cameras'], hm_size)
+        people = [p for p in frame['people']
+                  if (p['joints_vis'] > 0).any()][:max_p]
+        if not cameras or not people:
+            return None
+        gt_joints = np.stack([p['joints_3d'] for p in people])
+        gt_vis = np.stack([(p['joints_vis'] > 0).astype(np.float32)
+                           for p in people])
+        # person center = root_id (panoptic coco19: 2 = mid-hip/body
+        # center, reference voxelpose config root_id=2 — index 0 is
+        # the neck, which would push leg joints outside the pose cube)
+        roots = gt_joints[:, root_id]
+        if callable(heatmap_source):
+            heatmaps = heatmap_source(frame, cameras)
+        else:
+            heatmaps = gt_projected_heatmaps(
+                frame, cameras, model.num_joints, hm_size)
+        targets_3d = generate_voxel_3d_targets(
+            roots[:, None], np.ones(roots.shape[:1] + (1, 1)),
+            model.space_size, model.space_center,
+            model.space_resolution, sigma=sigma_mm, joint_indices=[0])
+        npad = max_p - len(people)
+        k = gt_joints.shape[1]
+        # pad candidate slots with the space center: the cube volume
+        # stays in-bounds (enters BN statistics), the loss is masked
+        pad_root = np.tile(np.asarray(model.space_center, np.float32),
+                           (npad, 1))
+        return dict(
+            heatmaps=np.asarray(heatmaps, np.float32),
+            cam=jax.tree.map(np.asarray, stack_camera_params(cameras)),
+            candidates=np.concatenate(
+                [roots, pad_root]).astype(np.float32),
+            cand_mask=np.concatenate(
+                [np.ones(len(people)), np.zeros(npad)]).astype(np.float32),
+            gt_joints=np.concatenate(
+                [gt_joints, np.zeros((npad, k, 3))]).astype(np.float32),
+            gt_vis=np.concatenate(
+                [gt_vis, np.zeros((npad, k))]).astype(np.float32),
+            targets_3d=np.asarray(targets_3d, np.float32),
+        )
 
     metrics = {}
     n_steps = 0
     best = None
     epochs = ocfg.get('total_epochs', 15)
+    pending = []
     for _epoch in range(epochs):
         for idx in range(len(ds)):
-            frame = ds[idx]
-            # intrinsics rescaled to the heatmap pixel frame (projection
-            # and painting both operate there)
-            cameras = heatmap_frame_cameras(frame['cameras'], hm_size)
-            people = [p for p in frame['people']
-                      if (p['joints_vis'] > 0).any()]
-            if not cameras or not people:
+            fa = frame_arrays(ds[idx])
+            if fa is None:
                 continue
-            gt_joints = np.stack([p['joints_3d'] for p in people])
-            gt_vis = np.stack([(p['joints_vis'] > 0).astype(np.float32)
-                               for p in people])
-            # person center = root_id (panoptic coco19: 2 = mid-hip/body
-            # center, reference voxelpose config root_id=2 — index 0 is
-            # the neck, which would push leg joints outside the pose cube)
-            roots = gt_joints[:, root_id]
-            if callable(heatmap_source):
-                heatmaps = heatmap_source(frame, cameras)
-            else:
-                heatmaps = gt_projected_heatmaps(
-                    frame, cameras, model.num_joints, hm_size)
-            targets_3d = generate_voxel_3d_targets(
-                roots[:, None], np.ones(roots.shape[:1] + (1, 1)),
-                model.space_size, model.space_center,
-                model.space_resolution, sigma=sigma_mm, joint_indices=[0])
-            (total, (losses, new_vars)), grads = grad_fn(
-                trainable, stats, jnp.asarray(heatmaps), cameras,
-                jnp.asarray(roots), jnp.ones(len(people)),
-                gt_joints, gt_vis, targets_3d)
-            updates, opt_state = tx.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
-            stats = {k: {c: v for c, v in new_vars[k].items()
-                         if c != 'params'} for k in new_vars}
+            if pending and any(
+                    fa[kk].shape != pending[0][kk].shape
+                    for kk in ('heatmaps',)):
+                continue          # mixed view counts can't stack
+            pending.append(fa)
+            if len(pending) < g_frames:
+                continue
+            batch = jax.tree.map(lambda *xs: np.stack(xs), *pending)
+            pending = []
+            trainable, stats, opt_state, losses = step_j(
+                trainable, stats, opt_state, place_batch(batch))
             metrics = {k: float(v) for k, v in losses.items()}
-            metrics['total_loss'] = float(total)
             n_steps += 1
             if max_steps is not None and n_steps >= max_steps:
                 variables = _rebuild(trainable, stats)

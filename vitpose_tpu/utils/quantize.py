@@ -108,3 +108,38 @@ def int8_serving_config(cfg, scales, qkv: bool = False):
                              int8_act_scales=tuple(
                                  tuple(s) for s in scales))
     return dataclasses.replace(cfg, backbone=bb)
+
+
+def calibrate_from_loader(model, variables, loader, n_batches: int = 2,
+                          attn: bool = True, margin: float = 1.0):
+    """Calibrate activation scales from an eval loader's first batches.
+
+    Reproduces the val-step preprocessing (canvas uint8 -> UDP/affine
+    crop -> imagenet normalize, eval/loop.py make_val_step) on host so
+    the calibration sees exactly the distributions the deployed forward
+    sees. The deployment workflow behind `tools/test.py --int8` and
+    `serve.py --int8`."""
+    import itertools
+    import jax.numpy as jnp
+    from ..data.pipeline import IMAGENET_MEAN, IMAGENET_STD
+    from ..ops.geometry import udp_warp_matrix, affine_matrix
+    from ..ops.warp import warp_affine_batch
+
+    iw, ih = loader.image_size
+    use_udp = bool(getattr(model.cfg, 'use_udp', True))
+    batches = []
+    for b in itertools.islice(iter(loader), n_batches):
+        x = jnp.asarray(b['imgs'], jnp.float32) / 255.0
+        center = jnp.asarray(b['center'])
+        scale = jnp.asarray(b['scale'])
+        zeros = jnp.zeros(center.shape[0])
+        if use_udp:
+            mat = udp_warp_matrix(zeros, center, scale, (iw, ih))
+        else:
+            mat = affine_matrix(center, scale, zeros, (iw, ih))
+        crops = warp_affine_batch(x, mat, (iw, ih))
+        crops = (crops - jnp.asarray(IMAGENET_MEAN)) \
+            / jnp.asarray(IMAGENET_STD)
+        batches.append(crops)
+    return calibrate_act_scales(model, variables, batches, attn=attn,
+                                margin=margin)
