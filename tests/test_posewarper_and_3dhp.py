@@ -173,11 +173,11 @@ def test_posewarper_neck_per_dilation_kernels():
     import jax.numpy as jnp
     from vitpose_tpu.models.necks import PoseWarperNeck
 
-    neck = PoseWarperNeck(out_channels=8)
+    neck = PoseWarperNeck(out_channels=8, inner_channels=16, num_blocks=2)
     key = jnp.zeros((1, 16, 16, 8))
     sups = jnp.zeros((1, 2, 16, 16, 8))
     v = neck.init(jax.random.PRNGKey(0), key, sups)
-    names = [f'dcn_weight_d{i}' for i in range(5)]
+    names = [f'deform_conv_{i}' for i in range(5)]
     for n in names:
         assert n in v['params'], sorted(v['params'])
         w = np.asarray(v['params'][n])

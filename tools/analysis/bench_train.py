@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, '/root/repo')
 
@@ -35,8 +36,9 @@ def main():
                                    create_train_state, make_train_step)
 
     remat = os.environ.get('BENCH_REMAT', '1') == '1'
+    policy = os.environ.get('BENCH_REMAT_POLICY', 'full')
     cfg = make_config(VARIANT, img_size=(256, 192), out_channels=17,
-                      dtype='bfloat16', remat=remat)
+                      dtype='bfloat16', remat=remat, remat_policy=policy)
     cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
                                               fused_attention=True))
     model = TopDownModel(cfg)
@@ -57,7 +59,10 @@ def main():
             'target_weight': jnp.ones((GROUP, BATCH, 17), jnp.float32),
         }
 
-    @jax.jit
+    # donate the state like the real loop does (parallel/mesh.py
+    # shard_train_step donate_argnums=(0,)): params/m/v update in place,
+    # halving the peak optimizer-state footprint during the step
+    @partial(jax.jit, donate_argnums=(0,))
     def run(state, group, rng):
         def body(carry, batch):
             st, r = carry
@@ -141,8 +146,9 @@ def main_e2e():
     loader_ips = n / (time.perf_counter() - t0)
 
     remat = os.environ.get('BENCH_REMAT', '1') == '1'
+    policy = os.environ.get('BENCH_REMAT_POLICY', 'full')
     cfg = make_config(VARIANT, img_size=(256, 192), out_channels=17,
-                      dtype='bfloat16', remat=remat)
+                      dtype='bfloat16', remat=remat, remat_policy=policy)
     cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
                                               fused_attention=True))
     model = TopDownModel(cfg)

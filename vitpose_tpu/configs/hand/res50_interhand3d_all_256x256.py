@@ -15,6 +15,10 @@ model = dict(
     heatmap_size=(64, 64),
     depth_range_mm=400.0,
     root_depth_range_mm=400.0,
+    # reference InterNet layout: separate right/left Heatmap3DHead stacks,
+    # 3 deconv layers of 256 (res50_interhand3d_all_256x256.py:39-46)
+    split_hands=True,
+    deconv_filters=(256, 256, 256),
 )
 data = dict(
     dataset='interhand3d',

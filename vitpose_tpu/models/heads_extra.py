@@ -232,21 +232,37 @@ class Interhand3DHead(nn.Module):
     depth_size: int = 64
     root_depth_bins: int = 64
     deconv_filters: Sequence[int] = (256, 256)
+    # reference layout (interhand_3d_head.py:312-313): SEPARATE right/left
+    # Heatmap3DHead deconv stacks (21 joints each, right first) instead of
+    # one fused 42-joint stack — required for .pth conversion parity
+    split_hands: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def _branch(self, x, prefix, num_joints, train):
         y = x
         for i, f in enumerate(self.deconv_filters):
             y = nn.ConvTranspose(f, (4, 4), strides=(2, 2), padding='SAME',
                                  use_bias=False, transpose_kernel=True,
-                                 dtype=self.dtype, name=f'deconv_{i}')(y)
+                                 dtype=self.dtype,
+                                 name=f'{prefix}deconv_{i}')(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
-                             name=f'bn_{i}')(y)
+                             name=f'{prefix}bn_{i}')(y)
             y = nn.relu(y)
-        hm = nn.Conv(self.num_joints * self.depth_size, (1, 1),
-                     dtype=self.dtype, name='hm3d')(y)
+        return nn.Conv(num_joints * self.depth_size, (1, 1),
+                       dtype=self.dtype,
+                       name=f'{prefix}final' if prefix else 'hm3d')(y)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.split_hands:
+            assert self.num_joints % 2 == 0
+            half = self.num_joints // 2
+            hm = jnp.concatenate(
+                [self._branch(x, 'right_', half, train),
+                 self._branch(x, 'left_', half, train)], axis=-1)
+        else:
+            hm = self._branch(x, '', self.num_joints, train)
         n, hh, ww, _ = hm.shape
         heatmaps3d = hm.transpose(0, 3, 1, 2).reshape(
             n, self.num_joints, self.depth_size, hh, ww)

@@ -25,7 +25,8 @@ class Interhand3DEstimator:
     def __init__(self, backbone_cfg=None, num_joints=42, depth_size=64,
                  heatmap_size=(64, 64), depth_range_mm=400.0,
                  root_depth_range_mm=400.0, backbone=None,
-                 backbone_mode_kwarg='deterministic'):
+                 backbone_mode_kwarg='deterministic',
+                 split_hands=False, deconv_filters=(256, 256)):
         """backbone_cfg builds the default ViT trunk; pass `backbone` (any
         NHWC feature module, e.g. ResNet-50 as in the reference
         res50_interhand3d_all_256x256.py config) with
@@ -42,7 +43,9 @@ class Interhand3DEstimator:
             backbone_mode_kwarg = 'deterministic'
         self.backbone_mode_kwarg = backbone_mode_kwarg
         self.head = Interhand3DHead(num_joints=num_joints,
-                                    depth_size=depth_size)
+                                    depth_size=depth_size,
+                                    split_hands=split_hands,
+                                    deconv_filters=tuple(deconv_filters))
         self.num_joints = num_joints
         self.depth_size = depth_size
         self.heatmap_size = heatmap_size

@@ -30,30 +30,68 @@ POSE_DIM, SHAPE_DIM, CAM_DIM = 72, 10, 3
 
 
 class HMRMeshHead(nn.Module):
-    """Iterative regression head: feature [N, C] -> (pose, shape, cam)."""
+    """Iterative regression head: feature [N, C] -> (pose, shape, cam).
+
+    pose_dim=144 is the reference layout (hmr_head.py:28 npose = 24*6
+    rot6d); 72 is the compact axis-angle variant. The iteration order
+    matches the reference forward (cat[x, pose, shape, cam] -> fc1 ->
+    fc2 -> delta)."""
     num_iters: int = 3
     hidden: int = 1024
+    pose_dim: int = POSE_DIM
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, train: bool = False):
         n = feat.shape[0]
-        mean = self.param('mean_params', nn.initializers.zeros,
-                          (POSE_DIM + SHAPE_DIM + CAM_DIM,))
+
+        def _mean_init(rng, shape, dtype=jnp.float32):
+            # reference default when no smpl_mean_params file is given:
+            # zero pose/shape, cam [1, 0, 0] (hmr_head.py:43-45)
+            m = jnp.zeros(shape, dtype)
+            return m.at[self.pose_dim + SHAPE_DIM].set(1.0)
+
+        mean = self.param('mean_params', _mean_init,
+                          (self.pose_dim + SHAPE_DIM + CAM_DIM,))
         params = jnp.tile(mean[None], (n, 1))
         fc1 = nn.Dense(self.hidden, dtype=self.dtype, name='fc1')
         fc2 = nn.Dense(self.hidden, dtype=self.dtype, name='fc2')
-        out = nn.Dense(POSE_DIM + SHAPE_DIM + CAM_DIM, dtype=self.dtype,
-                       name='out')
+        out = nn.Dense(self.pose_dim + SHAPE_DIM + CAM_DIM,
+                       dtype=self.dtype, name='out')
         for _ in range(self.num_iters):
             x = jnp.concatenate([feat, params], axis=-1)
             x = nn.relu(fc1(x))
             x = nn.relu(fc2(x))
             params = params + out(x)
-        pose = params[:, :POSE_DIM]
-        shape = params[:, POSE_DIM:POSE_DIM + SHAPE_DIM]
-        cam = params[:, POSE_DIM + SHAPE_DIM:]
+        pose = params[:, :self.pose_dim]
+        shape = params[:, self.pose_dim:self.pose_dim + SHAPE_DIM]
+        cam = params[:, self.pose_dim + SHAPE_DIM:]
         return pose, shape, cam
+
+
+def rot6d_to_axis_angle(x):
+    """[N, 24*6] rot6d -> [N, 72] axis-angle (Zhou et al. CVPR'19
+    orthogonalization, the reference's rot6d_to_rotmat in
+    mmpose/core/utils + rotmat -> angle-axis)."""
+    n = x.shape[0]
+    a = x.reshape(n * 24, 3, 2)
+    b1 = a[..., 0] / jnp.maximum(
+        jnp.linalg.norm(a[..., 0], axis=-1, keepdims=True), 1e-8)
+    proj = jnp.sum(b1 * a[..., 1], axis=-1, keepdims=True)
+    b2 = a[..., 1] - proj * b1
+    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
+    b3 = jnp.cross(b1, b2)
+    rot = jnp.stack([b1, b2, b3], axis=-1)            # [N*24, 3, 3]
+    # rotmat -> axis-angle (guarded Rodrigues inverse)
+    tr = rot[:, 0, 0] + rot[:, 1, 1] + rot[:, 2, 2]
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    ang = jnp.arccos(cos)
+    axis = jnp.stack([rot[:, 2, 1] - rot[:, 1, 2],
+                      rot[:, 0, 2] - rot[:, 2, 0],
+                      rot[:, 1, 0] - rot[:, 0, 1]], axis=-1)
+    s = jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
+    aa = axis / s * ang[:, None]
+    return aa.reshape(n, 72)
 
 
 class SMPLDiscriminator(nn.Module):
@@ -90,10 +128,20 @@ def project_points(joints_3d, cam):
 class ParametricMesh:
     """Generator (backbone + HMR head + smpl_fn) with loss utilities."""
 
-    def __init__(self, backbone, smpl_fn: Callable, num_iters=3):
+    def __init__(self, backbone, smpl_fn: Callable, num_iters=3,
+                 pose_rep='aa'):
+        """pose_rep='rot6d' uses the reference head layout (24*6 rot6d,
+        hmr_head.py:28) and converts to axis-angle before smpl_fn."""
         self.backbone = backbone
-        self.head = HMRMeshHead(num_iters=num_iters)
+        self.pose_rep = pose_rep
+        self.head = HMRMeshHead(num_iters=num_iters,
+                                pose_dim=144 if pose_rep == 'rot6d'
+                                else POSE_DIM)
         self.smpl_fn = smpl_fn
+
+    def _pose_aa(self, pose):
+        return (rot6d_to_axis_angle(pose) if self.pose_rep == 'rot6d'
+                else pose)
 
     def init(self, rng, sample):
         bb = self.backbone.init(rng, sample)
@@ -107,6 +155,7 @@ class ParametricMesh:
         feat = jnp.mean(feat, axis=(1, 2))
         pose, shape, cam = self.head.apply(variables['head'], feat,
                                            train=train)
+        pose = self._pose_aa(pose)
         verts, joints3d = self.smpl_fn(pose, shape)
         return dict(pose=pose, shape=shape, cam=cam, vertices=verts,
                     joints_3d=joints3d,
@@ -128,6 +177,7 @@ class ParametricMesh:
         feat = jnp.mean(feat, axis=(1, 2))
         pose, shape, cam = self.head.apply(variables['head'], feat,
                                            train=True)
+        pose = self._pose_aa(pose)
         verts, joints3d = self.smpl_fn(pose, shape)
         out = dict(pose=pose, shape=shape, cam=cam, vertices=verts,
                    joints_3d=joints3d,
@@ -239,4 +289,5 @@ def build_parametric_mesh(mcfg: dict):
     else:
         smpl_fn = linear_smpl_fn()
     return ParametricMesh(bb, smpl_fn,
-                          num_iters=mcfg.pop('num_iters', 3))
+                          num_iters=mcfg.pop('num_iters', 3),
+                          pose_rep=mcfg.pop('pose_rep', 'aa'))

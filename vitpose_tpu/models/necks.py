@@ -15,7 +15,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.deform_conv import deform_conv2d
-from .resnet import _bn
 
 
 class GlobalAveragePooling(nn.Module):
@@ -25,71 +24,94 @@ class GlobalAveragePooling(nn.Module):
 
 
 class PoseWarperNeck(nn.Module):
-    """Warp supporting-frame features onto the key frame and aggregate.
+    """Warp supporting-frame features onto the key frame and aggregate
+    (reference posewarper_neck.py:24 `PoseWarperNeck`, faithful layout):
 
-    Inputs: key [N, H, W, C], supports [N, T, H, W, C].
-    Output: [N, H, W, out_channels] aggregated feature.
+      * a SHARED ``trans_layer`` 1x1 conv (with bias) maps every frame's
+        backbone feature to ``out_channels`` (``trans_conv_kernel=0`` for
+        identity, 1/3 for conv — reference posewarper_neck.py:100-119);
+      * ``offset_feats`` — a chain of ``num_blocks`` BasicBlocks (first
+        one projecting ``out_channels -> inner_channels`` with a 1x1
+        downsample skip) over the key-minus-support feature difference
+        (reference :121-153);
+      * one offset conv (no bias) + one deformable conv (no bias) PER
+        DILATION; the per-dilation warps are averaged, then frames are
+        summed with ``frame_weight`` (reference :155-201, :283-318).
+
+    Inputs: key [N, H, W, C], supports [N, T, H, W, C] (all frames,
+    key included, like the reference's ``inputs`` list). Output:
+    [N, H, W, out_channels].
+
+    TPU-first: frames fold into the batch axis, so the 20-block offset
+    chain, the offset convs, and the deformable warp each run as ONE
+    batched pass over [N*T, ...] instead of a per-frame Python loop.
     """
     out_channels: int = 48
-    kernel: int = 3
+    inner_channels: int = 128
+    kernel: int = 3                       # deform conv kernel
+    offsets_kernel: int = 3
+    num_blocks: int = 20
+    trans_conv_kernel: int = 1
     dilations: Sequence[int] = (3, 6, 12, 18, 24)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, key, supports, train: bool = False,
                  frame_weight=None):
-        # frame_weight: optional [T] per-frame aggregation weights
-        # (reference posewarper_neck.py:283-318 multiplies each warped
-        # feature by frame_weight[i]); None -> uniform mean over T.
+        from .resnet import BasicBlock
         n, t, h, w, c = supports.shape
         k = self.kernel
-        key_p = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                        dtype=self.dtype, name='reduce_key')(key)
-        key_p = _bn(train, self.dtype, 'reduce_key_bn')(key_p)
 
-        # one deformable kernel PER DILATION (reference
-        # posewarper_neck.py:185-196 builds a separate DeformConv2d per
-        # dilation; sharing one kernel would collapse the multi-dilation
-        # aggregation), identity-initialized like the reference
-        # init_weights (center-tap eye, posewarper_neck.py:221-230);
-        # modules are instantiated once and re-applied per frame (weight
-        # sharing across T only)
+        if self.trans_conv_kernel > 0:
+            tk = self.trans_conv_kernel
+            pad = (tk - 1) // 2
+            trans = nn.Conv(self.out_channels, (tk, tk),
+                            padding=((pad, pad), (pad, pad)),
+                            dtype=self.dtype, name='trans_layer')
+        else:
+            trans = lambda x: x           # noqa: E731
+        key_p = trans(key)
+        sup_p = trans(supports.reshape(n * t, h, w, c))
+        co = sup_p.shape[-1]
+
+        # offset features on the key-minus-support difference, one batched
+        # pass over all frames
+        diff = (jnp.repeat(key_p, t, axis=0) - sup_p)
+        diff = BasicBlock(self.inner_channels,
+                          downsample=co != self.inner_channels,
+                          dtype=self.dtype, name='offset_feats_0')(
+                              diff, train=train)
+        for bi in range(1, self.num_blocks):
+            diff = BasicBlock(self.inner_channels, dtype=self.dtype,
+                              name=f'offset_feats_{bi}')(diff, train=train)
+
+        # identity init for the deformable kernels (center-tap eye,
+        # reference init_weights posewarper_neck.py:221-230)
         def _identity_dcn(rng, shape, dtype=self.dtype):
             kk = shape[0]
             eye = jnp.eye(shape[2], shape[3], dtype=dtype)
             w0 = jnp.zeros(shape, dtype)
             return w0.at[kk // 2, kk // 2].set(eye)
 
-        weights = [
-            self.param(f'dcn_weight_d{di}', _identity_dcn,
-                       (k, k, self.out_channels, self.out_channels))
-            for di in range(len(self.dilations))]
-        reduce_sup = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                             dtype=self.dtype, name='reduce_sup')
-        sup_bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              epsilon=1e-5, dtype=self.dtype,
-                              name='reduce_sup_bn')
-        offset_convs = [
-            nn.Conv(2 * k * k, (3, 3), padding=((dil, dil), (dil, dil)),
-                    kernel_dilation=(dil, dil), dtype=self.dtype,
-                    name=f'offset_d{di}')
-            for di, dil in enumerate(self.dilations)]
-
         if frame_weight is None:
             fw = jnp.full((t,), 1.0 / t, self.dtype)
         else:
             fw = jnp.asarray(frame_weight, self.dtype)
-        agg = None
-        for ti in range(t):
-            sup_p = sup_bn(reduce_sup(supports[:, ti]))
-            diff = key_p - sup_p
-            warped = None
-            for oc, wt, dil in zip(offset_convs, weights, self.dilations):
-                off = oc(diff)
-                out = deform_conv2d(sup_p, off, wt, padding=dil,
-                                    dilation=dil)
-                warped = out if warped is None else warped + out
-            warped = warped / len(self.dilations)
-            warped = warped * fw[ti]
-            agg = warped if agg is None else agg + warped
-        return agg
+
+        ok = self.offsets_kernel
+        opad = (ok - 1) // 2
+        warped = None
+        for di, dil in enumerate(self.dilations):
+            off = nn.Conv(2 * ok * ok, (ok, ok),
+                          padding=((opad * dil,) * 2, (opad * dil,) * 2),
+                          kernel_dilation=(dil, dil), use_bias=False,
+                          dtype=self.dtype,
+                          name=f'offset_layers_{di}')(diff)
+            wt = self.param(f'deform_conv_{di}', _identity_dcn,
+                            (k, k, co, co))
+            out = deform_conv2d(sup_p, off, wt, padding=(k // 2) * dil,
+                                dilation=dil)
+            warped = out if warped is None else warped + out
+        warped = warped / len(self.dilations)
+        warped = warped.reshape(n, t, h, w, co)
+        return jnp.einsum('t,nthwc->nhwc', fw, warped)

@@ -68,10 +68,12 @@ class TopDownConfig:
 
 def make_config(variant='b', img_size=(256, 192), head='heatmap',
                 out_channels=17, num_experts=0, part_dim=0,
-                dtype='float32', remat=False, **test_cfg):
+                dtype='float32', remat=False, remat_policy='full',
+                **test_cfg):
     v = VIT_VARIANTS[variant]
     bb = ViTConfig(img_size=img_size, num_experts=num_experts,
-                   part_dim=part_dim, dtype=dtype, remat_blocks=remat, **v)
+                   part_dim=part_dim, dtype=dtype, remat_blocks=remat,
+                   remat_policy=remat_policy, **v)
     return TopDownConfig(backbone=bb, head_type=head,
                          out_channels=out_channels, **test_cfg)
 

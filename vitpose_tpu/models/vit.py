@@ -206,6 +206,11 @@ class Attention(nn.Module):
             out = jnp.einsum('nhqk,nkhd->nqhd', attn, v,
                              preferred_element_type=jnp.float32)
         out = out.reshape(n, t, d).astype(self.dtype)
+        # under remat_policy='attn', this tensor is the one residual kept
+        # per attention: the backward pass then rebuilds q/k/v with one
+        # cheap qkv matmul instead of re-running the attention kernel
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, 'attn_out')
         # record the proj input for utils/quantize.py calibration (no-op
         # unless 'intermediates' is mutable)
         self.sow('intermediates', 'proj_in', out)
@@ -268,6 +273,12 @@ class ViTConfig:
     num_experts: int = 0                # >0 enables MoE FFN
     part_dim: int = 0
     remat_blocks: bool = False
+    # what block-level remat keeps as residuals ('full' = nothing, the
+    # torch gradient-checkpointing equivalent; 'attn' = keep each block's
+    # attention output so backward re-runs only LN/qkv/MLP matmuls, never
+    # the attention kernel forward; 'dots' = XLA policy keeping every
+    # non-batch matmul output)
+    remat_policy: str = 'full'
     fused_attention: bool = False       # Pallas attention kernel on TPU
     gelu_approx: bool = False           # tanh GELU (serving-time option)
     int8_mlp: bool = False              # W8A8 MLP matmuls (serving-time)
@@ -334,7 +345,17 @@ class ViT(nn.Module):
             # module itself as argument 0, so it is index 2 (self, x,
             # deterministic). With index 1 the flag became a tracer and any
             # config with drop_path > 0 failed to trace.
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            policy = None
+            if cfg.remat_policy == 'attn':
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    'attn_out')
+            elif cfg.remat_policy == 'dots':
+                policy = (jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable)
+            elif cfg.remat_policy != 'full':
+                raise ValueError(f'remat_policy {cfg.remat_policy!r}: '
+                                 "expected 'full', 'attn', or 'dots'")
+            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         for i in range(cfg.depth):
             x = block_cls(
                 num_heads=cfg.num_heads,

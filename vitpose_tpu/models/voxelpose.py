@@ -157,20 +157,72 @@ def project_heatmaps_to_voxels_arr(heatmaps, cp, grid):
 
 
 class _Basic3D(nn.Module):
+    """conv(k)+BN+ReLU with bias (reference v2v_net.py:14 Basic3DBlock)."""
     ch: int
+    kernel: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        y = nn.Conv(self.ch, (3, 3, 3), padding=1, use_bias=False,
+        pad = (self.kernel - 1) // 2
+        y = nn.Conv(self.ch, (self.kernel,) * 3, padding=pad,
                     dtype=self.dtype, name='conv')(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn')(y)
         return nn.relu(y)
 
 
+class _Res3D(nn.Module):
+    """Residual 3D block (reference v2v_net.py:49 Res3DBlock):
+    [conv+BN+ReLU, conv+BN] + (1x1 conv+BN skip when channels change),
+    joined by ReLU."""
+    ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = nn.Conv(self.ch, (3, 3, 3), padding=1, dtype=self.dtype,
+                    name='conv1')(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn1')(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.ch, (3, 3, 3), padding=1, dtype=self.dtype,
+                    name='conv2')(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn2')(y)
+        if x.shape[-1] == self.ch:
+            skip = x
+        else:
+            skip = nn.Conv(self.ch, (1, 1, 1), dtype=self.dtype,
+                           name='skip_conv')(x)
+            skip = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype,
+                                name='skip_bn')(skip)
+        return nn.relu(y + skip)
+
+
+class _Up3D(nn.Module):
+    """ConvTranspose(2,2)+BN+ReLU (reference v2v_net.py:114
+    Upsample3DBlock)."""
+    ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = nn.ConvTranspose(self.ch, (2, 2, 2), strides=(2, 2, 2),
+                             padding='VALID', transpose_kernel=True,
+                             dtype=self.dtype, name='deconv')(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name='bn')(y)
+        return nn.relu(y)
+
+
 class V2VNet(nn.Module):
-    """3D conv encoder-decoder over [N, X, Y, Z, C] volumes."""
+    """3D conv hourglass over [N, X, Y, Z, C] volumes (reference
+    v2v_net.py:212 `V2VNet`): 7^3 basic front block + residual front,
+    two-level pooled encoder with residual skip paths, mid residual
+    block, transposed-conv decoder, 1^3 output conv. NDHWC so every 3D
+    conv lowers to an MXU contraction over the channel axis."""
     mid_channels: int = 32
     out_channels: int = 15
     dtype: jnp.dtype = jnp.float32
@@ -178,20 +230,24 @@ class V2VNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.mid_channels
-        x = _Basic3D(c // 2, dtype=self.dtype, name='stem1')(x, train)
-        x = _Basic3D(c, dtype=self.dtype, name='stem2')(x, train)
-        s1 = x
+        x = _Basic3D(c // 2, kernel=7, dtype=self.dtype,
+                     name='front_basic')(x, train)
+        x = _Res3D(c, dtype=self.dtype, name='front_res')(x, train)
+        s1 = _Res3D(c, dtype=self.dtype, name='skip_res1')(x, train)
         x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-        x = _Basic3D(c * 2, dtype=self.dtype, name='enc1')(x, train)
-        s2 = x
+        x = _Res3D(c * 2, dtype=self.dtype, name='encoder_res1')(x, train)
+        s2 = _Res3D(c * 2, dtype=self.dtype, name='skip_res2')(x, train)
         x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
-        x = _Basic3D(c * 4, dtype=self.dtype, name='mid')(x, train)
-        x = jax.image.resize(x, s2.shape[:4] + (c * 4,), method='nearest')
-        x = _Basic3D(c * 2, dtype=self.dtype, name='dec1')(x, train) + s2
-        x = jax.image.resize(x, s1.shape[:4] + (c * 2,), method='nearest')
-        x = _Basic3D(c, dtype=self.dtype, name='dec2')(x, train) + s1
+        x = _Res3D(c * 4, dtype=self.dtype, name='encoder_res2')(x, train)
+        x = _Res3D(c * 4, dtype=self.dtype, name='mid_res')(x, train)
+        x = _Res3D(c * 4, dtype=self.dtype, name='decoder_res2')(x, train)
+        x = _Up3D(c * 2, dtype=self.dtype,
+                  name='decoder_upsample2')(x, train) + s2
+        x = _Res3D(c * 2, dtype=self.dtype, name='decoder_res1')(x, train)
+        x = _Up3D(c, dtype=self.dtype,
+                  name='decoder_upsample1')(x, train) + s1
         return nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
-                       name='out')(x)
+                       name='output_layer')(x)
 
 
 class CuboidCenterHead(nn.Module):
