@@ -65,6 +65,8 @@ def build_conv_layer(cfg, *args, **kwargs):
     t = (cfg or {}).get('type', 'Conv2d') if isinstance(cfg, dict) else 'Conv2d'
     if t == 'Conv1d':
         return nn.Conv1d(*args, **kwargs)
+    if t == 'Conv3d':
+        return nn.Conv3d(*args, **kwargs)
     return nn.Conv2d(*args, **kwargs)
 
 
@@ -74,8 +76,9 @@ def build_norm_layer(cfg, num_features, postfix=''):
     if t == 'LN':
         return f'ln{postfix}', nn.LayerNorm(
             num_features, eps=cfg.get('eps', 1e-5))
-    assert t in ('BN', 'BN1d', 'BN2d', 'SyncBN'), cfg
-    cls = nn.BatchNorm1d if t == 'BN1d' else nn.BatchNorm2d
+    assert t in ('BN', 'BN1d', 'BN2d', 'BN3d', 'SyncBN'), cfg
+    cls = (nn.BatchNorm1d if t == 'BN1d'
+           else nn.BatchNorm3d if t == 'BN3d' else nn.BatchNorm2d)
     layer = cls(num_features, **{k: v for k, v in cfg.items()
                                  if k in ('eps', 'momentum')})
     return f'bn{postfix}', layer
@@ -266,7 +269,8 @@ def _build_mmcv_stub():
             ('build_activation_layer', build_activation_layer),
             ('build_upsample_layer', build_upsample_layer),
             ('constant_init', _noop_init), ('normal_init', _noop_init),
-            ('kaiming_init', _noop_init), ('trunc_normal_init', _noop_init)):
+            ('kaiming_init', _noop_init), ('trunc_normal_init', _noop_init),
+            ('xavier_init', _noop_init)):
         setattr(cnn, name, obj)
     bricks = types.ModuleType('mmcv.cnn.bricks')
     bricks.ContextBlock = ContextBlock
@@ -673,3 +677,162 @@ def ref_group():
         _cache['group'] = _load_as('mmpose.core.post_processing.group',
                                    'mmpose/core/post_processing/group.py')
     return _cache['group']
+
+
+# ---------------------------------------------------------------------------
+# family heads / necks (round-4 .pth conversion goldens)
+# ---------------------------------------------------------------------------
+
+def _heads_pkg():
+    _install_stubs()
+    pkg = sys.modules.get('mmpose.models.heads')
+    if pkg is None:
+        pkg = types.ModuleType('mmpose.models.heads')
+        pkg.__path__ = [f'{REF}/mmpose/models/heads']
+        sys.modules['mmpose.models.heads'] = pkg
+    return pkg
+
+
+def _stub_core_eval():
+    """mmpose.core.* pieces the family heads import (genuine
+    top_down_eval; tiny stubs for the rest)."""
+    core = sys.modules.setdefault('mmpose.core',
+                                  types.ModuleType('mmpose.core'))
+    core.WeightNormClipHook = object
+    core.compute_similarity_transform = lambda *a, **k: None
+    core.fliplr_regression = lambda *a, **k: None
+    if 'mmpose.core.evaluation.top_down_eval' in sys.modules:
+        return
+    sys.path.insert(0, '/root/repo/tests')
+    from ref_loader import ref_post_transforms
+    pt = ref_post_transforms()
+    pp = sys.modules.get('mmpose.core.post_processing')
+    if pp is None:
+        pp = types.ModuleType('mmpose.core.post_processing')
+        sys.modules['mmpose.core.post_processing'] = pp
+    for name in ('get_warp_matrix', 'transform_preds', 'warp_affine_joints',
+                 'flip_back', 'get_affine_transform'):
+        if hasattr(pt, name):
+            setattr(pp, name, getattr(pt, name))
+    sys.modules.setdefault('mmpose.core.evaluation',
+                           types.ModuleType('mmpose.core.evaluation'))
+    _load_as('mmpose.core.evaluation.top_down_eval',
+             'mmpose/core/evaluation/top_down_eval.py')
+
+
+def ref_interhand3d_head():
+    """Reference Interhand3DHead (torch): right/left Heatmap3DHead +
+    Heatmap1DHead + MultilabelClassificationHead."""
+    if 'interhand3d_head' not in _cache:
+        _heads_pkg()
+        _stub_core_eval()
+        necks = sys.modules.setdefault('mmpose.models.necks',
+                                       types.ModuleType(
+                                           'mmpose.models.necks'))
+
+        class _GAP(nn.Module):
+            def forward(self, x):
+                return x.mean(dim=(2, 3))
+
+        necks.GlobalAveragePooling = _GAP
+        _cache['interhand3d_head'] = _load_as(
+            'mmpose.models.heads.interhand_3d_head',
+            'mmpose/models/heads/interhand_3d_head.py')
+    return _cache['interhand3d_head']
+
+
+def ref_temporal_regression_head():
+    """Reference TemporalRegressionHead (torch, Conv1d)."""
+    if 'temporal_head' not in _cache:
+        _heads_pkg()
+        _stub_core_eval()
+        _cache['temporal_head'] = _load_as(
+            'mmpose.models.heads.temporal_regression_head',
+            'mmpose/models/heads/temporal_regression_head.py')
+    return _cache['temporal_head']
+
+
+def ref_hmr_head():
+    """Reference HMRMeshHead (torch, 24*6 rot6d)."""
+    if 'hmr_head' not in _cache:
+        _heads_pkg()
+        utils_pkg = sys.modules.setdefault(
+            'mmpose.models.utils', types.ModuleType('mmpose.models.utils'))
+        utils_pkg.__path__ = [f'{REF}/mmpose/models/utils']
+        geom = _load_as('mmpose.models.utils.geometry',
+                        'mmpose/models/utils/geometry.py')
+        utils_pkg.geometry = geom
+        _cache['hmr_head'] = _load_as('mmpose.models.heads.hmr_head',
+                                      'mmpose/models/heads/hmr_head.py')
+    return _cache['hmr_head']
+
+
+def ref_ae_multi_stage_head():
+    """Reference AEMultiStageHead (torch)."""
+    if 'ae_multi_head' not in _cache:
+        _heads_pkg()
+        _cache['ae_multi_head'] = _load_as(
+            'mmpose.models.heads.ae_multi_stage_head',
+            'mmpose/models/heads/ae_multi_stage_head.py')
+    return _cache['ae_multi_head']
+
+
+def ref_posewarper_neck():
+    """Reference PoseWarperNeck (torch). mmcv's CUDA DeformConv2d is
+    replaced by a parameter-compatible stub (weight [O, I, k, k], no
+    bias) whose forward is NOT implemented — construction/state-dict
+    layout is what the conversion goldens need; the deformable math is
+    golden-tested separately (tests/test_deform_and_necks.py)."""
+    if 'posewarper_neck' not in _cache:
+        _install_stubs()
+        _load_backbone_utils()
+        _load_as('mmpose.models.backbones.resnet',
+                 'mmpose/models/backbones/resnet.py')
+        mmcv = sys.modules['mmcv']
+        mmcv.__version__ = '1.4.0'
+        utils_mod = sys.modules['mmcv.utils']
+
+        class _V(tuple):
+            pass
+
+        utils_mod.digit_version = lambda s: _V(
+            int(x) for x in s.split('.')[:3] if x.isdigit())
+        ops = types.ModuleType('mmcv.ops')
+
+        class DeformConv2d(nn.Module):
+            def __init__(self, in_channels, out_channels, kernel_size,
+                         stride=1, padding=0, dilation=1, deform_groups=1,
+                         im2col_step=80, bias=False):
+                super().__init__()
+                assert not bias
+                k = kernel_size if isinstance(kernel_size, int) \
+                    else kernel_size[0]
+                self.weight = nn.Parameter(
+                    torch.empty(out_channels, in_channels, k, k))
+                nn.init.kaiming_uniform_(self.weight, a=5 ** 0.5)
+
+            def forward(self, x, offset):
+                raise NotImplementedError(
+                    'CUDA DeformConv2d stub: state-dict layout only')
+
+        ops.DeformConv2d = DeformConv2d
+        sys.modules['mmcv.ops'] = ops
+        mmcv.ops = ops
+        mu = sys.modules.setdefault('mmpose.models.utils',
+                                    types.ModuleType('mmpose.models.utils'))
+        mu.__path__ = [f'{REF}/mmpose/models/utils']
+        ops_mod = _load_as('mmpose.models.utils.ops',
+                           'mmpose/models/utils/ops.py')
+        mu.ops = ops_mod
+        necks_pkg = sys.modules.setdefault(
+            'mmpose.models.necks', types.ModuleType('mmpose.models.necks'))
+        necks_pkg.__path__ = [f'{REF}/mmpose/models/necks']
+        _cache['posewarper_neck'] = _load_as(
+            'mmpose.models.necks.posewarper_neck',
+            'mmpose/models/necks/posewarper_neck.py')
+    return _cache['posewarper_neck']
+
+
+def ref_v2v_net():
+    """Reference V2VNet (torch, Conv3d)."""
+    return _ref_backbone('v2v_net')

@@ -1,0 +1,354 @@
+"""Family .pth conversion goldens (VERDICT r3 #5).
+
+The reference tools/test.py evaluates released torch checkpoints for EVERY
+detector family (reference tools/test.py:87-180); these tests pin our
+counterpart — utils/family_ckpt.convert_family_checkpoint + the
+tools/test.py family dispatches — against GENUINE reference torch modules
+(loaded via ref_cnn_loader) at random init:
+
+  * forward-parity goldens for the modules rewritten to the reference
+    layout this round (V2VNet, Interhand3DHead, HMRMeshHead, lifter
+    TCN+head, AEMultiStageHead);
+  * variables-tree structure equality with each family model's own init
+    (catching naming/shape drift for every converted leaf);
+  * a subprocess run of tools/test.py on a converted .pth for the lifter
+    family (the full CLI contract).
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+torch = pytest.importorskip('torch')
+import ref_cnn_loader as L  # noqa: E402
+
+
+def _sd(net):
+    return {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+
+def _tree_spec(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_spec(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(v.shape)
+    return out
+
+
+def _assert_same_structure(converted, inited, path=''):
+    a, b = _tree_spec(converted), _tree_spec(inited)
+    assert a == b, (
+        f'{path}: converted tree != init tree\n'
+        f'only-converted: {sorted(set(a) - set(b))}\n'
+        f'only-init: {sorted(set(b) - set(a))}\n'
+        f'shape-mismatch: '
+        f'{[(k, a[k], b[k]) for k in set(a) & set(b) if a[k] != b[k]]}')
+
+
+# ---------------------------------------------------------------------------
+# V2VNet (voxelpose)
+# ---------------------------------------------------------------------------
+
+def test_v2v_conversion_golden():
+    import jax.numpy as jnp
+    from vitpose_tpu.models.voxelpose import V2VNet
+    from vitpose_tpu.utils.family_ckpt import _convert_v2v
+
+    net = L.ref_v2v_net().V2VNet(15, 7, mid_channels=8).eval()
+    x = np.random.RandomState(0).randn(2, 15, 16, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+    params, stats = _convert_v2v({'n.' + k: v for k, v in _sd(net).items()},
+                                 'n.')
+    model = V2VNet(mid_channels=8, out_channels=7)
+    out = model.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(x.transpose(0, 2, 3, 4, 1)), train=False)
+    out = np.asarray(out).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_voxelpose_full_ckpt_structure():
+    from vitpose_tpu.models.voxelpose import DetectAndRegress
+    from vitpose_tpu.utils.family_ckpt import convert_family_checkpoint
+    import jax
+
+    v2v = L.ref_v2v_net()
+    center = v2v.V2VNet(15, 1, mid_channels=8)
+    pose = v2v.V2VNet(15, 15, mid_channels=8)
+    sd = {}
+    sd.update({'human_detector.center_net.' + k: v
+               for k, v in _sd(center).items()})
+    sd.update({'pose_regressor.pose_net.' + k: v
+               for k, v in _sd(pose).items()})
+    cfg = {'model': {'family': 'voxelpose', 'num_joints': 15,
+                     'mid_channels': 8}}
+    conv = convert_family_checkpoint(sd, cfg)
+    model = DetectAndRegress(num_joints=15, mid_channels=8,
+                             space_resolution=(16, 16, 16),
+                             cube_resolution=(16, 16, 16))
+    init = model.init(jax.random.PRNGKey(0))
+    _assert_same_structure(conv, init, 'voxelpose')
+
+
+# ---------------------------------------------------------------------------
+# InterHand3D (InterNet)
+# ---------------------------------------------------------------------------
+
+def test_interhand3d_conversion_golden():
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.train.loop import build_model_from_cfg
+    from vitpose_tpu.utils.family_ckpt import convert_family_checkpoint
+
+    ih = L.ref_interhand3d_head()
+    head = ih.Interhand3DHead(
+        keypoint_head_cfg=dict(in_channels=512, out_channels=21 * 8,
+                               depth_size=8, num_deconv_layers=2,
+                               num_deconv_filters=(24, 24),
+                               num_deconv_kernels=(4, 4)),
+        root_head_cfg=dict(in_channels=512, heatmap_size=64,
+                           hidden_dims=(512,)),
+        hand_type_head_cfg=dict(in_channels=512, num_labels=2,
+                                hidden_dims=(512,))).eval()
+    bb = L.ref_resnet().ResNet(depth=18, in_channels=3)
+    bb.eval()
+    x = np.random.RandomState(1).randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        feat = bb(torch.from_numpy(x))
+        feat = feat[-1] if isinstance(feat, (list, tuple)) else feat
+        hm3d, root, hand_type = head(feat)
+
+    sd = {'backbone.' + k: v for k, v in _sd(bb).items()}
+    sd.update({'keypoint_head.' + k: v for k, v in _sd(head).items()})
+    mcfg = dict(family='interhand3d', backbone_type='resnet',
+                backbone_overrides=dict(depth=18),
+                num_joints=42, depth_size=8, split_hands=True,
+                deconv_filters=(24, 24))
+    cfg = {'model': mcfg}
+    variables = convert_family_checkpoint(sd, cfg)
+    model = build_model_from_cfg(dict(mcfg))
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    _assert_same_structure(variables, init, 'interhand3d')
+
+    variables = jax.tree.map(jnp.asarray, variables)
+    out_hm, out_root, out_type = model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out_hm), hm3d.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    # reference root head returns the soft-argmax VALUE of the 1D bins
+    # (interhand_3d_head.py:209-231); ours returns the bins — compare
+    # after the same soft-argmax
+    bins = np.asarray(out_root)
+    soft = np.exp(bins - bins.max(-1, keepdims=True))
+    soft = soft / soft.sum(-1, keepdims=True)
+    val = (soft * np.arange(bins.shape[-1])).sum(-1, keepdims=True)
+    np.testing.assert_allclose(val, root.numpy(), rtol=1e-3, atol=1e-3)
+    # reference hand-type head applies sigmoid (interhand_3d_head.py:270)
+    np.testing.assert_allclose(
+        1.0 / (1.0 + np.exp(-np.asarray(out_type))), hand_type.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Pose lifter (SimpleBaseline3D)
+# ---------------------------------------------------------------------------
+
+def _lifter_sd_and_ref(rng_seed=2, with_traj=False):
+    tcn_mod = L.ref_tcn()
+    th = L.ref_temporal_regression_head()
+    bb = tcn_mod.TCN(in_channels=34, stem_channels=64, num_blocks=2,
+                     kernel_sizes=(3, 3, 3), dropout=0.0).eval()
+    head = th.TemporalRegressionHead(in_channels=64, num_joints=17).eval()
+    x = np.random.RandomState(rng_seed).randn(2, 34, 27).astype(np.float32)
+    with torch.no_grad():
+        feat = bb(torch.from_numpy(x))
+        feat = feat[-1] if isinstance(feat, (list, tuple)) else feat
+        if feat.dim() == 2:
+            feat = feat[..., None]
+        ref = head(feat)
+        if isinstance(ref, (list, tuple)):
+            ref = ref[0]
+    sd = {'backbone.' + k: v for k, v in _sd(bb).items()}
+    sd.update({'keypoint_head.' + k: v for k, v in _sd(head).items()})
+    if with_traj:
+        sd.update({'traj_backbone.' + k: v for k, v in _sd(bb).items()})
+        sd.update({'traj_head.' + k.replace('keypoint_head.', ''): v
+                   for k, v in _sd(head).items()})
+    return sd, x, ref.numpy()
+
+
+def test_pose_lifter_conversion_golden():
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.pose3d import PoseLifter
+    from vitpose_tpu.utils.family_ckpt import convert_family_checkpoint
+
+    sd, x, ref = _lifter_sd_and_ref()
+    cfg = {'model': {'family': 'pose_lifter', 'num_joints': 17,
+                     'stem_channels': 64}}
+    variables = convert_family_checkpoint(sd, cfg)
+    model = PoseLifter(num_joints=17, stem_channels=64, dropout=0.0)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 27, 17, 2)))
+    _assert_same_structure(variables, init, 'pose_lifter')
+    kp = jnp.asarray(x.transpose(0, 2, 1).reshape(2, 27, 17, 2))
+    out = model.apply(jax.tree.map(jnp.asarray, variables), kp, train=False)
+    np.testing.assert_allclose(np.asarray(out), ref.reshape(2, 17, 3),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Mesh (HMR)
+# ---------------------------------------------------------------------------
+
+def test_mesh_head_conversion_golden():
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.mesh import HMRMeshHead, rot6d_to_rotmat
+    from vitpose_tpu.utils.family_ckpt import convert_mesh_checkpoint
+
+    hm = L.ref_hmr_head()
+    head = hm.HMRMeshHead(in_channels=32).eval()
+    # non-degenerate mean params
+    with torch.no_grad():
+        head.init_pose.normal_(0, 0.2)
+        head.init_shape.normal_(0, 0.2)
+    feat = np.random.RandomState(3).randn(2, 32, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        rotmat, shape, cam = head(torch.from_numpy(feat))
+
+    sd = {'mesh_head.' + k: v for k, v in _sd(head).items()}
+    # a tiny fake backbone so _backbone() finds resnet tensors is not
+    # needed: call the mesh-head part directly
+    cfg = {'model': {'family': 'mesh', 'pose_rep': 'rot6d'}}
+    with pytest.raises(Exception):
+        convert_mesh_checkpoint({k: np.asarray(v) for k, v in sd.items()},
+                                {'model': {'family': 'mesh'}})  # no rot6d
+
+    bb = L.ref_resnet().ResNet(depth=18, in_channels=3)
+    bb.eval()
+    sd.update({'backbone.' + k: v for k, v in _sd(bb).items()})
+    variables = convert_mesh_checkpoint(
+        {k: np.asarray(v) for k, v in sd.items()},
+        {'model': {'family': 'mesh', 'pose_rep': 'rot6d',
+                   'backbone_type': 'resnet'}})
+    model = HMRMeshHead(pose_dim=144)
+    pose, out_shape, out_cam = model.apply(
+        jax.tree.map(jnp.asarray, variables['head']),
+        jnp.asarray(feat.mean(axis=(2, 3))), train=False)
+    np.testing.assert_allclose(
+        np.asarray(rot6d_to_rotmat(pose)).reshape(2, 24, 3, 3),
+        rotmat.numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_shape), shape.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_cam), cam.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-up AEMultiStageHead (hourglass_ae)
+# ---------------------------------------------------------------------------
+
+def test_ae_multi_head_conversion_golden():
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.heads_extra import AEMultiStageHead
+    from vitpose_tpu.utils.family_ckpt import _convert_ae_multi_head
+
+    am = L.ref_ae_multi_stage_head()
+    head = am.AEMultiStageHead(
+        in_channels=16, out_channels=34, num_stages=2,
+        num_deconv_layers=0, num_deconv_filters=(),
+        num_deconv_kernels=(),
+        extra=dict(final_conv_kernel=1)).eval()
+    x = np.random.RandomState(4).randn(2, 16, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        refs = head([torch.from_numpy(x), torch.from_numpy(x)])
+    sd = {'keypoint_head.' + k: np.asarray(v)
+          for k, v in _sd(head).items()}
+    params, stats = _convert_ae_multi_head(sd)
+    model = AEMultiStageHead(out_channels=34, num_stages=2,
+                             num_deconv_layers=0, deconv_filters=(),
+                             deconv_kernels=(), final_kernel=1)
+    outs = model.apply({'params': params, 'batch_stats': stats},
+                       [jnp.asarray(x.transpose(0, 2, 3, 1))] * 2,
+                       train=False)
+    assert len(outs) == len(refs) == 2
+    for o, r in zip(outs, refs):      # our head already returns NCHW
+        np.testing.assert_allclose(np.asarray(o), r.numpy(),
+                                   rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# PoseWarper neck (structure; DCN forward is golden-tested separately)
+# ---------------------------------------------------------------------------
+
+def test_posewarper_neck_conversion_structure():
+    import jax
+    import jax.numpy as jnp
+    from vitpose_tpu.models.necks import PoseWarperNeck
+    from vitpose_tpu.utils.family_ckpt import _convert_posewarper_neck
+
+    pw = L.ref_posewarper_neck()
+    neck = pw.PoseWarperNeck(in_channels=24, out_channels=12,
+                             inner_channels=16,
+                             res_blocks_cfg=dict(block='BASIC',
+                                                 num_blocks=3),
+                             deform_groups=12, dilations=(1, 2))
+    neck.eval()
+    sd = {'neck.' + k: np.asarray(v) for k, v in _sd(neck).items()}
+    params, stats = _convert_posewarper_neck(sd)
+    model = PoseWarperNeck(out_channels=12, inner_channels=16, num_blocks=3,
+                           dilations=(1, 2))
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 24)),
+                      jnp.zeros((1, 2, 8, 8, 24)))
+    conv = {'params': params}
+    if stats:
+        conv['batch_stats'] = stats
+    _assert_same_structure(conv, init, 'posewarper_neck')
+    # the non-DCN pieces are exercised by applying converted weights
+    out = model.apply(jax.tree.map(jnp.asarray, conv),
+                      jnp.asarray(np.random.RandomState(5)
+                                  .randn(1, 8, 8, 24).astype(np.float32)),
+                      jnp.asarray(np.random.RandomState(6)
+                                  .randn(1, 2, 8, 8, 24).astype(np.float32)),
+                      train=False)
+    assert np.asarray(out).shape == (1, 8, 8, 12)
+
+
+# ---------------------------------------------------------------------------
+# tools/test.py subprocess: lifter family on a converted .pth
+# ---------------------------------------------------------------------------
+
+def test_cli_lifter_pth(tmp_path):
+    h36m = '/root/reference/tests/data/h36m'
+    if not os.path.isdir(h36m):
+        pytest.skip('h36m fixture missing')
+    sd, _, _ = _lifter_sd_and_ref()
+    ckpt = tmp_path / 'lifter_rand.pth'
+    torch.save({'state_dict': {k: torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}, ckpt)
+    cfg = tmp_path / 'lifter_cfg.py'
+    cfg.write_text(f"""
+model = dict(family='pose_lifter', num_joints=17, stem_channels=64)
+data = dict(
+    seq_len=27, batch_size=32,
+    val=dict(ann_file='{h36m}/test_h36m_body3d.npz',
+             camera_param_file='{h36m}/cameras.pkl'),
+)
+evaluation = dict(metric=['mpjpe'])
+""")
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(
+        [sys.executable, 'tools/test.py', str(cfg), str(ckpt)],
+        capture_output=True, text=True, cwd='/root/repo', env=env,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json
+    stats = json.loads(r.stdout[r.stdout.index('{'):])
+    assert 'MPJPE' in stats or 'mpjpe' in {k.lower() for k in stats}

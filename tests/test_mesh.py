@@ -83,7 +83,10 @@ def test_adversarial_training_step():
             metrics0 = {k: float(v) for k, v in metrics.items()}
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
-    assert float(metrics['gen_loss']) <= metrics0['gen_loss'] * 1.5
+    # smoke bound only: 5 adam steps from random init with the faithful
+    # activation-free HMR fc stack (hmr_head.py:76-80) wander more than
+    # the old relu head did before settling
+    assert float(metrics['gen_loss']) <= metrics0['gen_loss'] * 2.5
 
 
 def test_imshow_mesh_3d_renders():

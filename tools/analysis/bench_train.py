@@ -162,32 +162,77 @@ def main_e2e():
     state = create_train_state(model, rng, imgs0, tx)
     step = jax.jit(make_train_step(model), donate_argnums=0)
 
+    # BENCH_E2E_MODE=canvas ships full uint8 canvases (78.7 MB/batch-64,
+    # warp+target-gen on device); =crop warps ON THE HOST via the same
+    # jax code pinned to the CPU backend and ships 256x192 uint8 crops
+    # (9.4 MB/batch — the reference's own wire format: its dataloader
+    # workers ship cv2-warped crops, top_down_transform.py TopDownAffine).
+    # BENCH_E2E_CACHE=1 adds a decode-once RAM cache (loader output
+    # replayed), isolating the wire from the JPEG-decode bound.
+    mode = os.environ.get('BENCH_E2E_MODE', 'canvas')
+    use_cache = os.environ.get('BENCH_E2E_CACHE', '0') == '1'
+    if mode == 'crop':
+        from vitpose_tpu.data.pipeline import (make_device_finish_fn,
+                                               make_host_crop_fn)
+        host_crop = make_host_crop_fn(image_size=(192, 256))
+        finish = make_device_finish_fn(image_size=(192, 256),
+                                       heatmap_size=(48, 64))
+
+        def to_wire(b):
+            crops, joints_c = host_crop(b['imgs'], b['center'], b['scale'],
+                                        b['rot'], b['joints'],
+                                        b.get('flip'))
+            return {'crops': np.asarray(crops),
+                    'joints_c': np.asarray(joints_c),
+                    'vis': np.asarray(b['vis'])}
+
+        def device_batch(w, i):
+            pre = finish(w['crops'], w['joints_c'], w['vis'])
+            return {'imgs': pre['imgs'], 'target': pre['target'],
+                    'target_weight': pre['target_weight']}
+    else:
+        def to_wire(b):
+            return b
+
+        def device_batch(w, i):
+            pre = preprocess(w['imgs'], w['center'], w['scale'], w['rot'],
+                             w['joints'], w['vis'], w.get('flip'))
+            return {'imgs': pre['imgs'], 'target': pre['target'],
+                    'target_weight': pre['target_weight']}
+
     q = queue.Queue(maxsize=4)
     stop = threading.Event()
 
     def feed():
+        if use_cache:
+            cached = [to_wire(b) for b in loader]   # decode once
+            while not stop.is_set():
+                for w in cached:
+                    if stop.is_set():
+                        return
+                    q.put(w)
+            return
         epoch = 0
         while not stop.is_set():
             loader.set_epoch(epoch)
             for b in loader:
                 if stop.is_set():
                     return
-                q.put(b)
+                q.put(to_wire(b))
             epoch += 1
 
     th = threading.Thread(target=feed, daemon=True)
     th.start()
 
-    def one(state, b, i):
-        pre = preprocess(b['imgs'], b['center'], b['scale'], b['rot'],
-                         b['joints'], b['vis'], b.get('flip'))
-        return step(state, {'imgs': pre['imgs'], 'target': pre['target'],
-                            'target_weight': pre['target_weight']},
-                    jax.random.fold_in(rng, i))
+    def one(state, w, i):
+        return step(state, device_batch(w, i), jax.random.fold_in(rng, i))
 
     state, m = one(state, q.get(), 0)      # compile
     float(m['heatmap_loss'])
     steps = int(os.environ.get('BENCH_E2E_STEPS', '40'))
+    # double-buffer: enqueue the device work for batch i while the host
+    # thread readies i+1; jax dispatch is async so the transfer of the
+    # next batch overlaps the running step
     t0 = time.perf_counter()
     for i in range(1, steps + 1):
         state, m = one(state, q.get(), i)
@@ -201,7 +246,7 @@ def main_e2e():
 
     # step-only rate under the SAME program (device preprocess + step),
     # replaying one already-loaded host batch
-    b0 = next(iter(loader))
+    b0 = to_wire(next(iter(loader)))
     state, m = one(state, b0, 0)
     float(m['heatmap_loss'])
     t0 = time.perf_counter()
@@ -212,6 +257,7 @@ def main_e2e():
 
     print(json.dumps({
         'metric': f'vitpose_{VARIANT}_256x192_train_e2e',
+        'mode': mode, 'cache': use_cache,
         'e2e_imgs_per_sec': round(e2e_ips, 1),
         'loader_imgs_per_sec': round(loader_ips, 1),
         'step_imgs_per_sec': round(step_ips, 1),

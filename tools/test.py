@@ -79,12 +79,7 @@ def run_bottomup_eval(cfg, args):
     from vitpose_tpu.api.inference import inference_bottom_up_multi_scale
 
     model = build_model_from_cfg(cfg['model'])
-    if args.checkpoint.endswith('.npz'):
-        from vitpose_tpu.utils.checkpoint import load_params_npz
-        variables = load_params_npz(args.checkpoint)
-    else:
-        raise ValueError('bottom-up eval expects an .npz checkpoint '
-                         '(save_params_npz from the bottomup train loop)')
+    variables = _load_family_ckpt(args, cfg)
     dcfg = cfg['data']
     vcfg = dcfg['val']
     ds = BottomUpCocoDataset(vcfg['ann_file'], vcfg.get('img_prefix', ''),
@@ -122,17 +117,26 @@ def run_interhand_eval(cfg, args):
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.eval.families import evaluate_interhand3d
     model = build_model_from_cfg(cfg['model'])
-    stats = evaluate_interhand3d(cfg, model, _load_family_npz(args),
+    stats = evaluate_interhand3d(cfg, model, _load_family_ckpt(args, cfg),
                                  metric=args.metric)
     _emit_stats(stats, args)
 
 
-def _load_family_npz(args):
-    if not args.checkpoint.endswith('.npz'):
-        raise ValueError('family eval expects an .npz checkpoint '
-                         '(work_dir/final.npz from tools/train.py)')
-    from vitpose_tpu.utils.checkpoint import load_params_npz
-    return load_params_npz(args.checkpoint)
+def _load_family_ckpt(args, cfg):
+    """Family checkpoint: .npz (our tools/train.py export) or torch .pth
+    (converted on the fly, like the reference tools/test.py evaluates
+    released checkpoints for every family, tools/test.py:87-180)."""
+    if args.checkpoint.endswith('.npz'):
+        from vitpose_tpu.utils.checkpoint import load_params_npz
+        return load_params_npz(args.checkpoint)
+    if args.checkpoint.endswith('.pth'):
+        from vitpose_tpu.utils.family_ckpt import convert_family_checkpoint
+        import jax
+        import jax.numpy as jnp
+        v = convert_family_checkpoint(args.checkpoint, cfg)
+        return jax.tree.map(jnp.asarray, v)
+    raise ValueError('family eval expects a .npz (tools/train.py '
+                     'work_dir/final.npz) or a torch .pth checkpoint')
 
 
 def _emit_stats(stats, args):
@@ -149,7 +153,7 @@ def run_pose_lifter_eval(cfg, args):
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.eval.families import evaluate_pose_lifter
     model = build_model_from_cfg(cfg['model'])
-    stats = evaluate_pose_lifter(cfg, model, _load_family_npz(args),
+    stats = evaluate_pose_lifter(cfg, model, _load_family_ckpt(args, cfg),
                                  metric=args.metric)
     _emit_stats(stats, args)
 
@@ -161,7 +165,7 @@ def run_posewarper_eval(cfg, args):
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.eval.families import evaluate_posewarper
     model = build_model_from_cfg(cfg['model'])
-    stats = evaluate_posewarper(cfg, model, _load_family_npz(args),
+    stats = evaluate_posewarper(cfg, model, _load_family_ckpt(args, cfg),
                                 batch_size=args.batch_size,
                                 res_folder=args.tmpdir,
                                 metric=args.metric)
@@ -175,7 +179,7 @@ def run_mesh_eval(cfg, args):
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.eval.families import evaluate_mesh
     model = build_model_from_cfg(cfg['model'])
-    stats = evaluate_mesh(cfg, model, _load_family_npz(args),
+    stats = evaluate_mesh(cfg, model, _load_family_ckpt(args, cfg),
                           metric=args.metric)
     _emit_stats(stats, args)
 
@@ -187,7 +191,7 @@ def run_voxelpose_eval(cfg, args):
     from vitpose_tpu.train.loop import build_model_from_cfg
     from vitpose_tpu.eval.families import evaluate_voxelpose
     model = build_model_from_cfg(cfg['model'])
-    stats = evaluate_voxelpose(cfg, model, _load_family_npz(args),
+    stats = evaluate_voxelpose(cfg, model, _load_family_ckpt(args, cfg),
                                metric=args.metric)
     _emit_stats(stats, args)
 

@@ -228,6 +228,68 @@ def make_preprocess_fn(image_size=(192, 256), heatmap_size=(48, 64),
     return preprocess
 
 
+def make_host_crop_fn(image_size=(192, 256), use_udp=True):
+    """CPU-backend jitted crop warp for the production wire format.
+
+    A locally-attached TPU host warps canvases to model-input crops on
+    the HOST and ships uint8 crops (8.3x less PCIe/wire traffic than
+    full canvases; the reference ships exactly these — cv2.warpAffine
+    uint8 crops from its dataloader workers,
+    top_down_transform.py TopDownAffine). Pairs with
+    :func:`make_device_finish_fn` (normalize + target painting stay on
+    device).
+
+    fn(imgs_uint8 [N,H,W,3], center, scale, rot, joints, flip) ->
+       (crops uint8 [N,h,w,3], joints_in_crop [N,K,2])
+    """
+    iw, ih = int(image_size[0]), int(image_size[1])
+
+    def host_crop(imgs, center, scale, rot, joints, flip=None):
+        imgs = imgs.astype(jnp.float32)
+        if use_udp:
+            mat = udp_warp_matrix(rot, center, scale, (iw, ih))
+        else:
+            mat = affine_matrix(center, scale, rot, (iw, ih))
+        mat_pix = mat
+        if flip is not None:
+            f = jnp.asarray(flip).astype(bool)
+            s_w = imgs.shape[2]
+            col0 = mat[..., :, 0]
+            flipped_mat = jnp.stack(
+                [-col0, mat[..., :, 1],
+                 mat[..., :, 2] + (s_w - 1) * col0], axis=-1)
+            mat_pix = jnp.where(f[:, None, None], flipped_mat, mat)
+        crops = warp_affine_batch(imgs, mat_pix, (iw, ih))
+        joints_c = apply_affine_to_points(joints, mat)
+        crops = jnp.clip(jnp.round(crops), 0, 255).astype(jnp.uint8)
+        return crops, joints_c
+
+    return jax.jit(host_crop, backend='cpu')
+
+
+def make_device_finish_fn(image_size=(192, 256), heatmap_size=(48, 64),
+                          sigma=2.0, use_udp=True, unbiased=False):
+    """Device-side completion of the crop-wire pipeline: normalize uint8
+    crops + paint heatmap targets (the halves of make_preprocess_fn that
+    stay on device when the warp ran on the host)."""
+    iw, ih = int(image_size[0]), int(image_size[1])
+
+    @jax.jit
+    def finish(crops_u8, joints_c, vis):
+        imgs = crops_u8.astype(jnp.float32) / 255.0
+        imgs = (imgs - IMAGENET_MEAN) / IMAGENET_STD
+        if use_udp:
+            target, weight = generate_udp_heatmaps(
+                joints_c, vis, (iw, ih), heatmap_size, sigma=sigma)
+        else:
+            target, weight = generate_msra_heatmaps(
+                joints_c, vis, (iw, ih), heatmap_size, sigma=sigma,
+                unbiased=unbiased)
+        return {'imgs': imgs, 'target': target, 'target_weight': weight}
+
+    return finish
+
+
 def photometric_distortion(rng: np.random.RandomState, img,
                            brightness_delta=32, contrast_range=(0.5, 1.5),
                            saturation_range=(0.5, 1.5), hue_delta=18):

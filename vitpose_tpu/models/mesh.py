@@ -39,6 +39,9 @@ class HMRMeshHead(nn.Module):
     num_iters: int = 3
     hidden: int = 1024
     pose_dim: int = POSE_DIM
+    # reference trains with p=0.5 dropout after each fc (hmr_head.py:34-36);
+    # enable when the training loop supplies a 'dropout' rng
+    use_dropout: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,10 +61,15 @@ class HMRMeshHead(nn.Module):
         fc2 = nn.Dense(self.hidden, dtype=self.dtype, name='fc2')
         out = nn.Dense(self.pose_dim + SHAPE_DIM + CAM_DIM,
                        dtype=self.dtype, name='out')
+        det = not (train and self.use_dropout)
+        drop1 = nn.Dropout(0.5, deterministic=det)
+        drop2 = nn.Dropout(0.5, deterministic=det)
         for _ in range(self.num_iters):
             x = jnp.concatenate([feat, params], axis=-1)
-            x = nn.relu(fc1(x))
-            x = nn.relu(fc2(x))
+            # NO activation between the fc layers — the reference HMR head
+            # is a linear fc stack with dropout only (hmr_head.py:76-80)
+            x = drop1(fc1(x))
+            x = drop2(fc2(x))
             params = params + out(x)
         pose = params[:, :self.pose_dim]
         shape = params[:, self.pose_dim:self.pose_dim + SHAPE_DIM]
@@ -69,10 +77,10 @@ class HMRMeshHead(nn.Module):
         return pose, shape, cam
 
 
-def rot6d_to_axis_angle(x):
-    """[N, 24*6] rot6d -> [N, 72] axis-angle (Zhou et al. CVPR'19
-    orthogonalization, the reference's rot6d_to_rotmat in
-    mmpose/core/utils + rotmat -> angle-axis)."""
+def rot6d_to_rotmat(x):
+    """[N, 24*6] rot6d -> [N*24, 3, 3] rotation matrices (Zhou et al.
+    CVPR'19 orthogonalization; reference mmpose/models/utils/geometry.py
+    rot6d_to_rotmat)."""
     n = x.shape[0]
     a = x.reshape(n * 24, 3, 2)
     b1 = a[..., 0] / jnp.maximum(
@@ -81,8 +89,14 @@ def rot6d_to_axis_angle(x):
     b2 = a[..., 1] - proj * b1
     b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
     b3 = jnp.cross(b1, b2)
-    rot = jnp.stack([b1, b2, b3], axis=-1)            # [N*24, 3, 3]
-    # rotmat -> axis-angle (guarded Rodrigues inverse)
+    return jnp.stack([b1, b2, b3], axis=-1)           # [N*24, 3, 3]
+
+
+def rot6d_to_axis_angle(x):
+    """[N, 24*6] rot6d -> [N, 72] axis-angle (rot6d -> rotmat ->
+    guarded Rodrigues inverse)."""
+    n = x.shape[0]
+    rot = rot6d_to_rotmat(x)
     tr = rot[:, 0, 0] + rot[:, 1, 1] + rot[:, 2, 2]
     cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     ang = jnp.arccos(cos)

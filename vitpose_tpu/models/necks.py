@@ -52,6 +52,10 @@ class PoseWarperNeck(nn.Module):
     offsets_kernel: int = 3
     num_blocks: int = 20
     trans_conv_kernel: int = 1
+    # one offset field per channel group — the reference warps each JOINT
+    # heatmap channel with its own offsets (posewarper_neck.py:163,
+    # config deform_groups=17); 0 means one group per output channel
+    deform_groups: int = 0
     dilations: Sequence[int] = (3, 6, 12, 18, 24)
     dtype: jnp.dtype = jnp.float32
 
@@ -100,9 +104,10 @@ class PoseWarperNeck(nn.Module):
 
         ok = self.offsets_kernel
         opad = (ok - 1) // 2
+        groups = self.deform_groups or co
         warped = None
         for di, dil in enumerate(self.dilations):
-            off = nn.Conv(2 * ok * ok, (ok, ok),
+            off = nn.Conv(2 * ok * ok * groups, (ok, ok),
                           padding=((opad * dil,) * 2, (opad * dil,) * 2),
                           kernel_dilation=(dil, dil), use_bias=False,
                           dtype=self.dtype,
@@ -110,7 +115,7 @@ class PoseWarperNeck(nn.Module):
             wt = self.param(f'deform_conv_{di}', _identity_dcn,
                             (k, k, co, co))
             out = deform_conv2d(sup_p, off, wt, padding=(k // 2) * dil,
-                                dilation=dil)
+                                dilation=dil, deform_groups=groups)
             warped = out if warped is None else warped + out
         warped = warped / len(self.dilations)
         warped = warped.reshape(n, t, h, w, co)
