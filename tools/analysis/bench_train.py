@@ -25,6 +25,24 @@ GROUP = int(os.environ.get('BENCH_TRAIN_GROUP', '4'))
 WARMUP = 1
 ITERS = int(os.environ.get('BENCH_TRAIN_ITERS', '3'))
 
+_T0 = time.perf_counter()
+
+
+def log(msg):
+    """Phase progress to stderr (the round-3 bench timeout shipped with
+    zero output; every long phase now announces itself)."""
+    print(f'[bench_train +{time.perf_counter() - _T0:6.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
+def _setup_cache(jax):
+    try:  # persistent compile cache: reruns/retries skip the compile
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception as e:
+        log(f'compilation cache unavailable: {e}')
+
 
 def main():
     import dataclasses as dc
@@ -35,8 +53,10 @@ def main():
     from vitpose_tpu.train import (OptimConfig, layer_decay_adamw,
                                    create_train_state, make_train_step)
 
+    _setup_cache(jax)
     remat = os.environ.get('BENCH_REMAT', '1') == '1'
     policy = os.environ.get('BENCH_REMAT_POLICY', 'full')
+    log(f'variant={VARIANT} batch={BATCH} remat={remat} policy={policy}')
     cfg = make_config(VARIANT, img_size=(256, 192), out_channels=17,
                       dtype='bfloat16', remat=remat, remat_policy=policy)
     cfg = dc.replace(cfg, backbone=dc.replace(cfg.backbone,
@@ -45,10 +65,13 @@ def main():
     rng = jax.random.PRNGKey(0)
     imgs0 = jnp.zeros((BATCH, 256, 192, 3), jnp.float32)
     ocfg = OptimConfig(base_lr=5e-4, num_layers=cfg.backbone.depth)
-    init_params = model.init(rng, imgs0, train=False)['params']
+    log('init params (jitted)')
+    init_params = jax.jit(
+        lambda r: model.init(r, imgs0, train=False))(rng)['params']
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch=1000)
     state = create_train_state(model, rng, imgs0, tx)
     step = make_train_step(model)
+    log('state ready')
 
     def batches(i):
         k = jax.random.PRNGKey(i)
@@ -76,12 +99,15 @@ def main():
         return float(np.asarray(jnp.ravel(x)[0]))
 
     for i in range(WARMUP):
+        log(f'warmup {i} (compiles on first call)')
         state, losses = run(state, batches(i), jax.random.PRNGKey(i))
         sync(losses)
+    log('measuring')
     t0 = time.perf_counter()
     for i in range(WARMUP, WARMUP + ITERS):
         state, losses = run(state, batches(i), jax.random.PRNGKey(i))
         sync(losses)
+        log(f'iter {i - WARMUP + 1}/{ITERS} done')
     dt = time.perf_counter() - t0
     ips = GROUP * BATCH * ITERS / dt
     print(json.dumps({'metric': f'vitpose_{VARIANT}_256x192_train',
@@ -109,7 +135,9 @@ def main_e2e():
     from vitpose_tpu.train import (OptimConfig, layer_decay_adamw,
                                    create_train_state, make_train_step)
 
+    _setup_cache(jax)
     n_imgs = int(os.environ.get('BENCH_E2E_IMGS', '768'))
+    log(f'e2e: generating {n_imgs} synthetic JPEGs')
     tmpdir = tempfile.mkdtemp()
     paths = make_jpegs(tmpdir, n_imgs)
     recs = []
@@ -157,7 +185,9 @@ def main_e2e():
                                     heatmap_size=(48, 64))
     imgs0 = jnp.zeros((BATCH, 256, 192, 3), jnp.float32)
     ocfg = OptimConfig(base_lr=5e-4, num_layers=cfg.backbone.depth)
-    init_params = model.init(rng, imgs0, train=False)['params']
+    log('e2e: init model')
+    init_params = jax.jit(
+        lambda r: model.init(r, imgs0, train=False))(rng)['params']
     tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch=1000)
     state = create_train_state(model, rng, imgs0, tx)
     step = jax.jit(make_train_step(model), donate_argnums=0)
@@ -227,9 +257,11 @@ def main_e2e():
     def one(state, w, i):
         return step(state, device_batch(w, i), jax.random.fold_in(rng, i))
 
+    log('e2e: compile step')
     state, m = one(state, q.get(), 0)      # compile
     float(m['heatmap_loss'])
     steps = int(os.environ.get('BENCH_E2E_STEPS', '40'))
+    log(f'e2e: measuring {steps} steps')
     # double-buffer: enqueue the device work for batch i while the host
     # thread readies i+1; jax dispatch is async so the transfer of the
     # next batch overlaps the running step

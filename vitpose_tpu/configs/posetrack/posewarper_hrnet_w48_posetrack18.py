@@ -10,7 +10,12 @@ model = dict(
     family='posewarper',
     backbone_type='hrnet',
     backbone_overrides=dict(width=48, stage_modules=(1, 4, 3)),
-    neck=dict(out_channels=48, dilations=(3, 6, 12, 18, 24)),
+    # reference neck recipe (hrnet_w48_..._posewarper_stage2.py:70-78):
+    # trans to 17 heatmap channels, 128 inner offset features, 20
+    # BasicBlocks, one offset field per joint (deform_groups=0 -> one
+    # group per output channel = 17)
+    neck=dict(out_channels=17, inner_channels=128, num_blocks=20,
+              trans_conv_kernel=1, dilations=(3, 6, 12, 18, 24)),
     out_channels=17,
 )
 data = dict(

@@ -55,7 +55,10 @@ def build_posewarper(mcfg: dict):
     mcfg = dict(mcfg)
     bb = build_backbone(mcfg.pop('backbone_type', 'hrnet'),
                         **(mcfg.pop('backbone_overrides', None) or {}))
-    neck_kw = mcfg.pop('neck', None) or {}
+    neck_kw = dict(mcfg.pop('neck', None) or {})
+    # optimizer-level knob consumed by train_posewarper_model, not the
+    # module (reference freeze_trans_layer, posewarper_neck.py:95)
+    neck_kw.pop('freeze_trans_layer', None)
     head_kw = dict(deconv_filters=(), deconv_kernels=())
     head_kw.update(mcfg.pop('head_overrides', None) or {})
     out_channels = mcfg.pop('out_channels', 17)

@@ -141,6 +141,16 @@ def train_posewarper_model(cfg: dict, work_dir: Optional[str] = None,
         {e * max(1, len(ds) // batch_size): 0.1
          for e in ocfg.get('decay_epochs', ())})
     tx = optax.adam(schedule)
+    # reference stage-2 freezes the neck's trans_layer (posewarper_neck.py
+    # freeze_trans_layer=True default: its params get requires_grad=False);
+    # mask its updates to zero unless the config opts out
+    if cfg['model'].get('neck', {}).get('freeze_trans_layer', True):
+        def _frozen_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: any(getattr(k, 'key', None) == 'trans_layer'
+                                    for k in path), params)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(),
+                                          _frozen_mask))
 
     rng = jax.random.PRNGKey(cfg.get('seed', 0))
     t = ds.num_frames
