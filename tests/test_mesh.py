@@ -334,3 +334,50 @@ def test_mesh_in_loop_validation(tmp_path):
     val = [l for l in lines if l.get('mode') == 'val']
     assert len(val) == 1
     assert np.isfinite(val[0]['MPJPE']) and np.isfinite(val[0]['MPJPE-PA'])
+
+
+def test_rot6d_to_axis_angle_quaternion_stability():
+    """rot6d -> axis-angle must roundtrip through cv2.Rodrigues across the
+    whole rotation group, INCLUDING the 180-degree neighborhood where a
+    skew-part axis extraction degenerates (ADVICE r4: quaternion route).
+    Reference conversion being matched: mmpose/models/utils/geometry.py
+    rot6d_to_rotmat + the axis-angle pose smpl_fn consumes."""
+    import cv2
+    from vitpose_tpu.models.mesh import rot6d_to_axis_angle
+    rs = np.random.RandomState(0)
+    for ang in (np.pi - 1e-4, np.pi - 1e-2, 2.5, 0.5, 1e-5):
+        aa = rs.randn(8, 3)
+        aa = aa / np.linalg.norm(aa, axis=1, keepdims=True) * ang
+        rots = np.stack([cv2.Rodrigues(a)[0] for a in aa])
+        # 6d = first two columns of R, row-major [3,2] (Zhou et al.)
+        r6 = np.tile(rots[:, :, :2].reshape(8, 6), (1, 24))
+        back = np.asarray(
+            rot6d_to_axis_angle(jnp.asarray(r6, jnp.float32)))
+        back = back.reshape(8, 24, 3)[:, 0]
+        rots2 = np.stack([cv2.Rodrigues(b.astype(np.float64))[0]
+                          for b in back])
+        assert np.abs(rots2 - rots).max() < 5e-3, ang
+
+
+def test_hmr_mean_params_frozen():
+    """The reference registers init_pose/init_shape/init_cam as
+    NON-TRAINABLE buffers (hmr_head.py:54-56); our mean_params must get a
+    zero gradient so plain adam never moves it (ADVICE r4)."""
+    head = HMRMeshHead()
+    feat = jnp.ones((2, 32))
+    hv = head.init(jax.random.PRNGKey(0), feat)
+
+    def loss(p):
+        pose, shape, cam = head.apply(p, feat)
+        return jnp.sum(pose ** 2) + jnp.sum(shape ** 2) + jnp.sum(cam ** 2)
+
+    g = jax.grad(loss)(hv)
+    assert (np.asarray(g['params']['mean_params']) == 0).all()
+    # ...and the forward still actually USES the mean as the start point
+    hv2 = jax.tree_util.tree_map(lambda x: x, hv)
+    mp = np.asarray(hv2['params']['mean_params']).copy()
+    mp[:5] += 1.0
+    hv2['params']['mean_params'] = jnp.asarray(mp)
+    out1 = head.apply(hv, feat)[0]
+    out2 = head.apply(hv2, feat)[0]
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))

@@ -65,11 +65,21 @@ def main():
     rng = jax.random.PRNGKey(0)
     imgs0 = jnp.zeros((BATCH, 256, 192, 3), jnp.float32)
     ocfg = OptimConfig(base_lr=5e-4, num_layers=cfg.backbone.depth)
-    log('init params (jitted)')
-    init_params = jax.jit(
-        lambda r: model.init(r, imgs0, train=False))(rng)['params']
-    tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch=1000)
-    state = create_train_state(model, rng, imgs0, tx)
+    # init on the host CPU backend, then ONE bulk device_put: the jitted
+    # on-device init was the phase that ate the round-4 driver bench run
+    # when the tunnel hung (see bench.py round-5 notes)
+    log('init params + opt state on host CPU backend')
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda r: model.init(r, imgs0, train=False))(rng)
+        tx = layer_decay_adamw(variables['params'], ocfg,
+                               steps_per_epoch=1000)
+        state = create_train_state(model, rng, imgs0, tx,
+                                   variables=variables)
+    log('device_put train state (first device contact)')
+    state = jax.device_put(state, jax.devices()[0])
+    jax.block_until_ready(state.params)
     step = make_train_step(model)
     log('state ready')
 
@@ -185,11 +195,16 @@ def main_e2e():
                                     heatmap_size=(48, 64))
     imgs0 = jnp.zeros((BATCH, 256, 192, 3), jnp.float32)
     ocfg = OptimConfig(base_lr=5e-4, num_layers=cfg.backbone.depth)
-    log('e2e: init model')
-    init_params = jax.jit(
-        lambda r: model.init(r, imgs0, train=False))(rng)['params']
-    tx = layer_decay_adamw(init_params, ocfg, steps_per_epoch=1000)
-    state = create_train_state(model, rng, imgs0, tx)
+    log('e2e: init model on host CPU backend')
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda r: model.init(r, imgs0, train=False))(rng)
+        tx = layer_decay_adamw(variables['params'], ocfg,
+                               steps_per_epoch=1000)
+        state = create_train_state(model, rng, imgs0, tx,
+                                   variables=variables)
+    state = jax.device_put(state, jax.devices()[0])
     step = jax.jit(make_train_step(model), donate_argnums=0)
 
     # BENCH_E2E_MODE=canvas ships full uint8 canvases (78.7 MB/batch-64,

@@ -12,6 +12,9 @@ model = dict(
     backbone_type='resnet',
     backbone_overrides=dict(depth=50),
     num_iters=3,
+    # reference HMR head layout (hmr_head.py:28 npose=24*6): required for
+    # tools/test.py on a reference mesh .pth without manual overrides
+    pose_rep='rot6d',
     smpl='linear',
 )
 data = dict(

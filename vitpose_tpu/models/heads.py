@@ -39,6 +39,13 @@ class HeatmapHead(nn.Module):
     `extra=dict(num_conv_layers=N, num_conv_kernels=(...))` option used by
     the HRNetV2 face/hand heads (topdown_heatmap_simple_head.py extra
     conv branch; e.g. hrnetv2_w18_300w_256x256.py num_conv_layers=1).
+
+    `final_kernel=0` makes the prediction layer an identity (reference
+    `extra=dict(final_conv_kernel=0)` -> `self.final_layer = nn.Identity()`,
+    topdown_heatmap_simple_head.py:94-108) — the PoseWarper stage-2 head
+    is this parameter-less identity (its neck already emits 17 heatmap
+    channels), so genuine reference .pth checkpoints carry NO
+    keypoint_head tensors.
     """
     out_channels: int
     deconv_filters: Sequence[int] = (256, 256)
@@ -66,6 +73,8 @@ class HeatmapHead(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              name=f'conv_bn_{i}')(x)
             x = nn.relu(x)
+        if self.final_kernel <= 0:      # identity prediction layer
+            return x
         pad = (self.final_kernel - 1) // 2
         x = nn.Conv(self.out_channels, (self.final_kernel, self.final_kernel),
                     padding=((pad, pad), (pad, pad)), dtype=self.dtype,

@@ -56,6 +56,11 @@ class HMRMeshHead(nn.Module):
 
         mean = self.param('mean_params', _mean_init,
                           (self.pose_dim + SHAPE_DIM + CAM_DIM,))
+        # the reference registers init_pose/init_shape/init_cam as
+        # NON-TRAINABLE buffers (hmr_head.py:54-56): freeze the mean so
+        # only the decoder deltas learn (zero grad; the mesh loop's plain
+        # adam therefore never moves it)
+        mean = jax.lax.stop_gradient(mean)
         params = jnp.tile(mean[None], (n, 1))
         fc1 = nn.Dense(self.hidden, dtype=self.dtype, name='fc1')
         fc2 = nn.Dense(self.hidden, dtype=self.dtype, name='fc2')
@@ -92,20 +97,57 @@ def rot6d_to_rotmat(x):
     return jnp.stack([b1, b2, b3], axis=-1)           # [N*24, 3, 3]
 
 
+def rotmat_to_quat(m):
+    """[..., 3, 3] rotation matrices -> [..., 4] unit quaternions (w,x,y,z),
+    w >= 0. Shepperd's largest-component extraction: each of the four
+    candidate forms divides by a different 1+/-trace term; picking the
+    largest keeps the divisor >= 1, so the conversion is stable for ALL
+    rotations — including the 180-degree neighborhood where the skew-part
+    axis extraction degenerates."""
+    d0, d1, d2 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    q0 = jnp.stack([1.0 + d0 + d1 + d2,
+                    m[..., 2, 1] - m[..., 1, 2],
+                    m[..., 0, 2] - m[..., 2, 0],
+                    m[..., 1, 0] - m[..., 0, 1]], axis=-1)
+    q1 = jnp.stack([m[..., 2, 1] - m[..., 1, 2],
+                    1.0 + d0 - d1 - d2,
+                    m[..., 0, 1] + m[..., 1, 0],
+                    m[..., 0, 2] + m[..., 2, 0]], axis=-1)
+    q2 = jnp.stack([m[..., 0, 2] - m[..., 2, 0],
+                    m[..., 0, 1] + m[..., 1, 0],
+                    1.0 - d0 + d1 - d2,
+                    m[..., 1, 2] + m[..., 2, 1]], axis=-1)
+    q3 = jnp.stack([m[..., 1, 0] - m[..., 0, 1],
+                    m[..., 0, 2] + m[..., 2, 0],
+                    m[..., 1, 2] + m[..., 2, 1],
+                    1.0 - d0 - d1 + d2], axis=-1)
+    lead = jnp.stack([q0[..., 0], q1[..., 1], q2[..., 2], q3[..., 3]],
+                     axis=-1)
+    cand = jnp.stack([q0, q1, q2, q3], axis=-2)        # [..., 4, 4]
+    idx = jnp.argmax(lead, axis=-1)
+    q = jnp.take_along_axis(cand, idx[..., None, None], axis=-2)[..., 0, :]
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)   # canonical w >= 0
+
+
 def rot6d_to_axis_angle(x):
-    """[N, 24*6] rot6d -> [N, 72] axis-angle (rot6d -> rotmat ->
-    guarded Rodrigues inverse)."""
+    """[N, 24*6] rot6d -> [N, 72] axis-angle via quaternions
+    (rot6d -> rotmat -> quat -> axis-angle). The quaternion route stays
+    stable near 180-degree rotations, where the previous skew-part axis
+    extraction collapsed (axis norm -> 0); angle = 2*atan2(|v|, w) is
+    exact and smooth over the whole rotation group."""
     n = x.shape[0]
-    rot = rot6d_to_rotmat(x)
-    tr = rot[:, 0, 0] + rot[:, 1, 1] + rot[:, 2, 2]
-    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    ang = jnp.arccos(cos)
-    axis = jnp.stack([rot[:, 2, 1] - rot[:, 1, 2],
-                      rot[:, 0, 2] - rot[:, 2, 0],
-                      rot[:, 1, 0] - rot[:, 0, 1]], axis=-1)
-    s = jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-8)
-    aa = axis / s * ang[:, None]
-    return aa.reshape(n, 72)
+    q = rotmat_to_quat(rot6d_to_rotmat(x))
+    w, v = q[..., 0], q[..., 1:]
+    vn = jnp.linalg.norm(v, axis=-1)
+    angle = 2.0 * jnp.arctan2(vn, w)
+    # aa = v/|v| * angle, with the analytic small-angle limit 2/w (w ~ 1
+    # when |v| ~ 0); safe denominators in BOTH branches keep grads finite
+    small = vn < 1e-6
+    scale = jnp.where(small,
+                      2.0 / jnp.maximum(w, 0.5),
+                      angle / jnp.maximum(vn, 1e-6))
+    return (v * scale[..., None]).reshape(n, 72)
 
 
 class SMPLDiscriminator(nn.Module):

@@ -107,9 +107,13 @@ class PoseWarperNeck(nn.Module):
         groups = self.deform_groups or co
         warped = None
         for di, dil in enumerate(self.dilations):
+            # zero-initialized offsets (reference constant_init(.., 0),
+            # posewarper_neck.py:236): with the identity DCN kernels the
+            # whole neck starts as an exact identity warp
             off = nn.Conv(2 * ok * ok * groups, (ok, ok),
                           padding=((opad * dil,) * 2, (opad * dil,) * 2),
                           kernel_dilation=(dil, dil), use_bias=False,
+                          kernel_init=nn.initializers.zeros,
                           dtype=self.dtype,
                           name=f'offset_layers_{di}')(diff)
             wt = self.param(f'deform_conv_{di}', _identity_dcn,

@@ -59,8 +59,16 @@ def build_posewarper(mcfg: dict):
     # optimizer-level knob consumed by train_posewarper_model, not the
     # module (reference freeze_trans_layer, posewarper_neck.py:95)
     neck_kw.pop('freeze_trans_layer', None)
-    head_kw = dict(deconv_filters=(), deconv_kernels=())
-    head_kw.update(mcfg.pop('head_overrides', None) or {})
+    head_kw = dict(mcfg.pop('head_overrides', None) or {})
+    head_kw.setdefault('deconv_filters', ())
+    head_kw.setdefault('deconv_kernels', ())
+    # reference stage-2 head is a parameter-less identity: 0 deconvs +
+    # final_conv_kernel=0 (hrnet_w48_..._posewarper_stage2.py:87-88) — the
+    # neck already emits the 17 heatmap channels, and genuine reference
+    # .pth checkpoints carry NO keypoint_head tensors. Overrides that add
+    # deconvs get the usual 1x1 prediction conv unless they say otherwise.
+    head_kw.setdefault('final_kernel',
+                       0 if not head_kw['deconv_filters'] else 1)
     out_channels = mcfg.pop('out_channels', 17)
     return PoseWarper(
         backbone=bb,
