@@ -215,7 +215,7 @@ def test_zero1_optimizer_state_sharding():
                                expert_idx=init_expert)
 
     step1 = jax.jit(make_moe_train_step(model, num_datasets=3))
-    _, metrics1 = step1(state, batch, rng)
+    state_ref, metrics1 = step1(state, batch, rng)
     ref_loss = float(metrics1['heatmap_loss'])
 
     mesh = make_mesh(n_data=8, n_expert=1)
@@ -232,6 +232,17 @@ def test_zero1_optimizer_state_sharding():
     new_state, metrics = jitted(sharded_state, place_batch(batch), rng)
     np.testing.assert_allclose(float(metrics['heatmap_loss']), ref_loss,
                                rtol=1e-5)
+    # the UPDATED state (params and adam moments) matches the
+    # replicated-optimizer step numerically, leaf by leaf — ZeRO-1 is a
+    # memory layout, not a different optimizer (VERDICT r4 #5)
+    for zl, rl in zip(jax.tree.leaves(new_state.params),
+                      jax.tree.leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(zl), np.asarray(rl),
+                                   rtol=1e-5, atol=1e-6)
+    for zl, rl in zip(jax.tree.leaves(new_state.opt_state),
+                      jax.tree.leaves(state_ref.opt_state)):
+        np.testing.assert_allclose(np.asarray(zl), np.asarray(rl),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_zero1_layout_stable_across_steps():
