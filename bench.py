@@ -42,8 +42,9 @@ This script is therefore a SUPERVISOR + CHILD pair:
     becomes the single stdout JSON line. Exit code is always 0.
 
 Env knobs: BENCH_ITERS, BENCH_GROUP, BENCH_WATCHDOG_S (global budget,
-default 420 s), BENCH_INT8, BENCH_INT8_QKV, BENCH_NO_SUPERVISE=1 (run the
-measurement inline, for debugging).
+default 420 s), BENCH_INT8, BENCH_INT8_QKV, BENCH_INT8_SKIP (keep
+first/last K blocks bf16 — selective quantization, PERF.md sweep),
+BENCH_NO_SUPERVISE=1 (run the measurement inline, for debugging).
 
 Prints ONE json line on stdout: {"metric", "value", "unit", "vs_baseline"}
 (+ "partial": true if measurement was cut short).
@@ -341,8 +342,12 @@ def main_child():
     int8 = os.environ.get('BENCH_INT8', '0') == '1'
     int8_qkv = os.environ.get('BENCH_INT8_QKV', '0') == '1'
     int8 = int8 or int8_qkv
+    # BENCH_INT8_SKIP=K: keep the first and last K blocks bf16
+    # (selective quantization; PERF.md sweep)
+    int8_skip = int(os.environ.get('BENCH_INT8_SKIP', '0'))
     metric = ('vitpose_b_256x192_e2e_infer'
-              + ('_int8' if int8 else '') + ('_qkv' if int8_qkv else ''))
+              + ('_int8' if int8 else '') + ('_qkv' if int8_qkv else '')
+              + (f'_skip{int8_skip}' if int8 and int8_skip else ''))
     ew.emit(event='meta', metric=metric, group=GROUP, batch=BATCH,
             iters=ITERS)
 
@@ -387,10 +392,13 @@ def main_child():
     if int8:
         ew.phase('int8-calibrate')
         from vitpose_tpu.utils.quantize import (calibrate_act_scales,
+                                                first_last_skip,
                                                 int8_serving_config)
         cal = [np.asarray(batches[0][0, :8], np.float32)]
         scales = calibrate_act_scales(model, variables, cal, attn=int8_qkv)
-        model = TopDownModel(int8_serving_config(cfg, scales, qkv=int8_qkv))
+        skip = first_last_skip(cfg.backbone.depth, int8_skip, int8_skip)
+        model = TopDownModel(int8_serving_config(cfg, scales, qkv=int8_qkv,
+                                                 skip_blocks=skip))
 
     @jax.jit
     def end_to_end(variables, imgs8_group):

@@ -142,3 +142,43 @@ def test_int8_config_roundtrip():
     vq = q_model.init(jax.random.PRNGKey(0), x)
     assert jax.tree.map(lambda a: a.shape, v) == \
         jax.tree.map(lambda a: a.shape, vq)
+
+
+def test_int8_skip_blocks_selective():
+    """int8_skip_blocks keeps the listed blocks bf16: skipping ALL blocks
+    must reproduce the float model bitwise; skipping none must not
+    (selective quantization, PERF.md sweep; ViTConfig.int8_skip_blocks)."""
+    from vitpose_tpu.models import TopDownModel, make_config
+    from vitpose_tpu.utils.quantize import first_last_skip
+
+    assert first_last_skip(12, 1, 1) == (0, 11)
+    assert first_last_skip(12, 2, 0) == (0, 1)
+    assert first_last_skip(12, 0, 0) == ()
+    assert first_last_skip(4, 3, 3) == (0, 1, 2, 3)
+
+    cfg = make_config('s', img_size=(64, 64), out_channels=4,
+                      dtype='float32', flip_test=False)
+    bb = dc.replace(cfg.backbone, embed_dim=48, depth=2, num_heads=4,
+                    drop_path_rate=0.0)
+    cfg = dc.replace(cfg, backbone=bb)
+    model = TopDownModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    v = model.init(rng, jnp.zeros((1, 64, 64, 3)))
+    y_float = np.asarray(model.apply(v, x, train=False))
+
+    bb8 = dc.replace(bb, int8_mlp=True, int8_qkv=True)
+    y_all8 = np.asarray(TopDownModel(dc.replace(cfg, backbone=bb8))
+                        .apply(v, x, train=False))
+    assert not np.array_equal(y_all8, y_float)
+
+    bb_skip = dc.replace(bb8, int8_skip_blocks=(0, 1))
+    y_skip_all = np.asarray(TopDownModel(dc.replace(cfg, backbone=bb_skip))
+                            .apply(v, x, train=False))
+    np.testing.assert_array_equal(y_skip_all, y_float)
+
+    bb_skip0 = dc.replace(bb8, int8_skip_blocks=(0,))
+    y_skip0 = np.asarray(TopDownModel(dc.replace(cfg, backbone=bb_skip0))
+                         .apply(v, x, train=False))
+    assert not np.array_equal(y_skip0, y_float)
+    assert not np.array_equal(y_skip0, y_all8)

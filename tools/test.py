@@ -219,6 +219,11 @@ def main():
                          'deployed path — see tests/'
                          'test_int8_ap_neutrality.py for the budget '
                          'methodology)')
+    ap.add_argument('--int8-skip', type=int, default=0, metavar='K',
+                    help='with --int8: keep the first and last K blocks '
+                         'bf16 (selective quantization; the PERF.md '
+                         'sweep found K=1 recovers the per-instance OKS '
+                         'floor the full-int8 path loses)')
     args = ap.parse_args()
 
     from vitpose_tpu.utils.config import load_config, apply_options
@@ -255,10 +260,14 @@ def main():
         # (AP budget methodology: tests/test_int8_ap_neutrality.py)
         import dataclasses
         from vitpose_tpu.utils.quantize import (calibrate_from_loader,
+                                                first_last_skip,
                                                 int8_serving_config)
         scales = calibrate_from_loader(model, variables, loader,
                                        attn=True)
-        fcfg = int8_serving_config(model.cfg, scales, qkv=True)
+        fcfg = int8_serving_config(
+            model.cfg, scales, qkv=True,
+            skip_blocks=first_last_skip(model.cfg.backbone.depth,
+                                        args.int8_skip, args.int8_skip))
         fcfg = dataclasses.replace(
             fcfg, backbone=dataclasses.replace(fcfg.backbone,
                                                gelu_approx=True))

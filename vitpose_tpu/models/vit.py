@@ -287,6 +287,10 @@ class ViTConfig:
     # (fc1_in, fc2_in) or (fc1_in, fc2_in, qkv_in, proj_in) tuples, one per
     # block; () => dynamic per-token
     int8_act_scales: tuple = ()
+    # selective quantization: block indices kept bf16 even when
+    # int8_mlp/int8_qkv are set (the first/last blocks carry the largest
+    # per-instance OKS error — see PERF.md int8 selective sweep)
+    int8_skip_blocks: tuple = ()
     dtype: str = 'float32'
 
     @property
@@ -356,6 +360,7 @@ class ViT(nn.Module):
                 raise ValueError(f'remat_policy {cfg.remat_policy!r}: '
                                  "expected 'full', 'attn', or 'dots'")
             block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
+        skip8 = set(cfg.int8_skip_blocks or ())
         for i in range(cfg.depth):
             x = block_cls(
                 num_heads=cfg.num_heads,
@@ -366,8 +371,8 @@ class ViT(nn.Module):
                 num_experts=cfg.num_experts,
                 part_dim=cfg.part_dim,
                 gelu_approx=cfg.gelu_approx,
-                int8_mlp=cfg.int8_mlp,
-                int8_qkv=cfg.int8_qkv,
+                int8_mlp=cfg.int8_mlp and i not in skip8,
+                int8_qkv=cfg.int8_qkv and i not in skip8,
                 int8_act_scales=(tuple(cfg.int8_act_scales[i])
                                  if cfg.int8_act_scales else None),
                 dtype=dtype,

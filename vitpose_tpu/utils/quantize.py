@@ -88,12 +88,16 @@ def calibrate_act_scales(model, variables, batches: Sequence,
                  for i in range(depth))
 
 
-def int8_serving_config(cfg, scales, qkv: bool = False):
+def int8_serving_config(cfg, scales, qkv: bool = False,
+                        skip_blocks: Sequence[int] = ()):
     """TopDownConfig -> same config with the int8 serving matmuls enabled.
 
     ``qkv=True`` additionally runs the attention qkv/proj projections in
     int8 (requires 4-element per-block scales from
-    ``calibrate_act_scales(..., attn=True)``).
+    ``calibrate_act_scales(..., attn=True)``). ``skip_blocks`` keeps the
+    listed block indices bf16 (selective quantization — the first/last
+    blocks dominate the per-instance OKS error; PERF.md int8 selective
+    sweep).
     """
     if qkv and any(len(s) < 4 for s in scales):
         raise ValueError('qkv=True needs (fc1, fc2, qkv, proj) scales; '
@@ -106,8 +110,17 @@ def int8_serving_config(cfg, scales, qkv: bool = False):
             'backbones: MoEMlp ignores int8_mlp')
     bb = dataclasses.replace(cfg.backbone, int8_mlp=True, int8_qkv=qkv,
                              int8_act_scales=tuple(
-                                 tuple(s) for s in scales))
+                                 tuple(s) for s in scales),
+                             int8_skip_blocks=tuple(int(i)
+                                                    for i in skip_blocks))
     return dataclasses.replace(cfg, backbone=bb)
+
+
+def first_last_skip(depth: int, k_first: int, k_last: int):
+    """Block-index tuple keeping the first ``k_first`` and last ``k_last``
+    blocks bf16 — the selective-quantization shape swept in PERF.md."""
+    return tuple(sorted(set(range(k_first))
+                        | set(range(depth - k_last, depth))))
 
 
 def calibrate_from_loader(model, variables, loader, n_batches: int = 2,
