@@ -98,11 +98,21 @@ def main():
         return np.asarray(out)
 
     depth = cfg.backbone.depth
-    sweep = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 2),
-             (3, 3)]
+    if os.environ.get('INT8_SWEEP_PER_BLOCK', '0') == '1':
+        # attribution mode: quantize exactly ONE block at a time — if
+        # every single-block floor is near 1.0, the full-int8 floor is
+        # CUMULATIVE (distributed across blocks) and no small bf16 subset
+        # can recover it
+        sweep = [('only', b) for b in range(depth)]
+    else:
+        sweep = [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (2, 2),
+                 (3, 3)]
     rows = []
     for kf, kl in sweep:
-        skip = first_last_skip(depth, kf, kl)
+        if kf == 'only':
+            skip = tuple(i for i in range(depth) if i != kl)
+        else:
+            skip = first_last_skip(depth, kf, kl)
         fast_cfg = int8_serving_config(cfg, scales, qkv=True,
                                        skip_blocks=skip)
         fast_cfg = dataclasses.replace(
@@ -114,6 +124,8 @@ def main():
         stats = ds.evaluate(res)
         oks = oks_vs_exact(res)
         row = dict(k_first=kf, k_last=kl,
+                   quantized=[i for i in range(depth) if i not in skip]
+                   if kf == 'only' else None,
                    quantized_blocks=depth - len(skip),
                    dAP=round(float(stats['AP'] - exact_stats['AP']), 4),
                    oks_min=round(float(oks.min()), 4),
