@@ -38,6 +38,13 @@ fixture. Decision (VERDICT r3 #2): the bench headline REMAINS bf16; the
 int8 path stays available (BENCH_INT8=1, tools/test.py --int8) quoting
 the real-geometry budget below, not the toy one.
 
+ROUND-5 CLOSURE (tools/analysis/int8_selective_sweep.py, PERF.md
+"Round-5: int8 selective-quantization sweep"): the 0.941 floor is NOT
+accumulated int8 error — quantizing any SINGLE block alone reproduces
+it exactly (a fixture instance sits on a decode-bin threshold that any
+perturbation flips). No first/last-k bf16 subset reaches 0.95; the
+headline decision above is final.
+
 Budgets ASSERTED here (smooth-head fit, lam=1e-3): composite AP/AR delta
 <= 0.005, per-instance OKS(exact, fast) min >= 0.90, mean >= 0.97.
 
