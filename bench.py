@@ -443,6 +443,10 @@ if __name__ == '__main__':
     if os.environ.get('BENCH_CHILD') == '1':
         main_child()
     elif os.environ.get('BENCH_NO_SUPERVISE') == '1':
+        try:
+            os.remove(EVENTS_PATH)   # don't merge a previous run's events
+        except OSError:
+            pass
         main_child()
         print(json.dumps(result_from_events(_read_events(EVENTS_PATH),
                                             'done')), flush=True)
