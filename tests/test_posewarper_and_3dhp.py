@@ -185,3 +185,69 @@ def test_posewarper_neck_per_dilation_kernels():
         np.testing.assert_allclose(w[k // 2, k // 2], np.eye(8), atol=0)
         center_mass = np.abs(w).sum() - np.abs(w[k // 2, k // 2]).sum()
         assert center_mass == 0.0                 # all other taps zero
+
+
+@pytest.mark.slow
+def test_posewarper_cli_eval_reference_pth(tmp_path):
+    """tools/test.py CONFIG ckpt.pth for the posewarper family with the
+    REFERENCE stage-2 checkpoint layout: backbone + neck tensors only, NO
+    keypoint_head entries (the stage-2 head is a parameter-less identity,
+    hrnet_w48_..._posewarper_stage2.py:87-88; ADVICE r4 medium). The CLI
+    must convert, build the identity-head model, and produce finite
+    poseval mAP on the PoseTrack fixture."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    torch = pytest.importorskip('torch')
+    sys.path.insert(0, os.path.dirname(__file__))
+    import ref_cnn_loader as L
+
+    pw = L.ref_posewarper_neck()
+    bb = L.ref_resnet().ResNet(depth=18, in_channels=3)
+    bb.eval()
+    neck = pw.PoseWarperNeck(in_channels=512, out_channels=17,
+                             inner_channels=16,
+                             res_blocks_cfg=dict(block='BASIC',
+                                                 num_blocks=2),
+                             deform_groups=17, dilations=(1, 2))
+    neck.eval()
+    sd = {'backbone.' + k: v for k, v in bb.state_dict().items()}
+    sd.update({'neck.' + k: v for k, v in neck.state_dict().items()})
+    assert not any(k.startswith('keypoint_head.') for k in sd)
+    ckpt = tmp_path / 'posewarper_stage2_rand.pth'
+    torch.save({'state_dict': sd}, ckpt)
+
+    wd = str(tmp_path)
+    cfgd = dict(
+        model=dict(family='posewarper', backbone_type='resnet',
+                   backbone_overrides=dict(depth=18),
+                   neck=dict(out_channels=17, inner_channels=16,
+                             num_blocks=2, deform_groups=17,
+                             dilations=(1, 2)),
+                   out_channels=17),
+        # identity head -> heatmaps at the resnet18 1/32 feature stride
+        data=dict(dataset='posetrack18', family='posetrack_video',
+                  image_size=(96, 128), heatmap_size=(3, 4),
+                  frame_indices=(-1, 0, 1), batch_size=2,
+                  val=dict(ann_file=ANN_PT, img_prefix=f'{REF_PT}/')),
+        test_cfg=dict(flip_test=True, shift_heatmap=True),
+        runtime=dict(work_dir=wd))
+    cfg_path = os.path.join(wd, 'cfg.py')
+    with open(cfg_path, 'w') as f:
+        for k, v in cfgd.items():
+            f.write(f"{k} = {v!r}\n")
+    spec = importlib.util.spec_from_file_location(
+        '_test_cli_pw_pth', '/root/repo/tools/test.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old = sys.argv
+    sys.argv = ['tools/test.py', cfg_path, str(ckpt),
+                '--out', os.path.join(wd, 'stats.json')]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    stats = json.load(open(os.path.join(wd, 'stats.json')))
+    assert 'Total AP' in stats and np.isfinite(stats['Total AP'])
