@@ -444,3 +444,36 @@ evaluation = dict(metric=['mpjpe'])
     import json
     stats = json.loads(r.stdout[r.stdout.index('{'):])
     assert 'MPJPE' in stats or 'mpjpe' in {k.lower() for k in stats}
+
+
+def test_posewarper_head_tensor_mismatch_raises():
+    """A posewarper .pth WITH keypoint_head tensors + an identity-head
+    config must fail with guidance (not a flax missing-param error)."""
+    from vitpose_tpu.utils.family_ckpt import convert_posewarper_checkpoint
+
+    bb = L.ref_resnet().ResNet(depth=18, in_channels=3)
+    pw = L.ref_posewarper_neck()
+    neck = pw.PoseWarperNeck(in_channels=512, out_channels=17,
+                             inner_channels=16,
+                             res_blocks_cfg=dict(block='BASIC',
+                                                 num_blocks=2),
+                             deform_groups=17, dilations=(1, 2))
+    sd = {'backbone.' + k: np.asarray(v) for k, v in _sd(bb).items()}
+    sd.update({'neck.' + k: np.asarray(v) for k, v in _sd(neck).items()})
+    sd['keypoint_head.final_layer.weight'] = \
+        np.zeros((17, 17, 1, 1), np.float32)
+    sd['keypoint_head.final_layer.bias'] = np.zeros((17,), np.float32)
+    cfg = {'model': dict(family='posewarper', backbone_type='resnet',
+                         backbone_overrides=dict(depth=18),
+                         neck=dict(out_channels=17, inner_channels=16,
+                                   num_blocks=2, deform_groups=17,
+                                   dilations=(1, 2)),
+                         out_channels=17)}
+    with pytest.raises(ValueError, match='head_overrides'):
+        convert_posewarper_checkpoint(sd, cfg)
+    # with matching head_overrides the conversion goes through
+    cfg['model']['head_overrides'] = dict(deconv_filters=(),
+                                          deconv_kernels=(),
+                                          final_kernel=1)
+    out = convert_posewarper_checkpoint(sd, cfg)
+    assert 'head' in out['params']

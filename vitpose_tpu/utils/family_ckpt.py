@@ -213,10 +213,25 @@ def _convert_posewarper_neck(sd, prefix='neck.'):
 
 def convert_posewarper_checkpoint(sd, cfg):
     """PoseWarper .pth -> variables for models/posewarper.PoseWarper
-    (single flax tree with backbone/neck/head scopes)."""
+    (single flax tree with backbone/neck/head scopes).
+
+    The reference stage-2 checkpoint has NO keypoint_head tensors (its
+    head is a parameter-less identity, hrnet_w48_..._posewarper_stage2.py
+    num_deconv_layers=0 + final_conv_kernel=0) — matching
+    build_posewarper's default identity head. A checkpoint that DOES
+    carry head tensors needs model.head_overrides set to the matching
+    layout, checked here so the mismatch fails with guidance instead of
+    a flax missing-param error deep in apply."""
     bb_p, bb_s = _backbone(sd, cfg, default='hrnet')
     nk_p, nk_s = _convert_posewarper_neck(sd)
     hd_p, hd_s = convert_head(sd, prefix='keypoint_head.')
+    if hd_p and not cfg['model'].get('head_overrides'):
+        raise ValueError(
+            'posewarper checkpoint carries keypoint_head tensors '
+            f'({sorted(hd_p)}), but the config builds the stage-2 '
+            'parameter-less identity head; set model.head_overrides '
+            '(deconv_filters/deconv_kernels/final_kernel) to the '
+            "checkpoint's head layout")
     return _merge([('backbone', bb_p, bb_s), ('neck', nk_p, nk_s),
                    ('head', hd_p, hd_s)])
 
